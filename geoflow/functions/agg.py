@@ -1,0 +1,72 @@
+"""Pre-aggregation (combiner) helpers for shuffle-light grouped reductions.
+
+Pattern (SURVEY.md section 7.3, ray_guide "Aggregation at scale"): a bare
+``groupby(key).aggregate(...)`` shuffles every row. For algebraic
+aggregates (count/sum/min/max/mean) we first collapse each *batch* to one
+row per key inside ``map_batches`` (a local combine, no shuffle), then run
+the small ``groupby`` over the partials. With B batches and K distinct
+keys per batch the shuffle moves O(B*K) rows instead of O(N) — at web
+scale with Zipf-hot cells this is the difference between a working zonal
+aggregate and an all-to-all bottleneck; hot keys are additionally safe
+because partials for the same key combine associatively.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def partial_group_sums(key_cols: list[str], sum_cols: list[str],
+                       count_col: str = "_n",
+                       min_cols: list[str] | None = None,
+                       max_cols: list[str] | None = None):
+    """Return a map_batches fn collapsing a batch to per-key partial rows.
+
+    Output columns: key_cols + [f"{c}_sum"] + [count_col] (+ min/max).
+    """
+    min_cols = min_cols or []
+    max_cols = max_cols or []
+
+    def _combine(batch: pa.Table) -> pa.Table:
+        df = batch.select(
+            key_cols + sorted(set(sum_cols + min_cols + max_cols))
+        ).to_pandas()
+        g = df.groupby(key_cols, sort=False, observed=True)
+        pieces = {}
+        for c in sum_cols:
+            pieces[f"{c}_sum"] = g[c].sum()
+        for c in min_cols:
+            pieces[f"{c}_min"] = g[c].min()
+        for c in max_cols:
+            pieces[f"{c}_max"] = g[c].max()
+        pieces[count_col] = g.size()
+        out = pd.DataFrame(pieces).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return _combine
+
+
+def grouped_count_sum(ds, key_cols: list[str], sum_cols: list[str],
+                      count_alias: str = "n",
+                      min_cols: list[str] | None = None,
+                      max_cols: list[str] | None = None):
+    """count + sums per key with batch-level pre-aggregation.
+
+    Result columns: key_cols, ``count_alias``, and ``{c}_sum`` per sum col
+    (plus ``{c}_min``/``{c}_max`` when requested).
+    """
+    partial = partial_group_sums(key_cols, sum_cols, min_cols=min_cols,
+                                 max_cols=max_cols)
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    aggs = [Sum("_n", alias_name=count_alias)]
+    for c in sum_cols:
+        aggs.append(Sum(f"{c}_sum", alias_name=f"{c}_sum"))
+    for c in (min_cols or []):
+        aggs.append(Min(f"{c}_min", alias_name=f"{c}_min"))
+    for c in (max_cols or []):
+        aggs.append(Max(f"{c}_max", alias_name=f"{c}_max"))
+    key = key_cols[0] if len(key_cols) == 1 else key_cols
+    return partials.groupby(key).aggregate(*aggs)

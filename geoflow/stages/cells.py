@@ -1,0 +1,157 @@
+"""S2-style hierarchical cell encoding (uint64 Z-order quadtree).
+
+North-rule component ("H3/S2 cell encoding assigning every geocoded web
+page and raster tile to a cell", BASELINE.json:6) — no reference
+counterpart; the reference's closest analogue is the per-pixel integer
+group-id raster used for zonal evaluation
+(``processing_alg/topocorrection_eval/eval.py:128-141``).
+
+Design (public knowledge: S2 geometry's hierarchical cell ids /
+Z-order-curve quadtrees): the world rectangle lon in [-180,180),
+lat in [-90,90] is quantized at resolution ``res`` (0..29) into a
+2^res x 2^res grid; cell id packs the resolution (6 bits) and the Morton
+interleave of (x, y) (2*res bits) into one uint64::
+
+    cell = (res << 58) | morton(x, y)
+
+Properties used by the engine:
+- parent/child are bit shifts (split-cell rebalancing descends one level),
+- ids at one resolution sort in Z-order (nearby cells share prefixes, so
+  range-partitioning by cell id keeps spatial locality),
+- neighbor lookup decodes (x, y), steps +-1 (lon wraps, lat clamps).
+
+All functions are vectorized numpy over uint64 and are safe to call
+inside ``map_batches`` on Arrow columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_RES = 29
+_RES_SHIFT = np.uint64(58)
+_MORTON_MASK = (np.uint64(1) << _RES_SHIFT) - np.uint64(1)
+
+
+def _spread_bits(v: np.ndarray) -> np.ndarray:
+    """Spread the low 29 bits of each uint64 so bit i moves to bit 2*i."""
+    v = v.astype(np.uint64, copy=True)
+    v &= np.uint64(0x1FFFFFFF)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return v
+
+
+def _compact_bits(v: np.ndarray) -> np.ndarray:
+    """Inverse of _spread_bits: gather even bits down to the low 29 bits."""
+    v = v.astype(np.uint64, copy=True)
+    v &= np.uint64(0x5555555555555555)
+    v = (v | (v >> np.uint64(1))) & np.uint64(0x3333333333333333)
+    v = (v | (v >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    v = (v | (v >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+    v = (v | (v >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+    v = (v | (v >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+    return v
+
+
+def lonlat_to_xy(lat, lon, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Quantize lon/lat to integer grid coords at ``res`` (x east, y south)."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    n = np.uint64(1) << np.uint64(res)
+    fx = (lon + 180.0) / 360.0
+    fy = (90.0 - lat) / 180.0
+    nf = float(1 << res)
+    x = np.clip(np.floor(fx * nf), 0, nf - 1).astype(np.uint64)
+    y = np.clip(np.floor(fy * nf), 0, nf - 1).astype(np.uint64)
+    del n
+    return x, y
+
+
+def cell_id(lat, lon, res: int) -> np.ndarray:
+    """Encode lat/lon arrays to uint64 cell ids at resolution ``res``."""
+    x, y = lonlat_to_xy(lat, lon, res)
+    return xy_to_cell(x, y, res)
+
+
+def xy_to_cell(x: np.ndarray, y: np.ndarray, res: int) -> np.ndarray:
+    morton = _spread_bits(x) | (_spread_bits(y) << np.uint64(1))
+    return (np.uint64(res) << _RES_SHIFT) | morton
+
+
+def cell_res(cell: np.ndarray) -> np.ndarray:
+    return (np.asarray(cell, dtype=np.uint64) >> _RES_SHIFT).astype(np.int64)
+
+
+def cell_to_xy(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    c = np.asarray(cell, dtype=np.uint64) & _MORTON_MASK
+    return _compact_bits(c), _compact_bits(c >> np.uint64(1))
+
+
+def cell_parent(cell: np.ndarray, parent_res: int) -> np.ndarray:
+    """Ancestor cell at a coarser resolution (vectorized; per-element res)."""
+    cell = np.asarray(cell, dtype=np.uint64)
+    res = cell_res(cell)
+    if np.any(res < parent_res):
+        raise ValueError("parent_res must be <= cell resolution")
+    shift = (2 * (res - parent_res)).astype(np.uint64)
+    morton = (cell & _MORTON_MASK) >> shift
+    return (np.uint64(parent_res) << _RES_SHIFT) | morton
+
+
+def cell_children(cell: int) -> np.ndarray:
+    """The 4 children of a scalar cell one level finer."""
+    cell = np.uint64(cell)
+    res = int(cell >> _RES_SHIFT)
+    if res >= MAX_RES:
+        raise ValueError("cell already at max resolution")
+    base = (cell & _MORTON_MASK) << np.uint64(2)
+    kids = base + np.arange(4, dtype=np.uint64)
+    return (np.uint64(res + 1) << _RES_SHIFT) | kids
+
+
+def cell_center(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(lat, lon) of each cell's center."""
+    cell = np.asarray(cell, dtype=np.uint64)
+    res = cell_res(cell)
+    x, y = cell_to_xy(cell)
+    nf = (np.uint64(1) << res.astype(np.uint64)).astype(np.float64)
+    lon = (x.astype(np.float64) + 0.5) / nf * 360.0 - 180.0
+    lat = 90.0 - (y.astype(np.float64) + 0.5) / nf * 180.0
+    return lat, lon
+
+
+def cell_neighbors(cell: np.ndarray, include_self: bool = True) -> np.ndarray:
+    """The 3x3 ring of cells around each input cell, shape (n, 9) or (n, 8).
+
+    Longitude wraps; latitude clamps at the poles (the clamped neighbor
+    duplicates the cell itself, which is harmless for candidate
+    generation — callers dedupe). Used by kNN candidate rings.
+    """
+    cell = np.asarray(cell, dtype=np.uint64)
+    res = cell_res(cell)
+    if cell.size and not np.all(res == res.flat[0]):
+        raise ValueError("cell_neighbors requires uniform resolution")
+    r = int(res.flat[0]) if cell.size else 0
+    n = np.int64(1 << r)
+    x, y = cell_to_xy(cell)
+    x = x.astype(np.int64)
+    y = y.astype(np.int64)
+    offsets = [(dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+               if include_self or (dx, dy) != (0, 0)]
+    out = np.empty((cell.size, len(offsets)), dtype=np.uint64)
+    for j, (dx, dy) in enumerate(offsets):
+        nx = (x + dx) % n                       # lon wraps
+        ny = np.clip(y + dy, 0, n - 1)          # lat clamps
+        out[:, j] = xy_to_cell(nx.astype(np.uint64), ny.astype(np.uint64), r)
+    return out
+
+
+def cell_token(cell: np.ndarray) -> np.ndarray:
+    """Hex string form (stable partition key for directory names)."""
+    return np.array([format(int(c), "016x") for c in np.asarray(cell).ravel()])
