@@ -1,0 +1,277 @@
+"""Similarity search: cosine top-k over embeddings + spatial kNN.
+
+Two operator families (north rule "kNN lookups executed via actor pools
+holding pinned spatial indexes"; task brief "Similarity search"):
+
+- ``CosineTopK``: actor-pool stage; each actor pins the unit-normalized
+  corpus matrix from a ``ray.put`` handle ONCE in ``__init__`` and
+  answers query batches with a blocked matmul + argpartition top-k.
+  Baseline brute force; the IVF-style scale path is
+  ``cosine_topk_ivf`` (coarse k-means buckets, probe best ones).
+- ``knn_haversine``: spatial kNN over geocoded points using quadtree
+  cells: candidates come from the query's cell + 3x3 neighbor ring at a
+  chosen resolution (expanding rings until k found), exact haversine
+  distances decide, (distance, id) tie-break keeps output deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from . import cells as cellmod
+
+EARTH_RADIUS_KM = 6371.0088
+
+
+def haversine_km(lat1, lon1, lat2, lon2) -> np.ndarray:
+    la1, lo1, la2, lo2 = map(np.radians, (lat1, lon1, lat2, lon2))
+    dlat = la2 - la1
+    dlon = lo2 - lo1
+    a = np.sin(dlat / 2) ** 2 + np.cos(la1) * np.cos(la2) * np.sin(dlon / 2) ** 2
+    return 2 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(a))
+
+
+def normalized_matrix(df: pd.DataFrame, id_col: str, vec_col: str):
+    ids = df[id_col].to_numpy()
+    mat = np.vstack(df[vec_col].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    return ids, mat
+
+
+class CosineTopK:
+    """Actor-pool callable: top-k cosine neighbors per query row.
+
+    Construct with ``fn_constructor_kwargs=dict(corpus_ref=ray.put((ids,
+    unit_matrix)), k=...)`` so every actor fetches the corpus from the
+    object store once (zero-copy numpy view), not per batch.
+    """
+
+    def __init__(self, corpus_ref, k: int = 5, exclude_self: bool = True):
+        import ray
+        self.ids, self.mat = ray.get(corpus_ref)
+        self.k = k
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch.column("query_id").to_numpy()
+        vecs = np.vstack([np.asarray(v, dtype=np.float64)
+                          for v in batch.column("embedding").to_pylist()])
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        sims = vecs @ self.mat.T                      # (B, N)
+        out_q, out_n, out_s, out_r = [], [], [], []
+        for i, qid in enumerate(qids):
+            row = sims[i]
+            if self.exclude_self:
+                self_idx = np.nonzero(self.ids == qid)[0]
+                if len(self_idx):
+                    row = row.copy()
+                    row[self_idx] = -np.inf
+            k = min(self.k, len(row))
+            top = np.argpartition(-row, k - 1)[:k]
+            # deterministic order: similarity desc, id asc
+            order = np.lexsort((self.ids[top], -row[top]))
+            top = top[order]
+            out_q.extend([qid] * k)
+            out_n.extend(self.ids[top].tolist())
+            out_s.extend(row[top].tolist())
+            out_r.extend(range(1, k + 1))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "cosine": pa.array(out_s, pa.float64()),
+            "rank": pa.array(out_r, pa.int32()),
+        })
+
+
+def cosine_topk(queries_ds, corpus_ds, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                concurrency: int = 4, exclude_self: bool = True):
+    """Brute-force cosine top-k: broadcast corpus, actor-pool matmul."""
+    import ray
+
+    corpus = corpus_ds.select_columns([id_col, vec_col]).to_pandas()
+    ref = ray.put(normalized_matrix(corpus, id_col, vec_col))
+    # rename via an Arrow map_batches (Dataset.rename_columns' Project op
+    # fails on pandas-backed blocks in ray 2.49)
+    q = queries_ds.map_batches(
+        lambda b: pa.table({"query_id": b.column(id_col),
+                            "embedding": b.column(vec_col)}),
+        batch_format="pyarrow")
+    return q.map_batches(
+        CosineTopK, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(corpus_ref=ref, k=k,
+                                   exclude_self=exclude_self),
+        concurrency=concurrency, batch_size=256,
+    )
+
+
+class CosineTopKIVF:
+    """IVF variant: corpus pre-bucketed by coarse centroid; actors probe
+    the ``nprobe`` nearest buckets only (the 100-TB path: each probe
+    touches ~N*nprobe/nlist rows instead of N)."""
+
+    def __init__(self, index_ref, k: int = 5, nprobe: int = 4):
+        import ray
+        self.centroids, self.bucket_ids, self.bucket_mats = ray.get(index_ref)
+        self.k = k
+        self.nprobe = nprobe
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch.column("query_id").to_numpy()
+        vecs = np.vstack([np.asarray(v, dtype=np.float64)
+                          for v in batch.column("embedding").to_pylist()])
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        cent_sims = vecs @ self.centroids.T
+        out_q, out_n, out_s, out_r = [], [], [], []
+        for i, qid in enumerate(qids):
+            probes = np.argsort(-cent_sims[i])[:self.nprobe]
+            cand_ids = np.concatenate([self.bucket_ids[p] for p in probes])
+            cand_mat = np.vstack([self.bucket_mats[p] for p in probes])
+            sims = cand_mat @ vecs[i]
+            k = min(self.k, len(sims))
+            top = np.argpartition(-sims, k - 1)[:k]
+            order = np.lexsort((cand_ids[top], -sims[top]))
+            top = top[order]
+            out_q.extend([qid] * k)
+            out_n.extend(cand_ids[top].tolist())
+            out_s.extend(sims[top].tolist())
+            out_r.extend(range(1, k + 1))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "cosine": pa.array(out_s, pa.float64()),
+            "rank": pa.array(out_r, pa.int32()),
+        })
+
+
+def build_ivf_index(corpus_df: pd.DataFrame, id_col: str, vec_col: str,
+                    nlist: int = 16, iters: int = 8, seed: int = 11):
+    """Tiny k-means (cosine) -> (centroids, [bucket ids], [bucket mats])."""
+    ids, mat = normalized_matrix(corpus_df, id_col, vec_col)
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(nlist, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = mat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    assign = np.argmax(mat @ cent.T, axis=1)
+    bucket_ids = [ids[assign == c] for c in range(len(cent))]
+    bucket_mats = [mat[assign == c] for c in range(len(cent))]
+    return cent, bucket_ids, bucket_mats
+
+
+# ---------------------------------------------------------------------------
+# Spatial kNN (haversine, cell-bucketed candidates)
+# ---------------------------------------------------------------------------
+
+class HaversineKNN:
+    """Actor-pool spatial kNN: pinned per-cell point index.
+
+    Index: points sorted by cell id at ``res``; candidate generation
+    walks expanding neighbor rings (1, 2, 3 cells radius ...) until at
+    least k candidates exist, then exact haversine + (distance, id)
+    lexsort picks the k. Deterministic; exact as long as the true k-th
+    neighbor lies within the searched ring (callers pick ``res`` so a
+    ring covers the expected neighbor radius; tests compare against
+    brute force).
+    """
+
+    def __init__(self, points_ref, k: int = 5, res: int = 7, max_ring: int = 6):
+        import ray
+        pts = ray.get(points_ref)          # (ids, lat, lon)
+        self.ids, self.lat, self.lon = pts
+        self.res = res
+        self.k = k
+        self.max_ring = max_ring
+        cell = cellmod.cell_id(self.lat, self.lon, res)
+        order = np.argsort(cell, kind="stable")
+        self.cell_sorted = cell[order]
+        self.order = order
+
+    def _gather(self, x0: int, y0: int, ring: int) -> np.ndarray:
+        n = 1 << self.res
+        xs = (np.arange(x0 - ring, x0 + ring + 1) % n).astype(np.uint64)
+        ys = np.clip(np.arange(y0 - ring, y0 + ring + 1), 0, n - 1).astype(np.uint64)
+        gx, gy = np.meshgrid(xs, ys)
+        ring_cells = np.unique(cellmod.xy_to_cell(gx.ravel(), gy.ravel(), self.res))
+        lo = np.searchsorted(self.cell_sorted, ring_cells, side="left")
+        hi = np.searchsorted(self.cell_sorted, ring_cells, side="right")
+        if not len(ring_cells):
+            return np.empty(0, dtype=np.int64)
+        return np.concatenate([self.order[a:b] for a, b in zip(lo, hi)])
+
+    def _candidates(self, qlat: float, qlon: float) -> np.ndarray:
+        """Expand rings until the k-th candidate distance is provably
+        smaller than the distance to anything outside the searched box.
+
+        Bound: a point outside a +-ring-cell box differs from the query
+        by >= (ring-1) cells in lat (>= deg * 111.195 km great-circle) or
+        in lon (>= deg * 111.195 * cos(reachable |lat|) km); 0.95 safety
+        factor on the lon bound.
+        """
+        cell_h = 180.0 / (1 << self.res)
+        cell_w = 360.0 / (1 << self.res)
+        x, y = cellmod.lonlat_to_xy(np.array([qlat]), np.array([qlon]), self.res)
+        x0, y0 = int(x[0]), int(y[0])
+        for ring in range(1, self.max_ring + 1):
+            idx = self._gather(x0, y0, ring)
+            if len(idx) >= self.k:
+                d = haversine_km(qlat, qlon,
+                                 self.lat[idx], self.lon[idx])
+                dk = np.partition(d, self.k - 1)[self.k - 1]
+                margin = (ring - 1)
+                lat_reach = min(89.9, abs(qlat) + (ring + 1) * cell_h)
+                bound = min(
+                    margin * cell_h * 111.195,
+                    0.95 * margin * cell_w * 111.195 *
+                    np.cos(np.radians(lat_reach)))
+                if dk <= bound or ring == self.max_ring:
+                    return idx
+            elif ring == self.max_ring:
+                return idx
+        return np.empty(0, dtype=np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch.column("query_id").to_numpy()
+        qlat = batch.column("lat").to_numpy()
+        qlon = batch.column("lon").to_numpy()
+        out_q, out_n, out_d, out_r = [], [], [], []
+        for qid, la, lo in zip(qids, qlat, qlon):
+            idx = self._candidates(la, lo)
+            if len(idx) == 0:
+                continue
+            d = haversine_km(la, lo, self.lat[idx], self.lon[idx])
+            k = min(self.k, len(idx))
+            top = np.argpartition(d, k - 1)[:k] if len(d) > k else np.arange(len(d))
+            order = np.lexsort((self.ids[idx][top], d[top]))
+            top = top[order][:k]
+            out_q.extend([qid] * k)
+            out_n.extend(self.ids[idx][top].tolist())
+            out_d.extend(d[top].tolist())
+            out_r.extend(range(1, k + 1))
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "distance_km": pa.array(out_d, pa.float64()),
+            "rank": pa.array(out_r, pa.int32()),
+        })
+
+
+def knn_haversine(queries_ds, points_df: pd.DataFrame, k: int = 5,
+                  res: int = 7, concurrency: int = 4):
+    """queries_ds(query_id, lat, lon) x points(id, lat, lon) -> top-k rows."""
+    import ray
+
+    ref = ray.put((points_df["id"].to_numpy(),
+                   points_df["lat"].to_numpy(),
+                   points_df["lon"].to_numpy()))
+    return queries_ds.map_batches(
+        HaversineKNN, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(points_ref=ref, k=k, res=res),
+        concurrency=concurrency, batch_size=512,
+    )

@@ -1,0 +1,101 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from geoflow.stages import dedup, textstats
+
+
+def _docs_ds(ray_session=None, n=120, dup_every=10):
+    """Docs with injected exact + near duplicates."""
+    import ray.data as rd
+    rng = np.random.default_rng(3)
+    words = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    rows = []
+    for i in range(n):
+        if i % dup_every == 1 and i > dup_every:
+            base = rows[i - dup_every]["text"]
+            if i % (2 * dup_every) == 1:
+                text = base                              # exact dup
+            else:
+                text = base + " tailword"                # near dup
+        else:
+            text = " ".join(rng.choice(words, size=30))
+        rows.append({"doc_id": i, "text": text})
+    return rd.from_items(rows), pd.DataFrame(rows)
+
+
+def test_minhash_finds_near_dups(ray_session):
+    import ray
+    ds, df = _docs_ds()
+    texts_ref = ray.put(dict(zip(df["doc_id"], df["text"])))
+    pairs = dedup.minhash_lsh_pairs(ds, "doc_id", num_perm=64,
+                                    jaccard_threshold=0.5,
+                                    texts_ref=texts_ref).to_pandas()
+    # every injected pair must be found (exact dups have jaccard 1.0)
+    expected_pairs = set()
+    for i in range(len(df)):
+        for j in range(i + 1, len(df)):
+            if dedup.ngram_jaccard(df["text"][i], df["text"][j]) >= 0.5:
+                expected_pairs.add((i, j))
+    got_pairs = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert expected_pairs, "fixture must contain near-dups"
+    assert expected_pairs <= got_pairs
+    # verified jaccard column is the exact value
+    for r in pairs.itertuples(index=False):
+        assert r.jaccard == pytest.approx(
+            dedup.ngram_jaccard(df["text"][int(r.id_a)], df["text"][int(r.id_b)]))
+
+
+def test_simhash_pairs(ray_session):
+    ds, df = _docs_ds()
+    pairs = dedup.simhash_pairs(ds, "doc_id", max_hamming=3).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    # exact duplicates have identical simhash -> hamming 0, must be found
+    texts = df["text"].tolist()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if texts[i] == texts[j]:
+                assert (i, j) in got
+    assert (pairs["hamming"] <= 3).all()
+
+
+def test_embedding_dup_pairs(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 16))
+    vecs = list(base) + [base[3] + rng.normal(0, 0.01, 16),
+                         base[7] * 2.0]          # near-dup + colinear dup
+    rows = [{"vec_id": i, "embedding": v.astype(np.float32)}
+            for i, v in enumerate(vecs)]
+    ds = rd.from_items(rows)
+    pairs = dedup.embedding_dup_pairs(ds, threshold=0.99).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (3, 40) in got
+    assert (7, 41) in got
+
+
+def test_textstats_vectorized_matches_python(ray_session):
+    import pyarrow as pa
+    texts = ["Hello world  42!", "", "a b\tc\nd", "12345", "   "]
+    batch = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = textstats.add_text_stats(batch)
+    assert out.column("n_tokens").to_pylist() == [len(t.split()) for t in texts]
+    assert out.column("text_len").to_pylist() == [len(t) for t in texts]
+    assert out.column("n_alpha").to_pylist() == [
+        sum(c.isascii() and c.isalpha() for c in t) for t in texts]
+
+
+def test_langid_and_fingerprint(ray_session):
+    import pyarrow as pa
+    lid = textstats.LangId()
+    assert lid.predict_one("the cat and the dog is in the house") == "en"
+    assert lid.predict_one("der hund und die katze ist nicht da") == "de"
+    assert lid.predict_one("это не просто текст на русском") == "ru"
+    assert lid.predict_one("") == "und"
+    batch = pa.table({"text": ["one two three four five six seven eight nine",
+                               "one two three four five six seven eight nine",
+                               "different words entirely here now"]})
+    out = textstats.fingerprint_batch(batch)
+    fp = out.column("fingerprint").to_pylist()
+    assert fp[0] == fp[1] != fp[2]
