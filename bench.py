@@ -1,0 +1,263 @@
+"""Benchmark harness (driver contract).
+
+Default: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) in one Ray session with
+``num_cpus = int($RAY_GRAFT_CPUS or 32)`` and prints ONE JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "pages_rows": N, "pages_rows_per_sec": N}
+
+Headline = the flagship web-page pipeline (read cached Parquet pages ->
+extract+verify -> geocode -> cell -> exact dedup -> zonal aggregate).
+Inputs are synthesized deterministically ONCE into /tmp caches (pages
+from the north-rule ``input_hint`` schema; a tiled multiband raster for
+the correction pipeline) so timed runs measure pipeline compute, not
+input generation, and both ``--scaling`` levels see identical bytes.
+
+``--scaling``: runs this script twice in FRESH processes
+(RAY_GRAFT_CPUS=8 then 32), reports both throughputs and the scaling
+efficiency (rows/s at 32) / (4 x rows/s at 8) — the sandbox evidence for
+the north rule's N -> 4N criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE_ROOT = "/tmp/geoflow_bench/v4"
+PAGES_PER_DOC = 192         # pages table = documents x this factor
+BODY_REPEATS = 6            # paragraph inflation: realistic page sizes
+RASTER_SIZE = 1024          # bench raster: RASTER_SIZE^2 px x 4 bands
+
+
+def _sf_token(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)) or "sf"
+
+
+def ensure_pages_cache(sf_dir: str) -> tuple[str, int]:
+    """Deterministic pages parquet derived from the sf documents table.
+
+    Each document is lifted to the pages schema under PAGES_PER_DOC
+    distinct urls (deterministic content tweak per replica), so the
+    pages table scales with sf and contains exact duplicates for dedup.
+    """
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoflow.sources.pages import _BASE_TS_US, page_url
+    from geoflow.stages.extract import extract_text
+
+    path = f"{CACHE_ROOT}/pages_{_sf_token(sf_dir)}"
+    marker = f"{path}/_DONE"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return path, int(f.read().strip())
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+
+    def _expand(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        texts = b.column("text").to_pylist()
+        langs = b.column("lang").to_pylist()
+        urls, htmls, outs, outl, ts = [], [], [], [], []
+        for i, body, lang in zip(ids.tolist(), texts, langs):
+            lines = [ln for ln in (body or "").split("\n") if ln.strip()]
+            paras = "".join(f"<p>{ln} (rev {k})</p>"
+                            for k in range(BODY_REPEATS) for ln in lines)
+            for r in range(PAGES_PER_DOC):
+                gid = i * PAGES_PER_DOC + r
+                # every 5th replica is an exact dup of replica 0's content
+                tag = 0 if r % 5 == 0 else r
+                h = (f"<!DOCTYPE html><html><head><title>doc {i} v{tag}"
+                     f"</title><script>var x={tag};</script></head>"
+                     f"<body><h1>Document {i} rev {tag}</h1>"
+                     f"<!-- noise -->{paras}<footer>&copy; 2025</footer>"
+                     "</body></html>").encode()
+                urls.append(page_url(gid))
+                htmls.append(h)
+                outs.append(extract_text(h))
+                outl.append(lang)
+                ts.append(_BASE_TS_US + gid * 137_000_000)
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(outs, pa.string()),
+            "lang": pa.array(outl, pa.string()),
+        })
+
+    pages = docs.map_batches(_expand, batch_format="pyarrow", batch_size=64)
+    tmp = path + ".tmp"
+    subprocess.run(["rm", "-rf", tmp, path], check=True)
+    pages.repartition(64).write_parquet(tmp)   # 64 files => read parallelism
+    n = rd.read_parquet(tmp).count()
+    os.rename(tmp, path)
+    with open(marker, "w") as f:
+        f.write(str(n))
+    return path, n
+
+
+def ensure_raster_cache() -> str:
+    """Deterministic bench raster (tile table parquet)."""
+    import ray.data as rd
+
+    from geoflow.sources import tiles as tsrc
+
+    path = f"{CACHE_ROOT}/raster_{RASTER_SIZE}"
+    if os.path.exists(f"{path}/_DONE"):
+        return path
+    dem = tsrc.synth_dem(RASTER_SIZE, RASTER_SIZE, seed=42)
+    bands = tsrc.synth_bands(dem, 4, seed=42)
+    table = tsrc.raster_to_tile_table(bands, dem, tile=256)
+    tmp = path + ".tmp"
+    subprocess.run(["rm", "-rf", tmp, path], check=True)
+    rd.from_arrow(table).repartition(32).write_parquet(tmp)
+    os.rename(tmp, path)
+    with open(f"{path}/_DONE", "w") as f:
+        f.write("ok")
+    return path
+
+
+def bench_flagship(pages_path: str) -> float:
+    import ray.data as rd
+
+    from geoflow.pipelines.flagship import (dedup_exact, enrich_pages,
+                                            zonal_page_stats_driver)
+
+    t0 = time.time()
+    # cap read blocks at a CPU-independent 64: the sort-shuffle's fixed
+    # cost grows with block count, and keeping it identical across
+    # parallelism levels makes the scaling comparison measure compute
+    pages = rd.read_parquet(pages_path, override_num_blocks=64)
+    zonal = zonal_page_stats_driver(dedup_exact(enrich_pages(pages)))
+    assert len(zonal) > 0
+    return time.time() - t0
+
+
+def bench_corrections(raster_path: str) -> float:
+    import ray.data as rd
+
+    from geoflow.pipelines.correction import run_all_corrections
+
+    t0 = time.time()
+    tiles = rd.read_parquet(raster_path)
+    out, _ = run_all_corrections(
+        tiles, names=["COSINE-T", "C-correction", "SCS+C", "Minnaert", "VECA"])
+    # consume: small grouped reduction per corrected dataset
+    for name, ds in out.items():
+        assert ds.count() > 0
+    return time.time() - t0
+
+
+def bench_queries(sf_dir: str) -> dict[str, float]:
+    from geoflow.pipelines.queries import QUERIES
+
+    names = ["q1_pricing_summary", "filtered_revenue", "orders_by_nation",
+             "events_hourly", "dedup_exact_docs", "geo_zonal_docs",
+             "knn_cosine_top5", "embedding_close_pairs"]
+    times = {}
+    for name in names:
+        t0 = time.time()
+        res = QUERIES[name](sf_dir)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    # push-based sort shuffle: measured ~25% lower all-to-all fixed cost
+    # than the pull-based default on the dedup groupby at this scale
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+
+    pages_path, n_pages = ensure_pages_cache(SF_DIR)
+    raster_path = ensure_raster_cache()
+
+    # untimed warmup: spin up the worker pool (python import cost per
+    # worker process) and the OS page cache, so both scaling levels
+    # measure pipeline compute rather than one-time process startup
+    import ray.data as rd
+
+    def _warm(b):
+        import geoflow.pipelines.flagship  # noqa: F401  (worker imports)
+        import geoflow.stages.corrections  # noqa: F401
+        return b
+
+    rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 8).map_batches(
+        _warm, batch_size=1).count()
+    rd.read_parquet(pages_path).count()
+
+    t_flag = bench_flagship(pages_path)
+    t_corr = bench_corrections(raster_path)
+    queries = bench_queries(SF_DIR)
+    queries["flagship_pages"] = round(t_flag, 3)
+    queries["corrections_raster"] = round(t_corr, 3)
+
+    headline = round(t_flag + t_corr + sum(
+        v for k, v in queries.items()
+        if k not in ("flagship_pages", "corrections_raster")), 3)
+    result = {
+        "metric": "geoflow headline pipelines (flagship pages + 5 corrections"
+                  " + 8 queries) wall time",
+        "value": headline,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_token(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        "pages_rows": n_pages,
+        "pages_rows_per_sec": round(n_pages / t_flag, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Two fresh processes at 8 and 32 CPUs on identical input."""
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    tput_lo = lo["pages_rows"] / lo["queries"]["flagship_pages"]
+    tput_hi = hi["pages_rows"] / hi["queries"]["flagship_pages"]
+    eff = (tput_hi / tput_lo) / (32 / 8)
+    return {
+        "metric": "flagship throughput scaling 8 -> 32 CPUs",
+        "rows": lo["pages_rows"],
+        "sec_8cpu": lo["queries"]["flagship_pages"],
+        "sec_32cpu": hi["queries"]["flagship_pages"],
+        "rows_per_sec_8cpu": round(tput_lo, 1),
+        "rows_per_sec_32cpu": round(tput_hi, 1),
+        "scaling_efficiency": round(eff, 3),
+        "headline_sec_8cpu": lo["value"],
+        "headline_sec_32cpu": hi["value"],
+        "sf": _sf_token(SF_DIR),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -70,3 +70,32 @@ def grouped_count_sum(ds, key_cols: list[str], sum_cols: list[str],
         aggs.append(Max(f"{c}_max", alias_name=f"{c}_max"))
     key = key_cols[0] if len(key_cols) == 1 else key_cols
     return partials.groupby(key).aggregate(*aggs)
+
+
+def grouped_count_sum_driver(ds, key_cols: list[str], sum_cols: list[str],
+                             count_alias: str = "n",
+                             min_cols: list[str] | None = None,
+                             max_cols: list[str] | None = None) -> pd.DataFrame:
+    """Same result as grouped_count_sum, but the FINAL combine runs on
+    the driver over the per-batch partial rows (streamed, pandas).
+
+    Right when the distinct-key count is small (<= ~10^6): the per-batch
+    partials are already tiny, so a full distributed shuffle would spend
+    seconds of fixed sort-shuffle setup to merge kilobytes. The
+    distributed variant remains the path for web-scale cardinality.
+    """
+    partial = partial_group_sums(key_cols, sum_cols, min_cols=min_cols,
+                                 max_cols=max_cols)
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    pieces = [b for b in partials.iter_batches(batch_size=None,
+                                               batch_format="pandas")]
+    allp = pd.concat(pieces, ignore_index=True)
+    g = allp.groupby(key_cols, sort=False, observed=True)
+    spec = {count_alias: (f"_n", "sum")}
+    for c in sum_cols:
+        spec[f"{c}_sum"] = (f"{c}_sum", "sum")
+    for c in (min_cols or []):
+        spec[f"{c}_min"] = (f"{c}_min", "min")
+    for c in (max_cols or []):
+        spec[f"{c}_max"] = (f"{c}_max", "max")
+    return g.agg(**spec).reset_index()

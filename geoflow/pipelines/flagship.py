@@ -31,13 +31,19 @@ ZONE_CELL_RES = 5    # coarse zonal-aggregation cell
 
 
 def text_hash64(texts) -> np.ndarray:
-    """64-bit blake2b content hash per text (exact-dedup key)."""
+    """64-bit blake2b content hash per text (exact-dedup key).
+
+    Returned as int64 (bit-reinterpreted): Ray's groupby/aggregate path
+    converts key columns through Python ints and overflows C long on
+    uint64 values >= 2^63, silently degrading blocks to pickled-object
+    columns.
+    """
     return np.fromiter(
         (int.from_bytes(hashlib.blake2b((t or "").encode("utf-8"),
                                         digest_size=8).digest(), "big")
          for t in texts),
         dtype=np.uint64, count=len(texts),
-    )
+    ).view(np.int64)
 
 
 def enrich_pages_batch(batch: pa.Table, cell_res: int = PAGE_CELL_RES,
@@ -69,8 +75,10 @@ def enrich_pages_batch(batch: pa.Table, cell_res: int = PAGE_CELL_RES,
         "text_ok": pa.array(ok),
         "lat": pa.array(lat),
         "lon": pa.array(lon),
-        "cell": pa.array(cell, pa.uint64()),
-        "text_hash": pa.array(text_hash64(extracted), pa.uint64()),
+        # int64: cell ids fit (res <= 29 keeps the top bit clear) and
+        # int64 keys stay on the fast Arrow path through groupby
+        "cell": pa.array(cell.astype(np.int64), pa.int64()),
+        "text_hash": pa.array(text_hash64(extracted), pa.int64()),
         "n_chars": pa.array(n_chars),
     })
 
@@ -85,8 +93,46 @@ def enrich_pages(pages_ds, cell_res: int = PAGE_CELL_RES, verify: bool = True):
 def dedup_exact(enriched_ds):
     """First-wins exact dedup on the content hash (deterministic: min url).
 
-    Hash-partitioned groupby on the 64-bit content hash; within a group
-    the smallest url wins, so output is independent of block order.
+    Shuffle-light shape: the groupby carries only (text_hash, url,
+    n_chars) slim rows, winners are picked with an O(groups) Min
+    aggregate (NOT a per-group ``map_groups`` call — with ~10^5 tiny
+    groups the per-group pandas overhead dominated the whole pipeline),
+    and the winner's geocode/cell are re-derived from its url, which is
+    cheaper than shuffling the full rows. Duplicate rows share the text,
+    so n_chars/text_hash survive aggregation unchanged.
+    """
+    from ray.data.aggregate import Count, Min
+
+    slim = enriched_ds.map_batches(
+        lambda b: b.select(["text_hash", "url", "n_chars"]),
+        batch_format="pyarrow")
+    winners = slim.groupby("text_hash").aggregate(
+        Min("url", alias_name="url"),
+        Min("n_chars", alias_name="n_chars"),
+        Count(alias_name="n_copies"))
+
+    def _rederive(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        lat, lon = geocode_urls(urls)
+        cell = cells.cell_id(lat, lon, PAGE_CELL_RES)
+        return pa.table({
+            "url": batch.column("url"),
+            "text_hash": batch.column("text_hash"),
+            "n_chars": batch.column("n_chars"),
+            "n_copies": batch.column("n_copies"),
+            "lat": pa.array(lat), "lon": pa.array(lon),
+            "cell": pa.array(cell.astype(np.int64), pa.int64()),
+        })
+
+    return winners.map_batches(_rederive, batch_format="pyarrow")
+
+
+def dedup_exact_rows(enriched_ds):
+    """Row-preserving exact dedup (keeps every column of the winner).
+
+    Per-group ``map_groups`` — use at moderate group counts or when
+    columns beyond (url, n_chars) must survive; ``dedup_exact`` is the
+    scale path.
     """
     import pandas as pd
 
@@ -102,11 +148,37 @@ def zonal_page_stats(enriched_ds, zone_res: int = ZONE_CELL_RES):
     from ..functions.agg import grouped_count_sum
 
     def _add_zone(batch: pa.Table) -> pa.Table:
-        zone = cells.cell_parent(batch.column("cell").to_numpy(), zone_res)
-        return batch.append_column("zone", pa.array(zone, pa.uint64()))
+        zone = cells.cell_parent(
+            batch.column("cell").to_numpy().astype(np.uint64), zone_res)
+        return batch.append_column(
+            "zone", pa.array(zone.astype(np.int64), pa.int64()))
 
     zoned = enriched_ds.map_batches(_add_zone, batch_format="pyarrow")
     return grouped_count_sum(zoned, ["zone"], ["n_chars"], count_alias="n_pages")
+
+
+def zonal_page_stats_driver(enriched_ds, zone_res: int = ZONE_CELL_RES):
+    """Driver-combine zonal stats (same numbers as zonal_page_stats).
+
+    One distributed pass emits per-batch per-zone partials; the final
+    merge over <= 4^zone_res tiny rows happens on the driver, saving a
+    whole sort-shuffle of fixed setup cost. Use when the zone count is
+    bounded (coarse resolutions); the distributed variant is the path
+    for fine-resolution / web-scale cardinality.
+    """
+    from ..functions.agg import grouped_count_sum_driver
+
+    def _add_zone(batch: pa.Table) -> pa.Table:
+        zone = cells.cell_parent(
+            batch.column("cell").to_numpy().astype(np.uint64), zone_res)
+        return batch.append_column(
+            "zone", pa.array(zone.astype(np.int64), pa.int64()))
+
+    zoned = enriched_ds.map_batches(_add_zone, batch_format="pyarrow")
+    out = grouped_count_sum_driver(zoned, ["zone"], ["n_chars"],
+                                   count_alias="n_pages")
+    return out.sort_values(["n_pages", "zone"],
+                           ascending=[False, True]).reset_index(drop=True)
 
 
 def run_flagship(pages_ds, cell_res: int = PAGE_CELL_RES,

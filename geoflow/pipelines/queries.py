@@ -1,0 +1,804 @@
+"""Driver-contract query suite: Ray Data pipelines + DuckDB oracle SQL.
+
+Every entry in ``QUERIES`` is a callable ``(sf_dir) -> Dataset | DataFrame
+| pyarrow.Table``; entries present in ``ORACLE_SQL`` are verified by the
+driver against DuckDB on the same parquet tables (row count + schema +
+order-insensitive value hash). Conventions that make the comparison
+robust (see SURVEY.md section 7.4 "Ordering"):
+
+- aggregate/computed columns carry identical names in Ray and SQL;
+- float outputs are rounded (4 decimals for decimal-exact money sums,
+  6 for ratios/averages) on BOTH sides, so summation-order noise
+  (~1e-10 relative) cannot flip the hash; at >= 3 decimals no double
+  sits exactly on a rounding boundary, so banker's-vs-half-away
+  differences cannot trigger;
+- joins keep the small side broadcast (customer/nation lookup dicts via
+  driver read + closure capture) — no shuffle joins for dimension
+  tables;
+- deterministic geocoding (geoflow.stages.geocode.geocode_doc_ids) is
+  pure 32-bit integer arithmetic replayed verbatim in SQL, with
+  double-precision expressions written in the same operation order so
+  lat/lon are bit-identical between numpy and DuckDB.
+
+Rows-only entries (no SQL: distributed-stateful or non-SQL semantics)
+cover the raster corrections, rose/histogram/rank evaluation, MinHash/
+SimHash near-dup, language ID, fingerprints, haversine kNN and the
+polygon PIP join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.agg import grouped_count_sum
+from ..stages import textstats
+from ..stages.geocode import geocode_doc_ids
+
+QUERIES: dict = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+    return deco
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_cols(batch: pa.Table, spec: dict[str, int]) -> pa.Table:
+    for col, nd in spec.items():
+        i = batch.column_names.index(col)
+        batch = batch.set_column(
+            i, col, pa.array(np.round(batch.column(col).to_numpy(), nd)))
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational coverage
+# ---------------------------------------------------------------------------
+
+@register("q1_pricing_summary", sql="""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4)                          AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                                                          AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT)               AS sum_disc_e4,
+       round(sum(l_quantity) / count(*), 6)               AS avg_qty,
+       count(*)                                           AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(sf_dir: str):
+    # Money sums are decimal-exact (2/4-decimal inputs), so they are
+    # summed as scaled int64 — exact and independent of summation order
+    # (a double sum of ~5e9 carries ~1e-4 order noise, which a 4-decimal
+    # round cannot absorb at sf>=0.1).
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def _prep(b: pa.Table) -> pa.Table:
+        price = b.column("l_extendedprice").to_numpy()
+        disc = b.column("l_discount").to_numpy()
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "l_quantity": b.column("l_quantity"),
+            "base_cents": np.round(price * 100).astype(np.int64),
+            "disc_e4": np.round(price * (1 - disc) * 10000).astype(np.int64),
+        })
+
+    agg = grouped_count_sum(
+        ds.map_batches(_prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        ["l_quantity", "base_cents", "disc_e4"],
+        count_alias="n_rows")
+
+    def _final(b: pa.Table) -> pa.Table:
+        n = b.column("n_rows").to_numpy().astype(np.float64)
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "l_linestatus": b.column("l_linestatus"),
+            "sum_qty": np.round(b.column("l_quantity_sum").to_numpy(), 4),
+            "sum_base_cents": b.column("base_cents_sum"),
+            "sum_disc_e4": b.column("disc_e4_sum"),
+            "avg_qty": np.round(b.column("l_quantity_sum").to_numpy() / n, 6),
+            "n_rows": b.column("n_rows"),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+@register("filtered_revenue", sql="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_discount > 0.05
+""")
+def filtered_revenue(sf_dir: str):
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice",
+                "l_discount", "l_shipdate"])
+    cutoff = pa.scalar(np.datetime64("1995-06-01", "us"))
+
+    def _f(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(b.column("l_shipdate"), cutoff),
+                       pc.greater(b.column("l_discount"), pa.scalar(0.05)))
+        b = b.filter(keep)
+        rev = pc.multiply(b.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "l_linenumber": b.column("l_linenumber"),
+            "revenue": np.round(rev.to_numpy(zero_copy_only=False), 4),
+        })
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+@register("orders_by_nation", sql="""
+SELECT n_name, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""")
+def orders_by_nation(sf_dir: str):
+    # broadcast join: customer->nation lookup built once on the driver
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nation_of = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    cust_nation = {int(c): nation_of[int(nk)]
+                   for c, nk in zip(cust["c_custkey"], cust["c_nationkey"])}
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def _tag(b: pa.Table) -> pa.Table:
+        names = [cust_nation[int(c)] for c in b.column("o_custkey").to_pylist()]
+        cents = np.round(
+            b.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "n_name": pa.array(names, pa.string()),
+            "cents": pa.array(cents),
+        })
+
+    agg = grouped_count_sum(ds.map_batches(_tag, batch_format="pyarrow"),
+                            ["n_name"], ["cents"], count_alias="n_orders")
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": b.column("n_name"),
+            "n_orders": b.column("n_orders"),
+            "total_cents": b.column("cents_sum"),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+@register("brand_part_stats", sql="""
+SELECT p_brand, count(*) AS n_parts,
+       round(sum(p_retailprice) / count(*), 6) AS avg_price,
+       max(p_size) AS max_size
+FROM part GROUP BY p_brand
+""")
+def brand_part_stats(sf_dir: str):
+    ds = _read(sf_dir, "part", ["p_brand", "p_retailprice", "p_size"])
+    agg = grouped_count_sum(ds, ["p_brand"], ["p_retailprice"],
+                            count_alias="n_parts", max_cols=["p_size"])
+
+    def _final(b: pa.Table) -> pa.Table:
+        n = b.column("n_parts").to_numpy().astype(np.float64)
+        return pa.table({
+            "p_brand": b.column("p_brand"),
+            "n_parts": b.column("n_parts"),
+            "avg_price": np.round(b.column("p_retailprice_sum").to_numpy() / n, 6),
+            "max_size": b.column("p_size_max"),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+@register("supplier_by_nation", sql="""
+SELECT n_name, count(*) AS n_suppliers, round(sum(s_acctbal), 4) AS total_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""")
+def supplier_by_nation(sf_dir: str):
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nation_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def _tag(b: pa.Table) -> pa.Table:
+        names = [nation_of[int(k)] for k in b.column("s_nationkey").to_pylist()]
+        return pa.table({"n_name": pa.array(names, pa.string()),
+                         "s_acctbal": b.column("s_acctbal")})
+
+    agg = grouped_count_sum(ds.map_batches(_tag, batch_format="pyarrow"),
+                            ["n_name"], ["s_acctbal"], count_alias="n_suppliers")
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": b.column("n_name"),
+            "n_suppliers": b.column("n_suppliers"),
+            "total_acctbal": np.round(b.column("s_acctbal_sum").to_numpy(), 4),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Events: top-k + tumbling window
+# ---------------------------------------------------------------------------
+
+@register("top_users_by_value", sql="""
+SELECT user_id, round(sum(value), 4) AS total_value
+FROM events GROUP BY user_id
+ORDER BY sum(value) DESC, user_id LIMIT 10
+""")
+def top_users_by_value(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    agg = grouped_count_sum(ds, ["user_id"], ["value"], count_alias="_c")
+    top = agg.sort(["value_sum", "user_id"], descending=[True, False]).limit(10)
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "total_value": np.round(b.column("value_sum").to_numpy(), 4),
+        })
+
+    return top.map_batches(_final, batch_format="pyarrow")
+
+
+@register("events_hourly", sql="""
+SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+       count(*) AS n_events, round(sum(value), 4) AS value_sum
+FROM events GROUP BY event_type, hour_bucket
+""")
+def events_hourly(sf_dir: str):
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def _bucket(b: pa.Table) -> pa.Table:
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view("int64")
+        hour = us // 3_600_000_000
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "hour_bucket": pa.array(hour, pa.int64()),
+            "value": b.column("value"),
+        })
+
+    agg = grouped_count_sum(ds.map_batches(_bucket, batch_format="pyarrow"),
+                            ["event_type", "hour_bucket"], ["value"],
+                            count_alias="n_events")
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "hour_bucket": b.column("hour_bucket"),
+            "n_events": b.column("n_events"),
+            "value_sum": np.round(b.column("value_sum").to_numpy(), 4),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Documents: text analysis, dedup, geocoding / zonal / spatial joins
+# ---------------------------------------------------------------------------
+
+@register("doc_token_stats", sql=r"""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
+       round(sum(n_chars) * 1.0 / count(*), 6) AS avg_chars
+FROM documents GROUP BY lang
+""")
+def doc_token_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+
+    def _tok(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": b.column("lang"),
+            "n_tokens": pc.cast(textstats.token_count(b.column("text")),
+                                pa.int64()),
+            "n_chars": b.column("n_chars"),
+        })
+
+    agg = grouped_count_sum(ds.map_batches(_tok, batch_format="pyarrow"),
+                            ["lang"], ["n_tokens", "n_chars"],
+                            count_alias="n_docs")
+
+    def _final(b: pa.Table) -> pa.Table:
+        n = b.column("n_docs").to_numpy().astype(np.float64)
+        return pa.table({
+            "lang": b.column("lang"),
+            "n_docs": b.column("n_docs"),
+            "total_tokens": b.column("n_tokens_sum"),
+            "avg_chars": np.round(
+                b.column("n_chars_sum").to_numpy() * 1.0 / n, 6),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+@register("doc_char_ratios", sql="""
+SELECT source, count(*) AS n_docs,
+       round(sum(len(regexp_extract_all(text, '[a-zA-Z]')) * 1.0 / len(text))
+             / count(*), 6) AS avg_alpha_ratio,
+       round(sum(len(regexp_extract_all(text, '[0-9]')) * 1.0 / len(text))
+             / count(*), 6) AS avg_digit_ratio
+FROM documents GROUP BY source
+""")
+def doc_char_ratios(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def _ratios(b: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(b.column("text")).to_numpy().astype(np.float64)
+        alpha = pc.count_substring_regex(
+            b.column("text"), pattern="[a-zA-Z]").to_numpy() * 1.0 / ln
+        digit = pc.count_substring_regex(
+            b.column("text"), pattern="[0-9]").to_numpy() * 1.0 / ln
+        return pa.table({
+            "source": b.column("source"),
+            "alpha_ratio": pa.array(alpha),
+            "digit_ratio": pa.array(digit),
+        })
+
+    agg = grouped_count_sum(ds.map_batches(_ratios, batch_format="pyarrow"),
+                            ["source"], ["alpha_ratio", "digit_ratio"],
+                            count_alias="n_docs")
+
+    def _final(b: pa.Table) -> pa.Table:
+        n = b.column("n_docs").to_numpy().astype(np.float64)
+        return pa.table({
+            "source": b.column("source"),
+            "n_docs": b.column("n_docs"),
+            "avg_alpha_ratio": np.round(
+                b.column("alpha_ratio_sum").to_numpy() / n, 6),
+            "avg_digit_ratio": np.round(
+                b.column("digit_ratio_sum").to_numpy() / n, 6),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+@register("dedup_exact_docs", sql="""
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY text
+""")
+def dedup_exact_docs(sf_dir: str):
+    from ray.data.aggregate import Count, Min
+    from .flagship import text_hash64
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _hash(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "text_hash": pa.array(
+                text_hash64(b.column("text").to_pylist()), pa.int64()),
+        })
+
+    agg = (ds.map_batches(_hash, batch_format="pyarrow")
+           .groupby("text_hash")
+           .aggregate(Min("doc_id", alias_name="doc_id"),
+                      Count(alias_name="n_copies")))
+    return agg.map_batches(
+        lambda b: b.select(["doc_id", "n_copies"]), batch_format="pyarrow")
+
+
+_GEO_SQL_CTE = """
+WITH g AS (
+  SELECT doc_id, n_chars,
+         (doc_id * 2654435761 + 17) % 4294967296 AS h1,
+         (doc_id * 2246822519 + 101) % 4294967296 AS h2,
+         doc_id % 10 AS sel
+  FROM documents
+), geo AS (
+  SELECT doc_id, n_chars,
+    CASE WHEN sel = 0 THEN 40.7 + (h1 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 1 THEN 51.5 + (h1 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 2 THEN 35.7 + (h1 / 4294967296.0 - 0.5) * 0.5
+         ELSE h1 / 4294967296.0 * 130.0 - 60.0 END AS lat,
+    CASE WHEN sel = 0 THEN -74.0 + (h2 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 1 THEN -0.1 + (h2 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 2 THEN 139.7 + (h2 / 4294967296.0 - 0.5) * 0.5
+         ELSE h2 / 4294967296.0 * 360.0 - 180.0 END AS lon
+  FROM g
+)
+"""
+
+
+def _geocode_batch(b: pa.Table) -> pa.Table:
+    ids = b.column("doc_id").to_numpy()
+    lat, lon = geocode_doc_ids(ids)
+    out = pa.table({
+        "doc_id": b.column("doc_id"),
+        "lat": pa.array(lat), "lon": pa.array(lon),
+    })
+    if "n_chars" in b.column_names:
+        out = out.append_column("n_chars", b.column("n_chars"))
+    return out
+
+
+@register("geo_zonal_docs", sql=_GEO_SQL_CTE + """
+SELECT CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT) AS cell_x,
+       CAST(floor((90.0 - lat) / 180.0 * 64.0) AS BIGINT) AS cell_y,
+       count(*) AS n_docs,
+       round(sum(n_chars) * 1.0 / count(*), 6) AS avg_chars
+FROM geo GROUP BY cell_x, cell_y
+""")
+def geo_zonal_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def _cell(b: pa.Table) -> pa.Table:
+        b = _geocode_batch(b)
+        lat = b.column("lat").to_numpy()
+        lon = b.column("lon").to_numpy()
+        cx = np.floor((lon + 180.0) / 360.0 * 64.0).astype(np.int64)
+        cy = np.floor((90.0 - lat) / 180.0 * 64.0).astype(np.int64)
+        return pa.table({
+            "cell_x": pa.array(cx), "cell_y": pa.array(cy),
+            "n_chars": b.column("n_chars"),
+        })
+
+    agg = grouped_count_sum(ds.map_batches(_cell, batch_format="pyarrow"),
+                            ["cell_x", "cell_y"], ["n_chars"],
+                            count_alias="n_docs")
+
+    def _final(b: pa.Table) -> pa.Table:
+        n = b.column("n_docs").to_numpy().astype(np.float64)
+        return pa.table({
+            "cell_x": b.column("cell_x"), "cell_y": b.column("cell_y"),
+            "n_docs": b.column("n_docs"),
+            "avg_chars": np.round(
+                b.column("n_chars_sum").to_numpy() * 1.0 / n, 6),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+# rectangle regions for the SQL-checkable spatial join (lat/lon bounds)
+BBOX_REGIONS = [
+    (0, "nyc", 39.5, -75.5, 42.0, -72.5),
+    (1, "london", 50.5, -1.5, 52.5, 1.0),
+    (2, "tokyo", 34.5, 138.5, 36.5, 141.0),
+    (3, "alps", 44.0, 5.0, 48.0, 15.0),
+    (4, "sahara", 15.0, -10.0, 30.0, 25.0),
+    (5, "andes", -40.0, -75.0, -10.0, -65.0),
+]
+
+_BBOX_VALUES = ",\n".join(
+    f"({rid}, '{name}', {la0}, {lo0}, {la1}, {lo1})"
+    for rid, name, la0, lo0, la1, lo1 in BBOX_REGIONS)
+
+
+@register("bbox_join_docs", sql=_GEO_SQL_CTE + f"""
+SELECT doc_id, region_id, region_name
+FROM geo CROSS JOIN (VALUES {_BBOX_VALUES})
+     AS r(region_id, region_name, lat_min, lon_min, lat_max, lon_max)
+WHERE lat >= lat_min AND lat <= lat_max AND lon >= lon_min AND lon <= lon_max
+""")
+def bbox_join_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def _join(b: pa.Table) -> pa.Table:
+        g = _geocode_batch(b)
+        ids = g.column("doc_id").to_numpy()
+        lat = g.column("lat").to_numpy()
+        lon = g.column("lon").to_numpy()
+        out_id, out_rid, out_name = [], [], []
+        for rid, name, la0, lo0, la1, lo1 in BBOX_REGIONS:
+            m = (lat >= la0) & (lat <= la1) & (lon >= lo0) & (lon <= lo1)
+            out_id.append(ids[m])
+            out_rid.append(np.full(int(m.sum()), rid, dtype=np.int64))
+            out_name.extend([name] * int(m.sum()))
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_id) if out_id else [],
+                               pa.int64()),
+            "region_id": pa.array(np.concatenate(out_rid) if out_rid else [],
+                                  pa.int64()),
+            "region_name": pa.array(out_name, pa.string()),
+        })
+
+    return ds.map_batches(_join, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search + near-dup pairs
+# ---------------------------------------------------------------------------
+
+@register("knn_cosine_top5", sql="""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+s AS (SELECT q.qid, e.vec_id,
+             list_cosine_similarity(q.qe, e.embedding) AS sim
+      FROM q, embeddings e WHERE e.vec_id <> q.qid)
+SELECT qid AS query_id, vec_id AS neighbor_id,
+       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+FROM s QUALIFY rank <= 5
+""")
+def knn_cosine_top5(sf_dir: str):
+    import ray.data as rd
+    from ..stages.knn import cosine_topk
+
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        lambda b: b.filter(pc.less(b.column("vec_id"), pa.scalar(10))),
+        batch_format="pyarrow")
+    out = cosine_topk(queries, corpus, k=5)
+    return out.map_batches(
+        lambda b: pa.table({
+            "query_id": b.column("query_id"),
+            "neighbor_id": b.column("neighbor_id"),
+            "rank": pc.cast(b.column("rank"), pa.int64()),
+        }), batch_format="pyarrow")
+
+
+@register("embedding_close_pairs", sql="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+""")
+def embedding_close_pairs(sf_dir: str):
+    from ..stages.dedup import embedding_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = embedding_dup_pairs(ds, threshold=0.4)
+    return pairs.map_batches(
+        lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Rows-only entries (non-SQL-expressible; driver records row counts,
+# pytest holds the real oracles)
+# ---------------------------------------------------------------------------
+
+@register("flagship_zonal")
+def flagship_zonal(sf_dir: str):
+    from ..sources.pages import pages_from_documents
+    from .flagship import run_flagship
+
+    out = run_flagship(pages_from_documents(sf_dir))
+    return out.map_batches(
+        lambda b: b.set_column(b.column_names.index("zone"), "zone",
+                               pc.cast(b.column("zone"), pa.int64())),
+        batch_format="pyarrow")
+
+
+def _docs_with_near_dups(sf_dir: str):
+    """documents plus deterministic perturbed copies (dedup exercise)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _inject(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        texts = b.column("text").to_pylist()
+        sel = ids % 7 == 0
+        extra_ids = (ids[sel] + 1_000_000).tolist()
+        extra_texts = [texts[i] + " extra tail token"
+                       for i in np.nonzero(sel)[0]]
+        return pa.table({
+            "doc_id": pa.array(ids.tolist() + extra_ids, pa.int64()),
+            "text": pa.array(texts + extra_texts, pa.string()),
+        })
+
+    return ds.map_batches(_inject, batch_format="pyarrow")
+
+
+@register("minhash_near_dup")
+def minhash_near_dup(sf_dir: str):
+    import ray
+    from ..stages.dedup import minhash_lsh_pairs
+
+    ds = _docs_with_near_dups(sf_dir)
+    texts = {int(r["doc_id"]): r["text"] for r in ds.iter_rows()}
+    pairs = minhash_lsh_pairs(ds, "doc_id", jaccard_threshold=0.5,
+                              texts_ref=ray.put(texts))
+    return pairs.map_batches(
+        lambda b: pa.table({
+            "id_a": pc.cast(b.column("id_a"), pa.int64()),
+            "id_b": pc.cast(b.column("id_b"), pa.int64()),
+            "jaccard": pa.array(np.round(b.column("jaccard").to_numpy(), 6)),
+        }), batch_format="pyarrow")
+
+
+@register("simhash_near_dup")
+def simhash_near_dup(sf_dir: str):
+    from ..stages.dedup import simhash_pairs
+
+    pairs = simhash_pairs(_docs_with_near_dups(sf_dir), "doc_id",
+                          max_hamming=3)
+    return pairs.map_batches(
+        lambda b: pa.table({
+            "id_a": pc.cast(b.column("id_a"), pa.int64()),
+            "id_b": pc.cast(b.column("id_b"), pa.int64()),
+            "hamming": pc.cast(b.column("hamming"), pa.int64()),
+        }), batch_format="pyarrow")
+
+
+@register("langid_docs")
+def langid_docs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(textstats.LangId, batch_format="pyarrow",
+                          concurrency=2).map_batches(
+        lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow")
+
+
+@register("doc_quality_scores")
+def doc_quality_scores(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _q(b: pa.Table) -> pa.Table:
+        out = textstats.quality_score_batch(b)
+        return pa.table({
+            "doc_id": out.column("doc_id"),
+            "quality": pa.array(np.round(out.column("quality").to_numpy(), 6)),
+            "n_tokens": out.column("n_tokens"),
+        })
+
+    return ds.map_batches(_q, batch_format="pyarrow")
+
+
+@register("doc_fingerprints")
+def doc_fingerprints(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _fp(b: pa.Table) -> pa.Table:
+        out = textstats.fingerprint_batch(b)
+        fp = out.column("fingerprint").to_numpy().astype(np.int64)  # wrap ok
+        return pa.table({"doc_id": out.column("doc_id"),
+                         "fingerprint": pa.array(fp, pa.int64())})
+
+    return ds.map_batches(_fp, batch_format="pyarrow")
+
+
+@register("knn_haversine_docs")
+def knn_haversine_docs(sf_dir: str):
+    import ray.data as rd
+    from ..stages.knn import knn_haversine
+
+    docs = _read(sf_dir, "documents", ["doc_id"]).to_pandas()
+    ids = docs["doc_id"].to_numpy()
+    lat, lon = geocode_doc_ids(ids)
+    points = pd.DataFrame({"id": ids, "lat": lat, "lon": lon})
+    qids = np.arange(20, dtype=np.int64)
+    qlat, qlon = geocode_doc_ids(qids + 777_000)
+    queries = rd.from_pandas(pd.DataFrame(
+        {"query_id": qids, "lat": qlat, "lon": qlon}))
+    out = knn_haversine(queries, points, k=5, res=6, concurrency=2)
+    return out.map_batches(
+        lambda b: pa.table({
+            "query_id": b.column("query_id"),
+            "neighbor_id": b.column("neighbor_id"),
+            "rank": pc.cast(b.column("rank"), pa.int64()),
+            "distance_km": pa.array(
+                np.round(b.column("distance_km").to_numpy(), 3)),
+        }), batch_format="pyarrow")
+
+
+@register("pip_polygon_docs")
+def pip_polygon_docs(sf_dir: str):
+    import ray.data as rd
+    from ..stages.pip_join import make_polygons, pip_join
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def _pts(b: pa.Table) -> pa.Table:
+        g = _geocode_batch(b)
+        return pa.table({"id": g.column("doc_id"),
+                         "lat": g.column("lat"), "lon": g.column("lon")})
+
+    points = docs.map_batches(_pts, batch_format="pyarrow")
+    return pip_join(points, make_polygons(64, seed=42), concurrency=2)
+
+
+# --- raster corrections / evaluation over the deterministic synthetic
+# fixture (independent of sf_dir; exposed so the driver exercises them) ---
+
+_RASTER_CACHE: dict = {}
+
+
+def _fixture_tiles():
+    import ray.data as rd
+    from ..sources import tiles as tsrc
+
+    if "tiles" not in _RASTER_CACHE:
+        dem = tsrc.synth_dem(160, 160, seed=42)
+        bands = tsrc.synth_bands(dem, 3, seed=42)
+        _RASTER_CACHE["table"] = tsrc.raster_to_tile_table(bands, dem, tile=64)
+    return rd.from_arrow(_RASTER_CACHE["table"])
+
+
+@register("correction_band_stats")
+def correction_band_stats(sf_dir: str):
+    from ..pipelines.correction import run_all_corrections
+
+    out, _ = run_all_corrections(_fixture_tiles())
+    rows = []
+    for name, ds in out.items():
+        df = ds.to_pandas()
+        for b, g in df.groupby("band"):
+            v = np.concatenate([np.asarray(p, np.float64) for p in g["corrected"]])
+            v = v[np.isfinite(v) & (np.abs(v) < 1e30)]
+            rows.append({"correction": name, "band": int(b),
+                         "mean": round(float(v.mean()), 6),
+                         "std": round(float(v.std()), 6)})
+    return pd.DataFrame(rows)
+
+
+@register("rose_diagram_means")
+def rose_diagram_means(sf_dir: str):
+    from ..stages.rose import rose_diagram_ds
+
+    out = rose_diagram_ds(_fixture_tiles()).to_pandas()
+    out["mean_value"] = out["mean_value"].round(6)
+    return out[["band", "slope_bin", "aspect_bin", "n_pixels", "mean_value"]]
+
+
+@register("correlation_fit")
+def correlation_fit(sf_dir: str):
+    from ..stages.histogram import correlation_eval_ds
+    from ..stages.terrain import derive_terrain
+
+    out = correlation_eval_ds(derive_terrain(_fixture_tiles())).to_pandas()
+    out["hist_total"] = out["hist"].map(lambda h: int(np.sum(h)))
+    out["hist_nonzero"] = out["hist"].map(lambda h: int(np.count_nonzero(h)))
+    out["intercept"] = out["intercept"].round(6)
+    out["slope"] = out["slope"].round(6)
+    return out[["band", "hist_total", "hist_nonzero", "intercept", "slope"]]
+
+
+@register("raster_zonal_cells")
+def raster_zonal_cells(sf_dir: str):
+    from ..stages.zonal import RasterGeo, raster_zonal_stats
+
+    geo = RasterGeo(lat0=48.0, lon0=5.0, dlat=-0.01, dlon=0.01)
+    out = raster_zonal_stats(_fixture_tiles(), geo, res=8,
+                             tile_size=64).to_pandas()
+    for c in ("value_sum", "value_min", "value_max", "mean_value"):
+        out[c] = out[c].round(6)
+    return out
+
+
+@register("raster_pages_cell_join")
+def raster_pages_cell_join(sf_dir: str):
+    """Raster zonal stats joined with page-density zones cell-to-cell —
+    the raster<->vector bridge over one shared quadtree key space."""
+    from ..sources.pages import pages_from_documents
+    from ..stages.zonal import (RasterGeo, join_zonal_with_pages,
+                                raster_zonal_stats)
+    from .flagship import enrich_pages, zonal_page_stats_driver
+
+    geo = RasterGeo(lat0=53.0, lon0=-1.5, dlat=-0.005, dlon=0.005)
+    rz = raster_zonal_stats(_fixture_tiles(), geo, res=7,
+                            tile_size=64).to_pandas()
+    pz = zonal_page_stats_driver(
+        enrich_pages(pages_from_documents(sf_dir)), zone_res=5)
+    j = join_zonal_with_pages(rz, pz, raster_res=7, page_res=5)
+    out = j[["band", "cell", "join_cell", "n_pixels", "mean_value",
+             "n_pages", "n_chars_sum"]].copy()
+    out["mean_value"] = out["mean_value"].round(6)
+    return out
+
+
+@register("multi_criteria_scores")
+def multi_criteria_scores(sf_dir: str):
+    from ..pipelines.rank import rank_corrections
+
+    scores, _, _ = rank_corrections(_fixture_tiles())
+    out = scores.reset_index()
+    out.columns = ["correction", "score"]
+    out["score"] = out["score"].round(6)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out

@@ -55,24 +55,21 @@ def geocode_doc_ids(doc_id) -> tuple[np.ndarray, np.ndarray]:
     return lat, lon
 
 
-def _fnv1a64(data: bytes) -> int:
-    h = 0xCBF29CE484222325
-    for b in data:
-        h ^= b
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
-
-
 def url_hash64(urls) -> np.ndarray:
-    """FNV-1a 64-bit per url (deterministic string hash, uint64)."""
+    """blake2b-64 per url (deterministic string hash, uint64; C-speed —
+    a pure-Python per-byte hash was the enrich-stage hot spot)."""
+    import hashlib
+
     return np.fromiter(
-        (_fnv1a64(u.encode("utf-8")) for u in urls),
+        (int.from_bytes(
+            hashlib.blake2b(u.encode("utf-8"), digest_size=8).digest(), "big")
+         for u in urls),
         dtype=np.uint64, count=len(urls),
     )
 
 
 def geocode_urls(urls) -> tuple[np.ndarray, np.ndarray]:
-    """(lat, lon) from url strings via FNV-1a (fixture-checked)."""
+    """(lat, lon) from url strings via blake2b (fixture-checked)."""
     h = url_hash64(list(urls))
     h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.float64)
     h2 = (h >> np.uint64(32)).astype(np.float64)

@@ -1,0 +1,108 @@
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geoflow.pipelines.flagship import enrich_pages, zonal_page_stats_driver, zonal_page_stats
+from geoflow.sources.pages import pages_dataset
+from geoflow.stages import skew
+from geoflow.state import lineage
+
+
+def _enriched(n=3000, res=None):
+    kwargs = {} if res is None else {"cell_res": res}
+    return enrich_pages(pages_dataset(n, override_num_blocks=8), **kwargs)
+
+
+def test_salted_agg_matches_plain(ray_session):
+    ds = _enriched().materialize()
+    salted = skew.salted_grouped_count_sum(
+        ds, "cell", ["n_chars"], num_salts=8, count_alias="n").to_pandas()
+    plain = (ds.to_pandas().groupby("cell")
+             .agg(n=("url", "size"), n_chars_sum=("n_chars", "sum"))
+             .reset_index())
+    m = salted.merge(plain, on="cell", suffixes=("", "_exp"))
+    assert len(m) == len(plain) == len(salted)
+    assert (m["n"] == m["n_exp"]).all()
+    assert (m["n_chars_sum"] == m["n_chars_sum_exp"]).all()
+
+
+def test_zonal_driver_matches_distributed(ray_session):
+    ds = _enriched().materialize()
+    drv = zonal_page_stats_driver(ds)
+    dist = zonal_page_stats(ds).to_pandas()
+    m = drv.merge(dist, on="zone", suffixes=("", "_d"))
+    assert len(m) == len(dist) == len(drv)
+    assert (m["n_pages"] == m["n_pages_d"]).all()
+    assert (m["n_chars_sum"] == m["n_chars_sum_d"]).all()
+
+
+def test_split_cell_rebalance(ray_session):
+    # coarse cells (res 8 ~ 1.4 deg) concentrate each hot cluster into
+    # one cell, so the Zipf skew actually exceeds the cap
+    ds = _enriched(4000, res=8).materialize()
+    cap = 50
+    out, plan = skew.rebalanced_cells(ds, cap)
+    assert plan, "hot clusters must trigger splits"
+    df = out.to_pandas()
+    eff_counts = df.groupby("effective_cell").size()
+    before = df.groupby("cell").size()
+    # splitting strictly reduces the worst group
+    assert eff_counts.max() < before.max()
+    # non-hot cells unchanged
+    cold = before[before <= cap].index
+    assert set(cold) <= set(df[df["cell"].isin(cold)]["effective_cell"])
+    # every split row's effective cell is a descendant of its cell
+    hot_rows = df[df["cell"].isin(plan.keys())]
+    from geoflow.stages import cells as cellmod
+    eff = hot_rows["effective_cell"].to_numpy().astype(np.uint64)
+    orig = hot_rows["cell"].to_numpy().astype(np.uint64)
+    orig_res = cellmod.cell_res(orig)
+    for r in np.unique(orig_res):
+        sel = orig_res == r
+        parents = cellmod.cell_parent(eff[sel], int(r))
+        assert np.array_equal(parents, orig[sel])
+
+
+def test_lineage_resume(ray_session, tmp_path):
+    import ray.data as rd
+
+    src = tmp_path / "input"
+    src.mkdir()
+    for i in range(4):
+        pd.DataFrame({"x": np.arange(10) + i * 10}).to_parquet(
+            src / f"f{i}.parquet")
+
+    parts = lineage.input_partitions_from_dir(str(src), shards=2)
+    assert len(parts) == 2
+    calls = []
+
+    def pipeline(ds):
+        calls.append(1)
+        return ds.map_batches(lambda b: b, batch_format="pyarrow")
+
+    out_dir = str(tmp_path / "stage1")
+    r1 = lineage.run_partitioned_stage("stage1", out_dir, parts, pipeline)
+    assert sorted(r1["processed"]) == sorted(parts) and not r1["skipped"]
+    assert r1["rows"] == 40
+    n_calls = len(calls)
+
+    # resume: nothing re-runs
+    r2 = lineage.run_partitioned_stage("stage1", out_dir, parts, pipeline)
+    assert not r2["processed"] and sorted(r2["skipped"]) == sorted(parts)
+    assert len(calls) == n_calls
+
+    # invalidate one partition's input -> only it re-runs
+    f0 = src / "f0.parquet"
+    pd.DataFrame({"x": np.arange(12)}).to_parquet(f0)
+    os.utime(f0, (1e9, 1e9))
+    r3 = lineage.run_partitioned_stage("stage1", out_dir, parts, pipeline)
+    assert len(r3["processed"]) == 1 and len(r3["skipped"]) == 1
+
+    # manifest carries lineage records
+    with open(os.path.join(out_dir, lineage.MANIFEST)) as f:
+        recs = [json.loads(l) for l in f if l.strip()]
+    assert all({"partition", "stage", "input_digest", "row_count",
+                "wall_ms"} <= set(r) for r in recs)
