@@ -1,0 +1,89 @@
+"""Distributed joins: broadcast (small side) and bucketed hash (both large).
+
+Patterns per the Ray Data guidance (ray_guide "Joins and lookups"):
+
+- small side -> broadcast: ``ray.put`` the lookup once, map over the big
+  side (used by orders_by_nation etc. in the query suite; no shuffle).
+- both sides large -> ONE-shuffle partitioned hash join: tag each side,
+  union the two datasets under a common nullable schema, group by the
+  key-hash bucket, and pandas-merge the two sides inside each group.
+  Every row moves exactly once; bucket count bounds reducer memory.
+  Hot join keys can be pre-salted on the probe side with the same
+  mechanism as geoflow.stages.skew (replicate the build rows per salt).
+
+``bucketed_hash_join`` is the portable engine operator;
+``Dataset.join`` exists in recent Ray but its semantics/layout are
+version-dependent — the explicit form keeps behavior pinned.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _tag_side(side: int, key_col: str, out_key: str, num_buckets: int,
+              all_cols: list[str]):
+    def _f(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_numpy().astype(np.int64)
+        bucket = ((keys * 0x9E3779B97F4A7C15) % num_buckets).astype(np.int32)
+        cols = {
+            out_key: pa.array(keys, pa.int64()),
+            "_bucket": pa.array(np.abs(bucket), pa.int32()),
+            "_side": pa.array(np.full(len(keys), side, dtype=np.int8)),
+        }
+        for c in all_cols:
+            if c in b.column_names:
+                cols[c] = b.column(c)
+            else:
+                cols[c] = pa.nulls(len(keys))
+        return pa.table(cols)
+    return _f
+
+
+def bucketed_hash_join(left_ds, right_ds, left_key: str, right_key: str,
+                       num_buckets: int = 32, how: str = "inner"):
+    """Inner/left join of two large Datasets on int64 keys.
+
+    Output columns: ``_key`` + all non-key columns of both sides.
+    One groupby shuffle total; within each bucket group a pandas merge
+    joins the two sides.
+    """
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    left_cols = [c for c in left_schema.names if c != left_key]
+    right_cols = [c for c in right_schema.names if c != right_key]
+    overlap = set(left_cols) & set(right_cols)
+    if overlap:
+        raise ValueError(f"column collision: {overlap}")
+    all_cols = left_cols + right_cols
+    # target dtypes: the union pads the other side's columns with nulls,
+    # which turns int columns float in pandas — restore after the merge
+    arrow_types = {}
+    for name, t in zip(left_schema.names, left_schema.types):
+        arrow_types[name] = t
+    for name, t in zip(right_schema.names, right_schema.types):
+        arrow_types[name] = t
+    int_cols = [c for c in all_cols
+                if pa.types.is_integer(arrow_types.get(c, pa.null()))]
+
+    tagged_left = left_ds.map_batches(
+        _tag_side(0, left_key, "_key", num_buckets, all_cols),
+        batch_format="pyarrow")
+    tagged_right = right_ds.map_batches(
+        _tag_side(1, right_key, "_key", num_buckets, all_cols),
+        batch_format="pyarrow")
+    unioned = tagged_left.union(tagged_right)
+
+    def _join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lt = g[g["_side"] == 0][["_key"] + left_cols]
+        rt = g[g["_side"] == 1][["_key"] + right_cols]
+        out = lt.merge(rt, on="_key", how=how)
+        for c in int_cols:
+            if c in out.columns and out[c].notna().all():
+                out[c] = out[c].astype(np.int64)
+        return out
+
+    return unioned.groupby("_bucket").map_groups(
+        _join_bucket, batch_format="pandas")

@@ -294,6 +294,116 @@ def events_hourly(sf_dir: str):
     return agg.map_batches(_final, batch_format="pyarrow")
 
 
+@register("order_lineitem_revenue", sql="""
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""")
+def order_lineitem_revenue(sf_dir: str):
+    """Both-sides-large join: bucketed one-shuffle hash join
+    (geoflow.functions.joins), then a pre-aggregated groupby."""
+    from ..functions.joins import bucketed_hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _rev(b: pa.Table) -> pa.Table:
+        price = b.column("l_extendedprice").to_numpy()
+        disc = b.column("l_discount").to_numpy()
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "rev_e4": np.round(price * (1 - disc) * 10000).astype(np.int64),
+        })
+
+    joined = bucketed_hash_join(
+        orders, lineitem.map_batches(_rev, batch_format="pyarrow"),
+        "o_orderkey", "l_orderkey", num_buckets=32)
+    agg = grouped_count_sum(joined, ["o_orderpriority"], ["rev_e4"],
+                            count_alias="n_items")
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": b.column("o_orderpriority"),
+            "n_items": b.column("n_items"),
+            "revenue_e4": b.column("rev_e4_sum"),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+@register("events_sliding_window", sql="""
+SELECT event_type,
+       CAST(floor(epoch(ts) / 900) AS BIGINT) - j AS window_id,
+       count(*) AS n_events
+FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(j)
+GROUP BY event_type, window_id
+""")
+def events_sliding_window(sf_dir: str):
+    """1-hour windows sliding by 15 min: each event explodes into the 4
+    windows containing it, then a plain grouped count."""
+    from ..stages.windows import sliding_window_explode
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    exploded = ds.map_batches(
+        lambda b: sliding_window_explode(b, width_s=3600, step_s=900),
+        batch_format="pyarrow")
+    agg = grouped_count_sum(exploded, ["event_type", "window_id"], [],
+                            count_alias="n_events")
+    return agg
+
+
+@register("user_sessions", sql="""
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), m AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                  OR CAST(epoch_us(ts) AS BIGINT)
+                     - CAST(epoch_us(prev_ts) AS BIGINT) > 1800000000
+            THEN 1 ELSE 0 END AS new_s
+  FROM o
+), s AS (
+  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS session_id
+  FROM m
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+       CAST(epoch_us(max(ts)) AS BIGINT) AS session_end_us,
+       round(sum(value), 4) AS value_sum
+FROM s GROUP BY user_id, session_id
+""")
+def user_sessions(sf_dir: str):
+    """Session windows (30-min gap) via per-user map_groups over
+    ts-sorted events (geoflow.stages.windows.session_windows)."""
+    from ..stages.windows import session_windows
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    out = session_windows(ds, gap_s=1800)
+
+    def _final(b: pa.Table) -> pa.Table:
+        start = b.column("session_start").to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").view("int64")
+        end = b.column("session_end").to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").view("int64")
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "session_id": pc.cast(b.column("session_id"), pa.int64()),
+            "n_events": pc.cast(b.column("n_events"), pa.int64()),
+            "session_start_us": pa.array(start, pa.int64()),
+            "session_end_us": pa.array(end, pa.int64()),
+            "value_sum": pa.array(
+                np.round(b.column("value_sum").to_numpy(), 4)),
+        })
+
+    return out.map_batches(_final, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Documents: text analysis, dedup, geocoding / zonal / spatial joins
 # ---------------------------------------------------------------------------

@@ -1,0 +1,197 @@
+"""Multimodal (image/audio/video) columns: opaque binary + typed metadata.
+
+Task-brief component: "treat image/audio/video as opaque binary columns
+with typed metadata; implement decode / feature-extract / resize /
+frame-sample as actor-pool map_batches stages". No image/audio codec
+libraries exist in this container, so the CODEC layer is pluggable:
+real decoders (PIL / torchaudio / pyav) slot in behind ``Codec``;
+the default is a deterministic fake codec over a tiny in-repo header
+format, which keeps the Ray-side plumbing — schema, actor-pool
+signature, batch sizing, memory posture, output layout — real and
+fully tested.
+
+Schema convention for a media table::
+
+    media_id:int64, kind:string (image|audio), payload:binary,
+    meta:string (json: {width,height,channels} | {sample_rate,n_samples})
+
+Memory posture: payload rows can be MBs — stages keep
+``batch_size`` SMALL (default 16), run as actor pools so decoder state
+(codec tables, models) loads once per actor, and project the payload
+away as soon as features are extracted (same wide-binary rule as the
+html column, SURVEY.md section 7.4).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+MAGIC_IMAGE = b"GFIM"
+MAGIC_AUDIO = b"GFAU"
+
+
+# ---------------------------------------------------------------------------
+# Fake deterministic payload format (stands in for JPEG/WAV)
+# ---------------------------------------------------------------------------
+
+def encode_fake_image(width: int, height: int, seed: int) -> bytes:
+    """Header + xorshift-generated uint8 pixels (deterministic)."""
+    rng = np.random.default_rng(seed)
+    pixels = rng.integers(0, 256, size=height * width * 3, dtype=np.uint8)
+    return MAGIC_IMAGE + struct.pack("<III", width, height, 3) + pixels.tobytes()
+
+
+def encode_fake_audio(sample_rate: int, n_samples: int, seed: int) -> bytes:
+    rng = np.random.default_rng(seed)
+    samples = (rng.standard_normal(n_samples) * 0.2).astype(np.float32)
+    return MAGIC_AUDIO + struct.pack("<II", sample_rate, n_samples) + samples.tobytes()
+
+
+class Codec:
+    """Decode interface. Swap in a real implementation for production:
+    e.g. PIL.Image.open for images, soundfile/torchaudio for audio.
+    ``decode_image -> (H, W, C) uint8``; ``decode_audio -> (n,) float32``.
+    """
+
+    def decode_image(self, payload: bytes) -> np.ndarray:
+        if payload[:4] != MAGIC_IMAGE:
+            raise NotImplementedError(
+                "real image codecs (JPEG/PNG) are not available in this "
+                "environment; payload is not in the fake-codec format")
+        w, h, c = struct.unpack("<III", payload[4:16])
+        return np.frombuffer(payload, dtype=np.uint8,
+                             offset=16).reshape(h, w, c)
+
+    def decode_audio(self, payload: bytes) -> tuple[int, np.ndarray]:
+        if payload[:4] != MAGIC_AUDIO:
+            raise NotImplementedError(
+                "real audio codecs are not available in this environment")
+        sr, n = struct.unpack("<II", payload[4:12])
+        return sr, np.frombuffer(payload, dtype=np.float32, offset=12, count=n)
+
+
+def make_media_table(n_images: int = 32, n_audio: int = 16,
+                     seed: int = 42) -> pa.Table:
+    """Deterministic synthetic media table (fixture)."""
+    rng = np.random.default_rng(seed)
+    ids, kinds, payloads, metas = [], [], [], []
+    for i in range(n_images):
+        w = int(rng.integers(32, 96))
+        h = int(rng.integers(32, 96))
+        ids.append(i)
+        kinds.append("image")
+        payloads.append(encode_fake_image(w, h, seed * 1000 + i))
+        metas.append(json.dumps({"width": w, "height": h, "channels": 3}))
+    for j in range(n_audio):
+        sr = 16000
+        n = int(rng.integers(8000, 32000))
+        ids.append(n_images + j)
+        kinds.append("audio")
+        payloads.append(encode_fake_audio(sr, n, seed * 2000 + j))
+        metas.append(json.dumps({"sample_rate": sr, "n_samples": n}))
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "kind": pa.array(kinds, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "meta": pa.array(metas, pa.string()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Actor-pool stages
+# ---------------------------------------------------------------------------
+
+class ImageFeatures:
+    """Actor: decode -> resize (nearest-neighbor numpy) -> feature stats.
+
+    Output drops the payload; features: mean/std per channel + a coarse
+    8x8 grayscale thumbnail embedding (list<float>, unit-normalized).
+    """
+
+    def __init__(self, thumb: int = 8, resize_to: int | None = 64):
+        self.codec = Codec()        # once per actor
+        self.thumb = thumb
+        self.resize_to = resize_to
+
+    @staticmethod
+    def _resize_nn(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+        h, w = img.shape[:2]
+        ri = (np.arange(out_h) * h // out_h)
+        ci = (np.arange(out_w) * w // out_w)
+        return img[ri][:, ci]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pa.compute.equal(batch.column("kind"), "image"))
+        ids, means, stds, embs, hs, ws = [], [], [], [], [], []
+        for mid, payload in zip(keep.column("media_id").to_pylist(),
+                                keep.column("payload").to_pylist()):
+            img = self.codec.decode_image(payload)
+            if self.resize_to:
+                img = self._resize_nn(img, self.resize_to, self.resize_to)
+            f = img.astype(np.float32)
+            gray = f.mean(axis=2)
+            emb = self._resize_nn(gray, self.thumb, self.thumb).ravel()
+            norm = np.linalg.norm(emb)
+            emb = emb / norm if norm > 0 else emb
+            ids.append(mid)
+            hs.append(img.shape[0])
+            ws.append(img.shape[1])
+            means.append(float(f.mean()))
+            stds.append(float(f.std()))
+            embs.append(emb.astype(np.float32))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "height": pa.array(hs, pa.int32()),
+            "width": pa.array(ws, pa.int32()),
+            "mean_intensity": pa.array(means, pa.float64()),
+            "std_intensity": pa.array(stds, pa.float64()),
+            "embedding": pa.array([e.tolist() for e in embs],
+                                  pa.list_(pa.float32())),
+        })
+
+
+class AudioFeatures:
+    """Actor: decode -> frame-sample -> per-frame RMS energy features."""
+
+    def __init__(self, frame_ms: int = 25, max_frames: int = 64):
+        self.codec = Codec()
+        self.frame_ms = frame_ms
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pa.compute.equal(batch.column("kind"), "audio"))
+        ids, durs, rms, frames = [], [], [], []
+        for mid, payload in zip(keep.column("media_id").to_pylist(),
+                                keep.column("payload").to_pylist()):
+            sr, x = self.codec.decode_audio(payload)
+            flen = max(1, sr * self.frame_ms // 1000)
+            n_frames = min(self.max_frames, len(x) // flen)
+            fr = x[:n_frames * flen].reshape(n_frames, flen)
+            energy = np.sqrt((fr.astype(np.float64) ** 2).mean(axis=1))
+            ids.append(mid)
+            durs.append(len(x) / sr)
+            rms.append(float(np.sqrt((x.astype(np.float64) ** 2).mean())))
+            frames.append(energy.astype(np.float32))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "duration_s": pa.array(durs, pa.float64()),
+            "rms": pa.array(rms, pa.float64()),
+            "frame_energy": pa.array([f.tolist() for f in frames],
+                                     pa.list_(pa.float32())),
+        })
+
+
+def image_features(media_ds, concurrency: int = 4, batch_size: int = 16):
+    return media_ds.map_batches(ImageFeatures, batch_format="pyarrow",
+                                concurrency=concurrency,
+                                batch_size=batch_size)
+
+
+def audio_features(media_ds, concurrency: int = 4, batch_size: int = 16):
+    return media_ds.map_batches(AudioFeatures, batch_format="pyarrow",
+                                concurrency=concurrency,
+                                batch_size=batch_size)
