@@ -47,6 +47,42 @@ def oracle_metrics_table(bands: np.ndarray, dem: np.ndarray,
     return df.set_index(["correction", "band"]).sort_index()
 
 
+def oracle_metrics_table_zonal(bands: np.ndarray, dem: np.ndarray,
+                               zones: np.ndarray,
+                               names: list[str] | None = None,
+                               ctx: CorrectionContext = DEFAULT_CONTEXT) -> pd.DataFrame:
+    """(correction, band, zone) x 7 metrics over zone-masked full arrays
+    (eval.py:173-179 masking; luminance masked per group,
+    multi_criteria_eval.py:128)."""
+    names = names or list(ok.CORRECTION_NAMES)
+    slope = ok.zt_slope_radians(dem)
+    aspect = ok.zt_aspect_radians(dem)
+    lum = ok.luminance(slope, aspect, ctx).astype(np.float32)
+    coeffs = ok.fit_coefficients(bands, lum, slope, ctx)
+    zflat = zones.ravel()
+    lum_flat = lum.ravel()
+    rows = []
+    for b in range(bands.shape[0]):
+        orig = bands[b].ravel()
+        corrected = {name: ok.apply_correction(name, bands[b], lum, slope,
+                                               coeffs, b, ctx).ravel()
+                     for name in names}
+        for zone in np.unique(zflat):
+            zmask = zflat == zone
+            zorig = orig[zmask]
+            zlum = lum_flat[zmask]
+            omin, omax = float(zorig.min()), float(zorig.max())
+            m = evaluate_metrics(zorig, omin, omax, zlum)
+            m.update({"correction": ORIG_KEY, "band": b, "zone": int(zone)})
+            rows.append(m)
+            for name in names:
+                m = evaluate_metrics(corrected[name][zmask], omin, omax, zlum)
+                m.update({"correction": name, "band": b, "zone": int(zone)})
+                rows.append(m)
+    df = pd.DataFrame(rows)[["correction", "band", "zone"] + METRIC_IDS]
+    return df.set_index(["correction", "band", "zone"]).sort_index()
+
+
 def oracle_merge_rank(metrics: pd.DataFrame,
                       weights: dict[str, float] | None = None,
                       band_combine: str = "sum"):

@@ -181,6 +181,57 @@ def zonal_page_stats_driver(enriched_ds, zone_res: int = ZONE_CELL_RES):
                            ascending=[False, True]).reset_index(drop=True)
 
 
+def run_flagship_checkpointed(pages_dir: str, work_dir: str,
+                              shards: int = 8,
+                              cell_res: int = PAGE_CELL_RES,
+                              zone_res: int = ZONE_CELL_RES) -> dict:
+    """Flagship with per-stage checkpoint resume (north rule: "resumable
+    from checkpoint with per-partition lineage + metrics").
+
+    Three checkpointed stages, each atomic + manifest-tracked
+    (geoflow.state.lineage):
+
+    1. ``enrich`` — per input shard (embarrassingly parallel, so resume
+       granularity is the shard),
+    2. ``dedup`` — global (the groupby crosses shards; one partition
+       whose input digest covers every enrich output),
+    3. ``zonal`` — over the dedup output.
+
+    Re-running after a crash skips finished stages/shards; changing any
+    input invalidates exactly the dependent partitions via digests.
+    Returns the per-stage reports plus the zonal result path.
+    """
+    import os
+
+    from ..state.lineage import (input_partitions_from_dir,
+                                 run_partitioned_stage)
+
+    def _files_under(root: str) -> list[str]:
+        out = []
+        for dirpath, _, files in os.walk(root):
+            out += [os.path.join(dirpath, f) for f in files
+                    if f.endswith(".parquet")]
+        return sorted(out)
+
+    parts = input_partitions_from_dir(pages_dir, shards)
+    r1 = run_partitioned_stage(
+        "enrich", f"{work_dir}/enrich", parts,
+        lambda ds: enrich_pages(ds, cell_res))
+
+    r2 = run_partitioned_stage(
+        "dedup", f"{work_dir}/dedup",
+        {"all": _files_under(f"{work_dir}/enrich")},
+        dedup_exact)
+
+    r3 = run_partitioned_stage(
+        "zonal", f"{work_dir}/zonal",
+        {"all": _files_under(f"{work_dir}/dedup")},
+        lambda ds: zonal_page_stats(ds, zone_res))
+
+    return {"enrich": r1, "dedup": r2, "zonal": r3,
+            "zonal_dir": f"{work_dir}/zonal/part=all"}
+
+
 def run_flagship(pages_ds, cell_res: int = PAGE_CELL_RES,
                  zone_res: int = ZONE_CELL_RES):
     """pages -> enriched/deduped -> zonal stats Dataset (small result).

@@ -83,6 +83,22 @@ def synth_nodata(shape, seed: int = 42, frac: float = 0.005) -> np.ndarray:
     return rng.random(shape) < frac
 
 
+def synth_zones(height: int, width: int, seed: int = 42) -> np.ndarray:
+    """Classification map (FIXTURES.md F3): 4 contiguous blobs + one rare
+    id confined to a single tile-sized patch (exercises small groups).
+    Mirrors the reference's CLASSIFICATION_MAP (eval.py:128-141)."""
+    rng = np.random.default_rng(seed + 13)
+    y, x = np.mgrid[0:height, 0:width]
+    zones = np.full((height, width), 1, dtype=np.int32)
+    centers = [(height * 0.25, width * 0.3, 2), (height * 0.7, width * 0.2, 3),
+               (height * 0.5, width * 0.75, 4)]
+    for cy, cx, zid in centers:
+        r = min(height, width) * rng.uniform(0.15, 0.3)
+        zones[((y - cy) ** 2 + (x - cx) ** 2) < r * r] = zid
+    zones[2:10, 2:10] = 9   # rare id, single small patch
+    return zones
+
+
 def halo_pad(dem: np.ndarray) -> np.ndarray:
     """Pad the full DEM by 1 px with linear extrapolation (odd reflect)."""
     return np.pad(dem.astype(np.float64), 1, mode="reflect", reflect_type="odd")
@@ -99,18 +115,25 @@ def raster_to_tile_table(bands: np.ndarray, dem: np.ndarray,
                          raster_id: str = "synt0",
                          tile: int = DEFAULT_TILE,
                          nodata: np.ndarray | None = None,
+                         zones: np.ndarray | None = None,
                          band_names: list[str] | None = None) -> pa.Table:
-    """Convert (B,H,W) band stack + (H,W) DEM into the tile-row table."""
+    """Convert (B,H,W) band stack + (H,W) DEM into the tile-row table.
+
+    ``zones`` (optional, (H,W) int32) carries the classification map as
+    a per-pixel ``zone_ids`` column (reference CLASSIFICATION_MAP).
+    """
     n_bands, height, width = bands.shape
     band_names = band_names or [f"B{b + 1:02d}" for b in range(n_bands)]
     padded = halo_pad(dem).astype(np.float32)
     cols: dict[str, list] = {k: [] for k in (
         "raster_id", "band", "band_name", "tile_y", "tile_x",
-        "height", "width", "pixels", "dem_halo", "nodata")}
+        "height", "width", "pixels", "dem_halo", "nodata", "zone_ids")}
     for ty, tx, y0, x0, h, w in tile_grid(height, width, tile):
         hal = padded[y0:y0 + h + 2, x0:x0 + w + 2].ravel()
         nd = (nodata[y0:y0 + h, x0:x0 + w].ravel()
               if nodata is not None else np.zeros(h * w, dtype=bool))
+        zn = (zones[y0:y0 + h, x0:x0 + w].ravel()
+              if zones is not None else None)
         for b in range(n_bands):
             cols["raster_id"].append(raster_id)
             cols["band"].append(b)
@@ -122,7 +145,8 @@ def raster_to_tile_table(bands: np.ndarray, dem: np.ndarray,
             cols["pixels"].append(bands[b, y0:y0 + h, x0:x0 + w].ravel())
             cols["dem_halo"].append(hal)
             cols["nodata"].append(nd)
-    return pa.table({
+            cols["zone_ids"].append(zn)
+    out = {
         "raster_id": pa.array(cols["raster_id"], pa.string()),
         "band": pa.array(cols["band"], pa.int32()),
         "band_name": pa.array(cols["band_name"], pa.string()),
@@ -133,7 +157,11 @@ def raster_to_tile_table(bands: np.ndarray, dem: np.ndarray,
         "pixels": pa.array([p for p in cols["pixels"]], pa.list_(pa.float32())),
         "dem_halo": pa.array([p for p in cols["dem_halo"]], pa.list_(pa.float32())),
         "nodata": pa.array([p.tolist() for p in cols["nodata"]], pa.list_(pa.bool_())),
-    })
+    }
+    if zones is not None:
+        out["zone_ids"] = pa.array([z for z in cols["zone_ids"]],
+                                   pa.list_(pa.int32()))
+    return pa.table(out)
 
 
 def tile_rows_to_raster(df, column: str, n_bands: int,

@@ -36,6 +36,7 @@ from ray.data.aggregate import Sum
 
 from ..context import CorrectionContext, DEFAULT_CONTEXT
 from ..oracle import kernels as ok
+from ..registry import CORRECTIONS, apply_registered
 from .terrain import _rows_as_arrays
 
 CORRECTION_NAMES = list(ok.CORRECTION_NAMES)
@@ -127,10 +128,17 @@ def fit_corrections(terrain_ds, ctx: CorrectionContext = DEFAULT_CONTEXT) -> dic
     return out
 
 
-def apply_correction_batch(batch: pa.Table, name: str, coeffs_by_raster: dict,
+def apply_correction_batch(batch: pa.Table, fn, coeffs_by_raster: dict,
                            ctx: CorrectionContext = DEFAULT_CONTEXT,
                            out_col: str = "corrected") -> pa.Table:
-    """Stateless apply kernel over tile rows; adds ``out_col`` (f32 list)."""
+    """Stateless apply kernel over tile rows; adds ``out_col`` (f32 list).
+
+    ``fn`` is the correction callable resolved from the registry ON THE
+    DRIVER (geoflow.registry) — passing the function through the closure
+    (cloudpickle serializes it by value) means user-registered
+    corrections work in worker processes that never ran the registering
+    code.
+    """
     rid = batch.column("raster_id").to_pylist()
     band = batch.column("band").to_numpy()
     pixels = _rows_as_arrays(batch.column("pixels"))
@@ -142,7 +150,7 @@ def apply_correction_batch(batch: pa.Table, name: str, coeffs_by_raster: dict,
     outs = []
     for r, b, I, L, s, nd in zip(rid, band, pixels, lums, slopes, ndmasks):
         coeffs = coeffs_by_raster[r]
-        res = ok.apply_correction(name, I, L, s, coeffs, int(b), ctx)
+        res = np.asarray(fn(I, L, s, coeffs, int(b), ctx), dtype=np.float32)
         if nd is not None and nd.any():
             res = ok.propagate_ndv(res, nd)
         outs.append(res.ravel())
@@ -163,10 +171,11 @@ def _rows_as_arrays_bool(col) -> list[np.ndarray]:
 def apply_correction_ds(terrain_ds, name: str, coeffs_by_raster: dict,
                         ctx: CorrectionContext = DEFAULT_CONTEXT,
                         out_col: str = "corrected"):
-    if name not in CORRECTION_NAMES:
+    if name not in CORRECTIONS:
         raise KeyError(f"unknown correction {name!r}; "
-                       f"registry: {CORRECTION_NAMES}")
+                       f"registry: {sorted(CORRECTIONS)}")
+    fn = CORRECTIONS[name]          # resolve on the driver (see batch fn)
     return terrain_ds.map_batches(
-        lambda b: apply_correction_batch(b, name, coeffs_by_raster, ctx, out_col),
+        lambda b: apply_correction_batch(b, fn, coeffs_by_raster, ctx, out_col),
         batch_format="pyarrow",
     )

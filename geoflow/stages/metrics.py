@@ -46,6 +46,13 @@ IS_REDUCTION = {m: True for m in METRIC_IDS}
 ORIG_KEY = "__orig__"
 
 
+def metric_ids() -> list[str]:
+    """Current metric registry order (includes user-registered metrics;
+    geoflow.registry.register_metric)."""
+    from ..registry import METRICS
+    return list(METRICS)
+
+
 def pearson_r2(x: np.ndarray, y: np.ndarray) -> float:
     """r^2 of the OLS fit y ~ x (scipy.stats.linregress semantics)."""
     x = x.astype(np.float64)
@@ -63,27 +70,20 @@ def pearson_r2(x: np.ndarray, y: np.ndarray) -> float:
     return float(r * r)
 
 
+def _metric_snapshot():
+    """Registry snapshot taken ON THE DRIVER so user-registered metrics
+    travel into worker processes via the pickled closure."""
+    from ..registry import METRICS
+    return [(mid, spec.fn) for mid, spec in METRICS.items()]
+
+
 def evaluate_metrics(values: np.ndarray, orig_min: float, orig_max: float,
-                     luminance: np.ndarray) -> dict[str, float]:
-    """All 7 metric values for one (correction, band[, zone]) array."""
-    std = float(np.std(values))
-    mean = float(np.mean(values))
-    q1, q3 = np.percentile(values, [25, 75])
-    iqr = float(q3 - q1)
-    median = float(np.median(values))
-    out_thr = int(np.count_nonzero(
-        np.logical_or(orig_min > values, values > orig_max)))
-    lo, hi = q1 - iqr, q3 + iqr
-    out_iqr = int(np.count_nonzero(np.logical_or(lo > values, values > hi)))
-    return {
-        "std_reduction": std,
-        "cv_reduction": std / mean,
-        "iqr_reduction": iqr,
-        "relative_median_difference": median,
-        "outliers_threshold": float(out_thr),
-        "outliers_iqr": float(out_iqr),
-        "determination_coefficient": pearson_r2(luminance, values),
-    }
+                     luminance: np.ndarray, specs=None) -> dict[str, float]:
+    """All registered metric values for one (correction, band[, zone])
+    array (the 7 reference metrics plus any user-registered ones)."""
+    specs = specs if specs is not None else _metric_snapshot()
+    return {mid: fn(values, orig_min, orig_max, luminance)
+            for mid, fn in specs}
 
 
 def metrics_for_band_group(correction_cols: list[str]):
@@ -93,6 +93,9 @@ def metrics_for_band_group(correction_cols: list[str]):
     and one column per correction name in ``correction_cols``.
     Emits one row per correction (plus ``__orig__``) with the 7 metrics.
     """
+    specs = _metric_snapshot()
+    ids = [mid for mid, _ in specs]
+
     def _eval(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["tile_y", "tile_x"])
         band = int(g["band"].iloc[0])
@@ -105,10 +108,10 @@ def metrics_for_band_group(correction_cols: list[str]):
             for name in correction_cols
         ]
         for name, vals in sources:
-            m = evaluate_metrics(vals, orig_min, orig_max, lum)
+            m = evaluate_metrics(vals, orig_min, orig_max, lum, specs)
             m.update({"correction": name, "band": band})
             rows.append(m)
-        return pd.DataFrame(rows)[["correction", "band"] + METRIC_IDS]
+        return pd.DataFrame(rows)[["correction", "band"] + ids]
     return _eval
 
 
@@ -116,3 +119,42 @@ def evaluate_corrections_ds(wide_ds, correction_cols: list[str]):
     """wide per-tile dataset -> (correction, band, 7 metrics) Dataset."""
     return wide_ds.groupby("band").map_groups(
         metrics_for_band_group(correction_cols), batch_format="pandas")
+
+
+def metrics_for_band_group_zonal(correction_cols: list[str]):
+    """Zonal variant: per-band group rows carry ``zone_ids``; metrics are
+    evaluated per (zone, correction) over zone-masked pixels, with the
+    original stats and luminance masked by the SAME zone (reference:
+    ``eval.py:173-179`` + ``multi_criteria_eval.py:123-133`` — masked
+    luminance/min/max per group)."""
+    specs = _metric_snapshot()
+    ids = [mid for mid, _ in specs]
+
+    def _eval(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tile_y", "tile_x"])
+        band = int(g["band"].iloc[0])
+        lum = np.concatenate([np.asarray(v, np.float32) for v in g["luminance"]])
+        orig = np.concatenate([np.asarray(v, np.float32) for v in g["pixels"]])
+        zones = np.concatenate([np.asarray(v, np.int32) for v in g["zone_ids"]])
+        sources = [(ORIG_KEY, orig)] + [
+            (name, np.concatenate([np.asarray(v, np.float32) for v in g[name]]))
+            for name in correction_cols
+        ]
+        rows = []
+        for zone in np.unique(zones):
+            zmask = zones == zone
+            zlum = lum[zmask]
+            zorig = orig[zmask]
+            omin, omax = float(zorig.min()), float(zorig.max())
+            for name, vals in sources:
+                m = evaluate_metrics(vals[zmask], omin, omax, zlum, specs)
+                m.update({"correction": name, "band": band, "zone": int(zone)})
+                rows.append(m)
+        return pd.DataFrame(rows)[["correction", "band", "zone"] + ids]
+    return _eval
+
+
+def evaluate_corrections_zonal_ds(wide_ds, correction_cols: list[str]):
+    """-> (correction, band, zone, 7 metrics) Dataset."""
+    return wide_ds.groupby("band").map_groups(
+        metrics_for_band_group_zonal(correction_cols), batch_format="pandas")

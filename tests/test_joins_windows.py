@@ -1,0 +1,75 @@
+import numpy as np
+import pandas as pd
+import pytest
+
+from geoflow.functions.joins import bucketed_hash_join
+from geoflow.stages.windows import (session_windows, sliding_window_explode,
+                                    tumbling_window_key)
+
+
+def test_bucketed_hash_join_matches_pandas(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(4)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 300),
+                         "a": np.arange(300)})
+    right = pd.DataFrame({"kk": rng.integers(0, 50, 400),
+                          "b": np.arange(400) * 10})
+    got = bucketed_hash_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(4),
+        "k", "kk", num_buckets=8).to_pandas()
+    exp = left.rename(columns={"k": "_key"}).merge(
+        right.rename(columns={"kk": "_key"}), on="_key")
+    assert len(got) == len(exp)
+    gs = got.sort_values(["_key", "a", "b"]).reset_index(drop=True)
+    es = exp.sort_values(["_key", "a", "b"]).reset_index(drop=True)
+    assert (gs["_key"] == es["_key"]).all()
+    assert (gs["a"] == es["a"]).all()
+    assert (gs["b"] == es["b"]).all()
+    assert gs["b"].dtype == np.int64     # dtype preserved through union
+
+
+def test_join_column_collision_raises(ray_session):
+    import ray.data as rd
+    l = rd.from_pandas(pd.DataFrame({"k": [1], "x": [1]}))
+    r = rd.from_pandas(pd.DataFrame({"kk": [1], "x": [2]}))
+    with pytest.raises(ValueError, match="collision"):
+        bucketed_hash_join(l, r, "k", "kk")
+
+
+def _events():
+    ts = pd.to_datetime([
+        "2024-01-01 00:00:00", "2024-01-01 00:10:00", "2024-01-01 01:05:00",
+        "2024-01-01 03:00:00", "2024-01-01 03:20:00",
+    ])
+    return pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2],
+        "event_id": range(5),
+        "ts": ts,
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+    })
+
+
+def test_session_windows_semantics(ray_session):
+    import ray.data as rd
+    out = session_windows(rd.from_pandas(_events()), gap_s=1800).to_pandas()
+    u1 = out[out["user_id"] == 1].sort_values("session_id")
+    # sessions: (00:00,00:10) then (01:05) then (03:00) -> 3 sessions
+    assert u1["session_id"].tolist() == [1, 2, 3]
+    assert u1["n_events"].tolist() == [2, 1, 1]
+    assert u1["value_sum"].tolist() == [3.0, 3.0, 4.0]
+    u2 = out[out["user_id"] == 2]
+    assert len(u2) == 1 and u2["n_events"].iloc[0] == 1
+
+
+def test_sliding_explode_covers_windows():
+    import pyarrow as pa
+    t = pa.table({"ts": pd.to_datetime(["2024-01-01 02:07:00"]),
+                  "event_type": ["x"]})
+    out = sliding_window_explode(t, width_s=3600, step_s=900)
+    ids = sorted(out.column("window_id").to_pylist())
+    base = int(pd.Timestamp("2024-01-01 02:07:00").value // 10**9 // 900)
+    assert ids == [base - 3, base - 2, base - 1, base]
+    t2 = tumbling_window_key(t, width_s=3600)
+    assert t2.column("window_start").to_pylist() == [
+        int(pd.Timestamp("2024-01-01 02:00:00").value // 10**9 // 3600)]

@@ -66,6 +66,38 @@ def test_split_cell_rebalance(ray_session):
         assert np.array_equal(parents, orig[sel])
 
 
+def test_flagship_checkpointed_resume(ray_session, tmp_path):
+    import ray.data as rd
+    from geoflow.pipelines.flagship import run_flagship_checkpointed
+
+    pages_dir = str(tmp_path / "pages")
+    pages_dataset(600, override_num_blocks=4).write_parquet(pages_dir)
+    work = str(tmp_path / "work")
+
+    r1 = run_flagship_checkpointed(pages_dir, work, shards=4)
+    assert len(r1["enrich"]["processed"]) >= 1   # shard count = files found
+    assert r1["dedup"]["processed"] == ["all"]
+    zonal = rd.read_parquet(r1["zonal_dir"]).to_pandas()
+    assert len(zonal) > 0 and zonal["n_pages"].sum() == r1["dedup"]["rows"]
+
+    # full resume: every stage skips
+    r2 = run_flagship_checkpointed(pages_dir, work, shards=4)
+    assert not r2["enrich"]["processed"]
+    assert r2["dedup"]["skipped"] == ["all"]
+    assert r2["zonal"]["skipped"] == ["all"]
+
+    # zonal output matches the non-checkpointed pipeline
+    direct = zonal_page_stats(
+        flagship_dedup(enrich_pages(pages_dataset(600, override_num_blocks=4)))
+    ).to_pandas()
+    m = zonal.merge(direct, on="zone", suffixes=("", "_d"))
+    assert len(m) == len(direct) == len(zonal)
+    assert (m["n_pages"] == m["n_pages_d"]).all()
+
+
+from geoflow.pipelines.flagship import dedup_exact as flagship_dedup
+
+
 def test_lineage_resume(ray_session, tmp_path):
     import ray.data as rd
 
