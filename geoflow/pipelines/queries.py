@@ -294,6 +294,39 @@ def events_hourly(sf_dir: str):
     return agg.map_batches(_final, batch_format="pyarrow")
 
 
+@register("customers_without_big_orders", sql="""
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+""")
+def customers_without_big_orders(sf_dir: str):
+    """Anti join via broadcast key set (ray_guide: semi/anti joins are a
+    broadcast of the key set + a vectorized filter, never a shuffle)."""
+    big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda b: b.filter(pc.greater(b.column("o_totalprice"),
+                                      pa.scalar(300000.0))),
+        batch_format="pyarrow")
+    keys = set(big.to_pandas()["o_custkey"])
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def _anti(b: pa.Table) -> pa.Table:
+        keep = np.fromiter(
+            (int(k) not in keys for k in b.column("c_custkey").to_pylist()),
+            dtype=bool, count=len(b))
+        return b.filter(pa.array(keep))
+
+    return ds.map_batches(_anti, batch_format="pyarrow")
+
+
+@register("distinct_langs", sql="""
+SELECT DISTINCT lang FROM documents
+""")
+def distinct_langs(sf_dir: str):
+    import ray.data as rd
+    langs = _read(sf_dir, "documents", ["lang"]).unique("lang")
+    return pd.DataFrame({"lang": sorted(langs)})
+
+
 @register("order_lineitem_revenue", sql="""
 SELECT o_orderpriority, count(*) AS n_items,
        CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
@@ -579,6 +612,33 @@ def geo_zonal_docs(sf_dir: str):
     return agg.map_batches(_final, batch_format="pyarrow")
 
 
+@register("top_doc_cells", sql=_GEO_SQL_CTE + """
+SELECT CAST(floor((lon + 180.0) / 360.0 * 32.0) AS BIGINT) AS cell_x,
+       CAST(floor((90.0 - lat) / 180.0 * 32.0) AS BIGINT) AS cell_y,
+       count(*) AS n_docs
+FROM geo GROUP BY cell_x, cell_y
+ORDER BY n_docs DESC, cell_x, cell_y LIMIT 10
+""")
+def top_doc_cells(sf_dir: str):
+    """Top-k densest cells (sort + limit over a pre-aggregated zonal
+    count; deterministic tie-break by (count desc, cell_x, cell_y))."""
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def _cell(b: pa.Table) -> pa.Table:
+        g = _geocode_batch(b)
+        lat = g.column("lat").to_numpy()
+        lon = g.column("lon").to_numpy()
+        return pa.table({
+            "cell_x": np.floor((lon + 180.0) / 360.0 * 32.0).astype(np.int64),
+            "cell_y": np.floor((90.0 - lat) / 180.0 * 32.0).astype(np.int64),
+        })
+
+    agg = grouped_count_sum(ds.map_batches(_cell, batch_format="pyarrow"),
+                            ["cell_x", "cell_y"], [], count_alias="n_docs")
+    return agg.sort(["n_docs", "cell_x", "cell_y"],
+                    descending=[True, False, False]).limit(10)
+
+
 # rectangle regions for the SQL-checkable spatial join (lat/lon bounds)
 BBOX_REGIONS = [
     (0, "nyc", 39.5, -75.5, 42.0, -72.5),
@@ -674,6 +734,34 @@ def embedding_close_pairs(sf_dir: str):
 # Rows-only entries (non-SQL-expressible; driver records row counts,
 # pytest holds the real oracles)
 # ---------------------------------------------------------------------------
+
+@register("ann_ivf_top5")
+def ann_ivf_top5(sf_dir: str):
+    """IVF-bucketed approximate nearest neighbors (the scale path for
+    similarity search; brute-force twin is knn_cosine_top5). Rows-only:
+    approximate results have no SQL oracle; recall is asserted in
+    tests/test_knn_pip.py."""
+    import ray
+    import ray.data as rd
+    from ..stages.knn import CosineTopKIVF, build_ivf_index
+
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    index = build_ivf_index(corpus, "vec_id", "embedding", nlist=16)
+    ref = ray.put(index)
+    queries = rd.from_pandas(
+        corpus.head(10).rename(columns={"vec_id": "query_id"}))
+    out = queries.map_batches(
+        CosineTopKIVF, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(index_ref=ref, k=5, nprobe=4),
+        concurrency=2)
+    return out.map_batches(
+        lambda b: pa.table({
+            "query_id": b.column("query_id"),
+            "neighbor_id": b.column("neighbor_id"),
+            "rank": pc.cast(b.column("rank"), pa.int64()),
+            "cosine": pa.array(np.round(b.column("cosine").to_numpy(), 6)),
+        }), batch_format="pyarrow")
+
 
 @register("flagship_zonal")
 def flagship_zonal(sf_dir: str):

@@ -1,0 +1,58 @@
+"""Property-based tests (hypothesis) for the pure kernels."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from geoflow.stages import cells
+from geoflow.stages.extract import extract_text
+from geoflow.stages.knn import haversine_km
+
+
+@given(lat=st.floats(-89.999, 89.999), lon=st.floats(-180.0, 179.999),
+       res=st.integers(0, 29))
+@settings(max_examples=200, deadline=None)
+def test_cell_contains_point(lat, lon, res):
+    c = cells.cell_id(np.array([lat]), np.array([lon]), res)
+    clat, clon = cells.cell_center(c)
+    half_lat = 90.0 / (1 << res)
+    half_lon = 180.0 / (1 << res)
+    assert abs(clat[0] - lat) <= half_lat + 1e-9
+    assert abs(clon[0] - lon) <= half_lon + 1e-9
+
+
+@given(lat=st.floats(-89.0, 89.0), lon=st.floats(-179.999, 179.999),
+       fine=st.integers(1, 29), coarse_off=st.integers(1, 10))
+@settings(max_examples=200, deadline=None)
+def test_parent_consistency(lat, lon, fine, coarse_off):
+    coarse = max(0, fine - coarse_off)
+    la = np.array([lat])
+    lo = np.array([lon])
+    via_parent = cells.cell_parent(cells.cell_id(la, lo, fine), coarse)
+    direct = cells.cell_id(la, lo, coarse)
+    assert via_parent[0] == direct[0]
+
+
+@given(st.text(max_size=500))
+@settings(max_examples=150, deadline=None)
+def test_extract_total_and_idempotent_shape(html_text):
+    """Extractor never raises on arbitrary text and its output is
+    whitespace-canonical (no leading/trailing/blank lines, single
+    spaces)."""
+    out = extract_text(html_text.encode("utf-8", "surrogatepass"))
+    if out == "":
+        return
+    for line in out.split("\n"):
+        assert line == line.strip()
+        assert "  " not in line
+        assert line != ""
+
+
+@given(lat1=st.floats(-89, 89), lon1=st.floats(-180, 180),
+       lat2=st.floats(-89, 89), lon2=st.floats(-180, 180))
+@settings(max_examples=200, deadline=None)
+def test_haversine_properties(lat1, lon1, lat2, lon2):
+    d = float(haversine_km(lat1, lon1, lat2, lon2))
+    assert 0 <= d <= 20016  # half circumference
+    d2 = float(haversine_km(lat2, lon2, lat1, lon1))
+    assert abs(d - d2) < 1e-6
+    assert float(haversine_km(lat1, lon1, lat1, lon1)) < 1e-6
