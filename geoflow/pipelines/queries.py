@@ -811,6 +811,25 @@ def minhash_near_dup(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+@register("minhash_dup_clusters")
+def minhash_dup_clusters(sf_dir: str):
+    """Near-dup clusters: MinHash-LSH pairs -> connected components ->
+    one representative (min id) per cluster with its size."""
+    import ray
+    from ..stages.dedup import dup_components_driver, minhash_lsh_pairs
+
+    ds = _docs_with_near_dups(sf_dir)
+    texts = {int(r["doc_id"]): r["text"] for r in ds.iter_rows()}
+    pairs = minhash_lsh_pairs(ds, "doc_id", jaccard_threshold=0.5,
+                              texts_ref=ray.put(texts)).to_pandas()
+    comp = dup_components_driver(pairs)
+    out = (comp.groupby("component")
+           .agg(cluster_size=("doc_id", "size"))
+           .reset_index()
+           .rename(columns={"component": "representative_id"}))
+    return out.sort_values("representative_id").reset_index(drop=True)
+
+
 @register("simhash_near_dup")
 def simhash_near_dup(sf_dir: str):
     from ..stages.dedup import simhash_pairs
