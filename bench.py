@@ -31,7 +31,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-CACHE_ROOT = "/tmp/geoflow_bench/v4"
+CACHE_ROOT = "/tmp/geoflow_bench/v5"
 PAGES_PER_DOC = 192         # pages table = documents x this factor
 BODY_REPEATS = 6            # paragraph inflation: realistic page sizes
 RASTER_SIZE = 1024          # bench raster: RASTER_SIZE^2 px x 4 bands

@@ -437,6 +437,24 @@ def user_sessions(sf_dir: str):
     return out.map_batches(_final, batch_format="pyarrow")
 
 
+ORACLE_SQL["user_sessions_streaming"] = ORACLE_SQL["user_sessions"]
+
+
+@register("user_sessions_streaming")
+def user_sessions_streaming(sf_dir: str):
+    """Same sessions as user_sessions, computed by the INCREMENTAL
+    stateful-actor path (geoflow.stages.streaming) — per-bucket actors
+    consuming the ts-ordered log; verified against the identical DuckDB
+    gaps-and-islands oracle."""
+    from ..stages.streaming import streaming_sessionize
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+    out = streaming_sessionize(ds, gap_s=1800, n_buckets=4)
+    out = out.copy()
+    out["value_sum"] = out["value_sum"].round(4)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Documents: text analysis, dedup, geocoding / zonal / spatial joins
 # ---------------------------------------------------------------------------

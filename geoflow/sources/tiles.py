@@ -173,7 +173,6 @@ def tile_rows_to_raster(df, column: str, n_bands: int,
     for row in df.itertuples(index=False):
         y0 = row.tile_y * tile_h
         x0 = row.tile_x * tile_w
-        vals = np.asarray(row._asdict()[column] if hasattr(row, "_asdict") else None)
         vals = np.asarray(getattr(row, column), dtype=np.float32)
         out[row.band, y0:y0 + row.height, x0:x0 + row.width] = \
             vals.reshape(row.height, row.width)
