@@ -47,12 +47,16 @@ def text_hash64(texts) -> np.ndarray:
 
 
 def enrich_pages_batch(batch: pa.Table, cell_res: int = PAGE_CELL_RES,
-                       verify: bool = True) -> pa.Table:
+                       verify: bool = True, strict: bool = False) -> pa.Table:
     """One fused pass: extract + verify + geocode + cell + content hash.
 
     Fusing these into a single Arrow batch transform means the pipeline
     reads each page's html exactly once and the (potentially MB-sized)
     binary column is dropped before any downstream exchange.
+
+    ``strict=True`` turns the byte-identity check into an in-pipeline
+    assertion: any row whose stored ``text`` differs from the extractor
+    output fails the task loudly (north-rule invariant enforcement).
     """
     urls = batch.column("url").to_pylist()
     htmls = batch.column("html").to_pylist()
@@ -61,6 +65,11 @@ def enrich_pages_batch(batch: pa.Table, cell_res: int = PAGE_CELL_RES,
         stored = batch.column("text").to_pylist()
         ok = np.fromiter((a == b for a, b in zip(extracted, stored)),
                          dtype=bool, count=len(extracted))
+        if strict and not ok.all():
+            bad = [u for u, o in zip(urls, ok) if not o][:5]
+            raise ValueError(
+                f"text-extraction byte-identity violated for "
+                f"{int((~ok).sum())} rows; first urls: {bad}")
     else:
         ok = np.ones(len(extracted), dtype=bool)
     lat, lon = geocode_urls(urls)
@@ -83,9 +92,10 @@ def enrich_pages_batch(batch: pa.Table, cell_res: int = PAGE_CELL_RES,
     })
 
 
-def enrich_pages(pages_ds, cell_res: int = PAGE_CELL_RES, verify: bool = True):
+def enrich_pages(pages_ds, cell_res: int = PAGE_CELL_RES, verify: bool = True,
+                 strict: bool = False):
     return pages_ds.map_batches(
-        lambda b: enrich_pages_batch(b, cell_res, verify),
+        lambda b: enrich_pages_batch(b, cell_res, verify, strict),
         batch_format="pyarrow",
     )
 
@@ -236,12 +246,11 @@ def run_flagship(pages_ds, cell_res: int = PAGE_CELL_RES,
                  zone_res: int = ZONE_CELL_RES):
     """pages -> enriched/deduped -> zonal stats Dataset (small result).
 
-    Returns the zonal stats Dataset sorted by page count (descending) with
-    the text-extraction invariant enforced en route: rows whose stored
-    ``text`` doesn't byte-match the extractor are counted and surfaced in
-    the ``n_text_mismatch`` column (always 0 on conforming input).
+    Returns the zonal stats Dataset sorted by page count (descending).
+    The text-extraction byte-identity invariant is enforced en route:
+    ``strict=True`` makes any mismatching row fail its task loudly.
     """
-    enriched = enrich_pages(pages_ds, cell_res)
+    enriched = enrich_pages(pages_ds, cell_res, strict=True)
     deduped = dedup_exact(enriched)
     zonal = zonal_page_stats(deduped, zone_res)
     return zonal.sort("n_pages", descending=True)
