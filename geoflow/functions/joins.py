@@ -87,3 +87,56 @@ def bucketed_hash_join(left_ds, right_ds, left_key: str, right_key: str,
 
     return unioned.groupby("_bucket").map_groups(
         _join_bucket, batch_format="pandas")
+
+
+def grouped_asof_join(left_ds, right_ds, key: tuple[str, str],
+                      on: tuple[str, str], left_cols: list[str],
+                      right_cols: list[str], tiebreak: str,
+                      num_buckets: int = 32):
+    """Distributed backward as-of join (Ray Data has no native one).
+
+    For every left row, pick the single right row with the same key and
+    the greatest ``right_on <= left_on`` (ties on ``right_on`` broken by
+    the greatest ``tiebreak`` value, so the result is deterministic).
+    Inner semantics: left rows with no match are dropped.
+
+    Same one-shuffle layout as ``bucketed_hash_join``: both sides are
+    tagged with a key-hash bucket, unioned, and each bucket group runs a
+    vectorized ``pandas.merge_asof(by=key)`` — per-key state never
+    leaves a reducer, and the shuffle moves each row exactly once.
+    Partitioning assumption: all rows of one key land in one bucket
+    group (guaranteed by hashing the key itself).
+    """
+    left_key, right_key = key
+    left_on, right_on = on
+
+    lcols = [c for c in left_cols if c not in (left_key,)]
+    rcols = [c for c in right_cols if c not in (right_key,)]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"column collision: {overlap}")
+    all_cols = lcols + rcols
+
+    tagged_left = left_ds.map_batches(
+        _tag_side(0, left_key, "_key", num_buckets, all_cols),
+        batch_format="pyarrow")
+    tagged_right = right_ds.map_batches(
+        _tag_side(1, right_key, "_key", num_buckets, all_cols),
+        batch_format="pyarrow")
+    unioned = tagged_left.union(tagged_right)
+
+    def _asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lt = g[g["_side"] == 0][["_key"] + lcols].sort_values(left_on)
+        rt = (g[g["_side"] == 1][["_key"] + rcols]
+              .sort_values([right_on, tiebreak], kind="mergesort"))
+        if lt.empty or rt.empty:
+            return pd.DataFrame(columns=["_key"] + all_cols)
+        rt = rt.rename(columns={right_on: left_on})
+        out = pd.merge_asof(lt, rt, on=left_on, by="_key",
+                            direction="backward")
+        probe = rcols[0] if rcols[0] != right_on else tiebreak
+        out = out[out[probe].notna()]
+        return out
+
+    return unioned.groupby("_bucket").map_groups(
+        _asof_bucket, batch_format="pandas")

@@ -1037,3 +1037,204 @@ def multi_criteria_scores(sf_dir: str):
     out["score"] = out["score"].round(6)
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round-1 additions: multi-way join, exact grouped quantiles, per-group
+# top-k, as-of join — each DuckDB-verified
+# ---------------------------------------------------------------------------
+
+@register("revenue_by_region", sql="""
+SELECT r_name, count(*) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation   ON c_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+""")
+def revenue_by_region(sf_dir: str):
+    """TPC-H Q5-style 5-table join: the three dimension hops
+    (customer -> nation -> region) collapse into ONE broadcast lookup
+    built on the driver; the single large-large edge (lineitem-orders)
+    is the bucketed one-shuffle hash join. Total data movement: one
+    shuffle of slim (key, region, rev) rows."""
+    from ..functions.joins import bucketed_hash_join
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    region_of_nation = dict(zip(
+        nat["n_nationkey"].astype(int),
+        nat["n_regionkey"].map(dict(zip(reg["r_regionkey"].astype(int),
+                                        reg["r_name"])))))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    region_of_cust = {int(c): region_of_nation[int(nk)]
+                      for c, nk in zip(cust["c_custkey"], cust["c_nationkey"])}
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def _tag_region(b: pa.Table) -> pa.Table:
+        names = [region_of_cust[int(c)]
+                 for c in b.column("o_custkey").to_pylist()]
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "r_name": pa.array(names, pa.string())})
+
+    lineitem = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _rev(b: pa.Table) -> pa.Table:
+        price = b.column("l_extendedprice").to_numpy()
+        disc = b.column("l_discount").to_numpy()
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "rev_e4": np.round(price * (1 - disc) * 10000).astype(np.int64),
+        })
+
+    joined = bucketed_hash_join(
+        orders.map_batches(_tag_region, batch_format="pyarrow"),
+        lineitem.map_batches(_rev, batch_format="pyarrow"),
+        "o_orderkey", "l_orderkey", num_buckets=32)
+    agg = grouped_count_sum(joined, ["r_name"], ["rev_e4"],
+                            count_alias="n_items")
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_name": b.column("r_name"),
+            "n_items": b.column("n_items"),
+            "revenue_e4": b.column("rev_e4_sum"),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+@register("quantity_quantiles", sql="""
+SELECT l_returnflag, count(*) AS n,
+       round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+       round(quantile_cont(l_quantity, 0.50), 6) AS median,
+       round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+       round(quantile_cont(l_quantity, 0.99), 6) AS p99
+FROM lineitem GROUP BY l_returnflag
+""")
+def quantity_quantiles(sf_dir: str):
+    """EXACT grouped quantiles via the distributed value-count histogram
+    (geoflow.functions.agg.grouped_exact_quantiles): shuffle volume is
+    O(groups x distinct values), independent of row count."""
+    from ..functions.agg import grouped_exact_quantiles
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+    out = grouped_exact_quantiles(
+        ds, ["l_returnflag"], "l_quantity",
+        {"q25": 0.25, "median": 0.50, "q75": 0.75, "p99": 0.99})
+    for c in ("q25", "median", "q75", "p99"):
+        out[c] = out[c].round(6)
+    return out[["l_returnflag", "n", "q25", "median", "q75", "p99"]]
+
+
+@register("lang_source_stats", sql="""
+SELECT lang, source, count(*) AS n_docs,
+       round(sum(n_chars) * 1.0 / count(*), 6) AS avg_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY lang, source
+""")
+def lang_source_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    agg = grouped_count_sum(ds, ["lang", "source"], ["n_chars"],
+                            count_alias="n_docs", max_cols=["n_chars"])
+
+    def _final(b: pa.Table) -> pa.Table:
+        n = b.column("n_docs").to_numpy().astype(np.float64)
+        return pa.table({
+            "lang": b.column("lang"),
+            "source": b.column("source"),
+            "n_docs": b.column("n_docs"),
+            "avg_chars": np.round(b.column("n_chars_sum").to_numpy() / n, 6),
+            "max_chars": b.column("n_chars_max"),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+@register("top_parts_per_brand", sql="""
+SELECT p_brand, p_partkey, round(p_retailprice, 4) AS price
+FROM (SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rn
+      FROM part)
+WHERE rn <= 3
+""")
+def top_parts_per_brand(sf_dir: str):
+    """Per-group top-k (SQL window row_number): groupby + map_groups
+    with a deterministic (price desc, key asc) tiebreak. At scale a
+    per-batch local top-k combiner before the shuffle bounds group
+    size — each batch can contribute at most k rows per brand."""
+    ds = _read(sf_dir, "part", ["p_brand", "p_partkey", "p_retailprice"])
+
+    def _local_topk(b: pa.Table) -> pa.Table:
+        df = (b.to_pandas()
+               .sort_values(["p_brand", "p_retailprice", "p_partkey"],
+                            ascending=[True, False, True])
+               .groupby("p_brand", sort=False).head(3))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["p_retailprice", "p_partkey"],
+                          ascending=[False, True]).head(3)
+        return pd.DataFrame({
+            "p_brand": g["p_brand"],
+            "p_partkey": g["p_partkey"],
+            "price": g["p_retailprice"].round(4),
+        })
+
+    return (ds.map_batches(_local_topk, batch_format="pyarrow")
+              .groupby("p_brand").map_groups(_topk, batch_format="pandas"))
+
+
+@register("events_asof_orders", sql="""
+SELECT event_id, o_orderkey, order_cents
+FROM (
+  SELECT e.event_id, o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS order_cents,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC)
+             AS rn
+  FROM events e JOIN orders o
+       ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+WHERE rn = 1
+""")
+def events_asof_orders(sf_dir: str):
+    """Backward as-of join (Ray Data lacks one): for each event, the
+    latest order of that user at event time — distributed via
+    geoflow.functions.joins.grouped_asof_join (one key-hash shuffle,
+    vectorized pandas.merge_asof inside each bucket group)."""
+    from ..functions.joins import grouped_asof_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def _cents(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_custkey": b.column("o_custkey"),
+            "o_orderdate": b.column("o_orderdate"),
+            "order_cents": np.round(
+                b.column("o_totalprice").to_numpy() * 100).astype(np.int64),
+        })
+
+    joined = grouped_asof_join(
+        events, orders.map_batches(_cents, batch_format="pyarrow"),
+        key=("user_id", "o_custkey"), on=("ts", "o_orderdate"),
+        left_cols=["event_id", "ts"],
+        right_cols=["o_orderkey", "o_orderdate", "order_cents"],
+        tiebreak="o_orderkey")
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(b.column("event_id"), pa.int64()),
+            "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "order_cents": pc.cast(b.column("order_cents"), pa.int64()),
+        })
+
+    return joined.map_batches(_final, batch_format="pyarrow")
