@@ -781,6 +781,30 @@ def ann_ivf_top5(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+@register("ann_lsh_top5")
+def ann_lsh_top5(sf_dir: str):
+    """LSH-bucketed ANN: the no-broadcast scale path (random-hyperplane
+    buckets, one groupby shuffle co-locates queries with candidates) —
+    geoflow.stages.knn.cosine_topk_lsh. Rows-only: approximate; recall
+    vs brute force asserted in tests/test_knn_pip.py."""
+    from ..stages.knn import cosine_topk_lsh
+
+    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    queries = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        lambda b: b.filter(pc.less(b.column("vec_id"), pa.scalar(10))),
+        batch_format="pyarrow")
+    # coarse buckets (4 bits): the sf embeddings are near-uniform
+    # (top-1 cosine ~0.2), so finer buckets would shed all recall
+    out = cosine_topk_lsh(queries, corpus, k=5, num_bits=4)
+    return out.map_batches(
+        lambda b: pa.table({
+            "query_id": b.column("query_id"),
+            "neighbor_id": b.column("neighbor_id"),
+            "rank": pc.cast(b.column("rank"), pa.int64()),
+            "cosine": pa.array(np.round(b.column("cosine").to_numpy(), 6)),
+        }), batch_format="pyarrow")
+
+
 @register("flagship_zonal")
 def flagship_zonal(sf_dir: str):
     from ..sources.pages import pages_from_documents

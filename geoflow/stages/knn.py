@@ -99,11 +99,14 @@ def cosine_topk(queries_ds, corpus_ds, k: int = 5,
         lambda b: pa.table({"query_id": b.column(id_col),
                             "embedding": b.column(vec_col)}),
         batch_format="pyarrow")
+    # autoscaling pool (1, n): a fixed pool of n pinned actors can
+    # reserve every CPU at low parallelism and starve the upstream read
+    # tasks (observed deadlock at 4 CPUs); min=1 keeps the pipeline live
     return q.map_batches(
         CosineTopK, batch_format="pyarrow",
         fn_constructor_kwargs=dict(corpus_ref=ref, k=k,
                                    exclude_self=exclude_self),
-        concurrency=concurrency, batch_size=256,
+        concurrency=(1, concurrency), batch_size=256,
     )
 
 
@@ -273,5 +276,115 @@ def knn_haversine(queries_ds, points_df: pd.DataFrame, k: int = 5,
     return queries_ds.map_batches(
         HaversineKNN, batch_format="pyarrow",
         fn_constructor_kwargs=dict(points_ref=ref, k=k, res=res),
-        concurrency=concurrency, batch_size=512,
+        concurrency=(1, concurrency), batch_size=512,
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (shuffle path: corpus is never broadcast)
+# ---------------------------------------------------------------------------
+
+def _lsh_planes(num_tables: int, num_bits: int, dim: int,
+                seed: int) -> np.ndarray:
+    """Deterministic random hyperplanes, shape (tables, bits, dim)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_tables, num_bits, dim))
+
+
+def _lsh_explode(side: int, id_col: str, vec_col: str, planes: np.ndarray):
+    """map_batches fn: one output row per (input row, hash table) with a
+    sign-bit bucket key. Vectors are unit-normalized here so the
+    per-bucket scoring is a plain dot product."""
+    num_tables, num_bits, _ = planes.shape
+    weights = (1 << np.arange(num_bits)).astype(np.int64)
+
+    def _f(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        mat = np.vstack([np.asarray(v, dtype=np.float64)
+                         for v in b.column(vec_col).to_pylist()])
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        n = len(ids)
+        out_tab, out_bucket = [], []
+        for t in range(num_tables):
+            bits = (mat @ planes[t].T) > 0          # (n, bits)
+            out_bucket.append(bits.astype(np.int64) @ weights)
+            out_tab.append(np.full(n, t, dtype=np.int32))
+        reps = num_tables
+        return pa.table({
+            "table": pa.array(np.concatenate(out_tab)),
+            "bucket": pa.array(np.concatenate(out_bucket)),
+            "_side": pa.array(np.full(n * reps, side, dtype=np.int8)),
+            "item_id": pa.array(np.tile(ids, reps)),
+            "vec": pa.array(list(np.tile(mat, (reps, 1))),
+                            pa.list_(pa.float64())),
+        })
+    return _f
+
+
+def cosine_topk_lsh(queries_ds, corpus_ds, k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dim: int = 64, num_tables: int = 8, num_bits: int = 10,
+                    seed: int = 23, exclude_self: bool = True):
+    """Approximate cosine top-k via random-hyperplane LSH, fully
+    distributed: NO side is broadcast (contrast ``cosine_topk`` /
+    ``CosineTopKIVF``, which pin the corpus per actor). The scale path
+    when the corpus itself is too large for any worker's heap:
+
+    1. both sides explode into ``num_tables`` (table, sign-bucket) keys,
+    2. ONE groupby co-locates each bucket's queries with its candidates
+       (shuffle volume = rows x tables x vector bytes; bucket count
+       ``2^num_bits`` bounds group size, raise bits for hotter data),
+    3. per-group exact dot-product local top-k,
+    4. a final small groupby on query_id merges across tables.
+
+    Deterministic: fixed seed, (sim desc, id asc) tie-break.
+    """
+    planes = _lsh_planes(num_tables, num_bits, dim, seed)
+
+    q = queries_ds.map_batches(
+        _lsh_explode(0, id_col, vec_col, planes), batch_format="pyarrow")
+    c = corpus_ds.map_batches(
+        _lsh_explode(1, id_col, vec_col, planes), batch_format="pyarrow")
+
+    def _bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        qs = g[g["_side"] == 0]
+        cs = g[g["_side"] == 1]
+        if qs.empty or cs.empty:
+            return pd.DataFrame({"query_id": pd.array([], dtype=np.int64),
+                                 "neighbor_id": pd.array([], dtype=np.int64),
+                                 "cosine": pd.array([], dtype=np.float64)})
+        qm = np.vstack(qs["vec"].to_numpy())
+        cm = np.vstack(cs["vec"].to_numpy())
+        qids = qs["item_id"].to_numpy(dtype=np.int64)
+        cids = cs["item_id"].to_numpy(dtype=np.int64)
+        sims = qm @ cm.T                              # (nq, nc)
+        rows_q, rows_n, rows_s = [], [], []
+        for i in range(len(qids)):
+            s = sims[i]
+            mask = np.ones(len(cids), dtype=bool)
+            if exclude_self:
+                mask &= cids != qids[i]
+            idx = np.nonzero(mask)[0]
+            if not len(idx):
+                continue
+            kk = min(k, len(idx))
+            top = idx[np.argpartition(-s[idx], kk - 1)[:kk]]
+            rows_q.extend([qids[i]] * kk)
+            rows_n.extend(cids[top].tolist())
+            rows_s.extend(s[top].tolist())
+        return pd.DataFrame({"query_id": rows_q, "neighbor_id": rows_n,
+                             "cosine": rows_s})
+
+    local = q.union(c).groupby(["table", "bucket"]).map_groups(
+        _bucket_topk, batch_format="pandas")
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        # same (query, neighbor) pair may surface from several tables
+        g = g.drop_duplicates(subset=["neighbor_id"])
+        g = g.sort_values(["cosine", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
+        return g[["query_id", "neighbor_id", "cosine", "rank"]]
+
+    return local.groupby("query_id").map_groups(_merge, batch_format="pandas")

@@ -187,11 +187,11 @@ class AudioFeatures:
 
 def image_features(media_ds, concurrency: int = 4, batch_size: int = 16):
     return media_ds.map_batches(ImageFeatures, batch_format="pyarrow",
-                                concurrency=concurrency,
+                                concurrency=(1, concurrency),
                                 batch_size=batch_size)
 
 
 def audio_features(media_ds, concurrency: int = 4, batch_size: int = 16):
     return media_ds.map_batches(AudioFeatures, batch_format="pyarrow",
-                                concurrency=concurrency,
+                                concurrency=(1, concurrency),
                                 batch_size=batch_size)

@@ -168,5 +168,5 @@ def pip_join(points_ds, polygons: pd.DataFrame, concurrency: int = 4,
     return points_ds.map_batches(
         PIPJoiner, batch_format="pyarrow",
         fn_constructor_kwargs=dict(polygons_ref=ref, grid=grid),
-        concurrency=concurrency, batch_size=4096,
+        concurrency=(1, concurrency), batch_size=4096,
     )

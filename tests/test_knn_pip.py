@@ -93,3 +93,45 @@ def test_point_in_ring_concave():
     lon = np.array([1.0, 1.0, 1.0])
     inside = pip_join.point_in_ring(lat, lon, ring)
     assert inside.tolist() == [False, True, True]
+
+
+def test_lsh_ann_recall_on_near_duplicates(ray_session):
+    """LSH's operating regime is NEAR neighbors (hyperplane agreement
+    p = 1 - angle/pi per bit): plant 3 near-dups (cosine ~0.95) for each
+    of 20 queries among 400 distractors and require recall@3 >= 0.8.
+    On near-uniform vectors (sf embeddings, top-1 cosine ~0.19) LSH
+    degrades to random by design — that regime belongs to IVF/brute."""
+    import ray.data as rd
+    from geoflow.stages.knn import cosine_topk, cosine_topk_lsh
+
+    rng = np.random.default_rng(5)
+    dim, n_q, n_dup = 64, 20, 3
+    base = rng.normal(size=(400, dim))
+    rows = [(i, base[i]) for i in range(400)]
+    nxt = 400
+    for q in range(n_q):
+        for _ in range(n_dup):
+            rows.append((nxt, base[q] + 0.18 * rng.normal(size=dim)))
+            nxt += 1
+    corpus_df = pd.DataFrame({
+        "vec_id": [r[0] for r in rows],
+        "embedding": [r[1].astype(np.float64) for r in rows],
+    })
+    corpus = rd.from_pandas(corpus_df)
+    queries = rd.from_pandas(corpus_df.head(n_q))
+
+    exact = cosine_topk(queries, corpus, k=n_dup).to_pandas()
+    approx = cosine_topk_lsh(queries, corpus, k=n_dup, dim=dim,
+                             num_tables=8, num_bits=10).to_pandas()
+    hits = total = 0
+    for qid, g in exact.groupby("query_id"):
+        truth = set(g["neighbor_id"])
+        got = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        hits += len(truth & got)
+        total += len(truth)
+    recall = hits / total
+    assert recall >= 0.8, recall
+    # reported cosines are exact for the pairs both returned
+    m = approx.merge(exact, on=["query_id", "neighbor_id"],
+                     suffixes=("_lsh", "_exact"))
+    assert np.allclose(m["cosine_lsh"], m["cosine_exact"], atol=1e-12)
