@@ -111,15 +111,26 @@ def dedup_exact(enriched_ds):
     cheaper than shuffling the full rows. Duplicate rows share the text,
     so n_chars/text_hash survive aggregation unchanged.
     """
-    from ray.data.aggregate import Count, Min
+    from ray.data.aggregate import Min, Sum
 
-    slim = enriched_ds.map_batches(
-        lambda b: b.select(["text_hash", "url", "n_chars"]),
-        batch_format="pyarrow")
+    def _local_combine(b: pa.Table) -> pa.Table:
+        # batch-local pre-dedup (Arrow C++ hash aggregate): duplicates
+        # tend to be block-local (same source shard), so this cuts the
+        # sort-shuffle's row volume before any data moves; Count becomes
+        # an associative Sum of partial counts
+        g = (b.select(["text_hash", "url", "n_chars"])
+              .group_by("text_hash")
+              .aggregate([("url", "min"), ("n_chars", "min"),
+                          ("text_hash", "count")]))
+        return g.select(["text_hash", "url_min", "n_chars_min",
+                         "text_hash_count"]).rename_columns(
+            ["text_hash", "url", "n_chars", "_copies"])
+
+    slim = enriched_ds.map_batches(_local_combine, batch_format="pyarrow")
     winners = slim.groupby("text_hash").aggregate(
         Min("url", alias_name="url"),
         Min("n_chars", alias_name="n_chars"),
-        Count(alias_name="n_copies"))
+        Sum("_copies", alias_name="n_copies"))
 
     def _rederive(batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
