@@ -140,3 +140,34 @@ def grouped_asof_join(left_ds, right_ds, key: tuple[str, str],
 
     return unioned.groupby("_bucket").map_groups(
         _asof_bucket, batch_format="pandas")
+
+
+def broadcast_range_join(ds, value_col: str, bands: pd.DataFrame,
+                         lo_col: str = "lo", hi_col: str = "hi",
+                         label_col: str = "band"):
+    """Non-equi range join against a small interval table (inner).
+
+    Each row joins the band with ``lo <= value < hi``. The band table
+    (sorted, non-overlapping, gaps allowed) is broadcast into the task
+    closure as three numpy arrays and probed with ``np.searchsorted`` —
+    O(log bands) per row, vectorized across the batch, zero shuffle.
+    This is the engine's range-join pattern: the large side streams,
+    the interval index rides along (`ray.put`-style broadcast; plain
+    closure capture suffices at "table of bands" size).
+    """
+    b = bands.sort_values(lo_col).reset_index(drop=True)
+    lows = b[lo_col].to_numpy(dtype=np.float64)
+    highs = b[hi_col].to_numpy(dtype=np.float64)
+    if (highs[:-1] > lows[1:]).any():
+        raise ValueError("bands overlap")
+    labels = b[label_col].to_numpy()
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy().astype(np.float64)
+        idx = np.searchsorted(lows, v, side="right") - 1
+        ok = (idx >= 0) & (v < highs[np.clip(idx, 0, len(highs) - 1)])
+        batch = batch.filter(pa.array(ok))
+        hit = labels[idx[ok]]
+        return batch.append_column(label_col, pa.array(hit))
+
+    return ds.map_batches(_probe, batch_format="pyarrow")

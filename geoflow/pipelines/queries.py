@@ -1262,3 +1262,69 @@ def events_asof_orders(sf_dir: str):
         })
 
     return joined.map_batches(_final, batch_format="pyarrow")
+
+
+@register("events_value_bands", sql="""
+SELECT band, count(*) AS n_events, round(sum(value), 4) AS value_sum
+FROM events
+JOIN (VALUES ('tiny', 0.0, 25.0), ('small', 25.0, 60.0),
+             ('mid', 60.0, 110.0), ('large', 110.0, 200.0),
+             ('huge', 200.0, 320.0)) AS bands(band, lo, hi)
+  ON value >= lo AND value < hi
+GROUP BY band
+""")
+def events_value_bands(sf_dir: str):
+    """Non-equi RANGE join (irregular interval table, gaps above 320):
+    geoflow.functions.joins.broadcast_range_join — the band table is a
+    broadcast interval index probed per batch with searchsorted; the
+    event stream never shuffles for the join itself."""
+    from ..functions.joins import broadcast_range_join
+
+    bands = pd.DataFrame({
+        "band": ["tiny", "small", "mid", "large", "huge"],
+        "lo": [0.0, 25.0, 60.0, 110.0, 200.0],
+        "hi": [25.0, 60.0, 110.0, 200.0, 320.0],
+    })
+    ds = _read(sf_dir, "events", ["value"])
+    joined = broadcast_range_join(ds, "value", bands)
+    agg = grouped_count_sum(joined, ["band"], ["value"],
+                            count_alias="n_events")
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "band": b.column("band"),
+            "n_events": b.column("n_events"),
+            "value_sum": np.round(b.column("value_sum").to_numpy(), 4),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
+@register("approx_distinct_orderkeys")
+def approx_distinct_orderkeys(sf_dir: str):
+    """HyperLogLog distinct l_orderkey (geoflow.functions.sketch):
+    per-batch 4 KB register partials, elementwise-max merge — distinct
+    counting whose shuffle volume is independent of row count.
+    Rows-only: approximate by construction; the <=5% error bound vs the
+    exact count is asserted both here and in tests/test_sketch.py."""
+    from ..functions.sketch import approx_distinct
+    from ..pipelines.flagship import text_hash64
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def _hash(b: pa.Table) -> np.ndarray:
+        # decorrelate from the sequential key space before HLL
+        k = b.column("l_orderkey").to_numpy().astype(np.uint64)
+        h = (k + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(31)
+        h *= np.uint64(0x94D049BB133111EB)
+        return h ^ (h >> np.uint64(29))
+
+    est = approx_distinct(ds, _hash, p=12)
+    exact = int(_read(sf_dir, "lineitem", ["l_orderkey"])
+                .unique("l_orderkey").__len__())
+    rel_err = abs(est - exact) / exact
+    assert rel_err <= 0.05, (est, exact)
+    return pd.DataFrame({"approx_distinct": [int(round(est))],
+                         "exact_distinct": [exact],
+                         "rel_err_pct": [round(100 * rel_err, 3)]})

@@ -1,0 +1,85 @@
+"""HLL sketch accuracy and broadcast range join vs oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from geoflow.functions.sketch import hll_estimate, hll_registers
+from geoflow.functions.joins import broadcast_range_join
+
+
+def _mix(k: np.ndarray) -> np.ndarray:
+    h = (k.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)) \
+        * np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(31)
+    h *= np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(29))
+
+
+@pytest.mark.parametrize("n", [300, 20_000, 400_000])
+def test_hll_accuracy_single_process(n):
+    regs = hll_registers(_mix(np.arange(n)), p=12)
+    est = hll_estimate(regs)
+    assert abs(est - n) / n < 0.05, (est, n)
+
+
+def test_hll_merge_associative():
+    a = hll_registers(_mix(np.arange(0, 5000)), p=10)
+    b = hll_registers(_mix(np.arange(3000, 9000)), p=10)
+    merged = np.maximum(a, b)
+    whole = hll_registers(_mix(np.arange(0, 9000)), p=10)
+    assert (merged == whole).all()     # max-merge == one-shot registers
+
+
+def test_hll_distributed_matches_exact(ray_session):
+    import ray.data as rd
+    from geoflow.functions.sketch import approx_distinct
+
+    def _hash(b):
+        # local def: cloudpickle ships it by value (test modules are not
+        # importable inside Ray workers)
+        h = (b.column("k").to_numpy().astype(np.uint64)
+             + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(31)
+        h *= np.uint64(0x94D049BB133111EB)
+        return h ^ (h >> np.uint64(29))
+
+    vals = np.concatenate([np.arange(8000), np.arange(4000)])  # dups
+    ds = rd.from_pandas(pd.DataFrame({"k": vals})).repartition(6)
+    est = approx_distinct(ds, _hash, p=12)
+    assert abs(est - 8000) / 8000 < 0.05
+
+
+def test_broadcast_range_join_matches_pandas(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(8)
+    vals = rng.uniform(-10, 120, 2000)
+    bands = pd.DataFrame({"band": ["a", "b", "c"],
+                          "lo": [0.0, 30.0, 75.0],
+                          "hi": [20.0, 60.0, 110.0]})  # gaps between
+    got = broadcast_range_join(
+        rd.from_pandas(pd.DataFrame({"value": vals})).repartition(4),
+        "value", bands).to_pandas()
+    # brute-force oracle
+    exp = []
+    for v in vals:
+        for _, r in bands.iterrows():
+            if r["lo"] <= v < r["hi"]:
+                exp.append((v, r["band"]))
+    exp = pd.DataFrame(exp, columns=["value", "band"])
+    gs = got.sort_values("value").reset_index(drop=True)
+    es = exp.sort_values("value").reset_index(drop=True)
+    assert len(gs) == len(es)
+    assert np.allclose(gs["value"], es["value"])
+    assert (gs["band"] == es["band"]).all()
+
+
+def test_range_join_overlap_rejected(ray_session):
+    import ray.data as rd
+    bands = pd.DataFrame({"band": ["a", "b"], "lo": [0.0, 5.0],
+                          "hi": [10.0, 15.0]})
+    with pytest.raises(ValueError, match="overlap"):
+        broadcast_range_join(
+            rd.from_pandas(pd.DataFrame({"value": [1.0]})), "value", bands)
