@@ -1328,3 +1328,68 @@ def approx_distinct_orderkeys(sf_dir: str):
     return pd.DataFrame({"approx_distinct": [int(round(est))],
                          "exact_distinct": [exact],
                          "rel_err_pct": [round(100 * rel_err, 3)]})
+
+
+_SITES = [  # (site_id, lat, lon) — 10 well-separated fixed sites
+    (0, 40.7, -74.0), (1, 51.5, -0.1), (2, 35.7, 139.7),
+    (3, -33.9, 151.2), (4, 19.4, -99.1), (5, 55.8, 37.6),
+    (6, -1.3, 36.8), (7, 28.6, 77.2), (8, -23.5, -46.6), (9, 64.1, -21.9),
+]
+
+_SITES_SQL = ", ".join(f"({s}, {la}, {lo})" for s, la, lo in _SITES)
+
+
+@register("nearest_site_docs", sql=_GEO_SQL_CTE + f"""
+, sites(site, slat, slon) AS (VALUES {_SITES_SQL})
+, d AS (
+  SELECT doc_id, site,
+         2 * 6371.0088 * asin(sqrt(
+             pow(sin(radians(slat - lat) / 2), 2)
+             + cos(radians(lat)) * cos(radians(slat))
+               * pow(sin(radians(slon - lon) / 2), 2))) AS dist_km,
+         row_number() OVER (
+             PARTITION BY doc_id
+             ORDER BY 2 * 6371.0088 * asin(sqrt(
+                 pow(sin(radians(slat - lat) / 2), 2)
+                 + cos(radians(lat)) * cos(radians(slat))
+                   * pow(sin(radians(slon - lon) / 2), 2))), site) AS rn
+  FROM geo CROSS JOIN sites
+)
+SELECT site, count(*) AS n_docs, round(sum(dist_km), 2) AS total_km
+FROM d WHERE rn = 1 GROUP BY site
+""")
+def nearest_site_docs(sf_dir: str):
+    """k=1 haversine kNN to a broadcast site table (the verified twin of
+    knn_haversine_docs: assignment + aggregate is tie-robust, so the
+    trig replays exactly in DuckDB). Sites ride in the task closure; the
+    doc stream computes a vectorized (batch x sites) distance matrix and
+    argmins — no shuffle until the 10-row final aggregate."""
+    from .flagship import PAGE_CELL_RES  # noqa: F401  (module warm ref)
+    from ..stages.knn import haversine_km
+
+    sites = np.array(_SITES, dtype=np.float64)
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def _assign(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        lat, lon = geocode_doc_ids(ids)
+        # (n, sites) distance matrix; argmin ties break on site order
+        d = np.stack([haversine_km(lat, lon, s[1], s[2]) for s in sites],
+                     axis=1)
+        best = np.argmin(d, axis=1)
+        return pa.table({
+            "site": pa.array(sites[best, 0].astype(np.int64)),
+            "dist_km": pa.array(d[np.arange(len(best)), best]),
+        })
+
+    agg = grouped_count_sum(ds.map_batches(_assign, batch_format="pyarrow"),
+                            ["site"], ["dist_km"], count_alias="n_docs")
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "site": b.column("site"),
+            "n_docs": b.column("n_docs"),
+            "total_km": np.round(b.column("dist_km_sum").to_numpy(), 2),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow")
