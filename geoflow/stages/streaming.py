@@ -108,3 +108,105 @@ def streaming_sessionize(events_ds, gap_s: int = 1800, n_buckets: int = 4,
         "session_end_us": df["end"].to_numpy(np.int64),
         "value_sum": df["value_sum"].to_numpy(np.float64),
     }).reset_index(drop=True)
+
+
+@ray.remote
+class WindowActor:
+    """Watermarked tumbling-window aggregation for one hash bucket.
+
+    Accepts out-of-order events up to ``lateness_us``: the watermark is
+    ``max_ts_seen - lateness_us``; a window is finalized (emitted, state
+    freed) the moment its end falls behind the watermark, and events
+    older than the watermark are counted as dropped instead of mutating
+    already-emitted results — the standard streaming contract Ray Data
+    has no primitive for. State per actor is O(open windows), not
+    O(events), so a day-long log holds ~lateness/width windows per key.
+    """
+
+    def __init__(self, width_us: int, lateness_us: int):
+        self.width_us = width_us
+        self.lateness_us = lateness_us
+        self.watermark = None
+        self.open: dict[tuple, list] = {}     # (key, win) -> [n, vsum]
+        self.emitted: list[tuple] = []
+        self.dropped = 0
+
+    def ingest(self, keys: list, ts_us: np.ndarray,
+               values: np.ndarray) -> None:
+        if not (len(keys) == len(ts_us) == len(values)):
+            raise ValueError("keys/ts/values length mismatch")
+        wins = (ts_us // self.width_us).tolist()
+        for k, w, t, v in zip(keys, wins, ts_us.tolist(), values.tolist()):
+            if (self.watermark is not None
+                    and (w + 1) * self.width_us <= self.watermark):
+                self.dropped += 1
+                continue
+            st = self.open.get((k, w))
+            if st is None:
+                self.open[(k, w)] = [1, v]
+            else:
+                st[0] += 1
+                st[1] += v
+        wm = int(ts_us.max()) - self.lateness_us
+        if self.watermark is None or wm > self.watermark:
+            self.watermark = wm
+            for (k, w) in [kw for kw in self.open
+                           if (kw[1] + 1) * self.width_us <= wm]:
+                n, s = self.open.pop((k, w))
+                self.emitted.append((k, w, n, s))
+
+    def flush(self) -> tuple[list[tuple], int]:
+        out = self.emitted + [(k, w, n, s)
+                              for (k, w), (n, s) in self.open.items()]
+        self.open = {}
+        self.emitted = []
+        return out, self.dropped
+
+
+def streaming_window_aggregate(events_ds, width_s: int = 3600,
+                               key_col: str = "event_type",
+                               ts_col: str = "ts", value_col: str = "value",
+                               allowed_lateness_s: int = 0,
+                               n_buckets: int = 4):
+    """Tumbling-window count/sum with watermark semantics.
+
+    Same ordered-log shape as ``streaming_sessionize`` (per-bucket
+    actors, ts-sorted feed); with in-order delivery nothing drops and
+    the result equals the batch groupby (DuckDB-verified as
+    ``events_hourly_streaming``); under disorder the watermark contract
+    applies (tested with shuffled feeds in tests/test_streaming.py).
+
+    Returns (DataFrame[key, window_id, n_events, value_sum],
+    dropped_count).
+    """
+    width_us = width_s * 1_000_000
+    late_us = allowed_lateness_s * 1_000_000
+    actors = [WindowActor.remote(width_us, late_us)
+              for _ in range(n_buckets)]
+    ordered = events_ds.sort([ts_col, "event_id"])
+    pending = []
+    for batch in ordered.iter_batches(batch_size=8192,
+                                      batch_format="pandas"):
+        keys = batch[key_col].to_numpy()
+        ts_us = batch[ts_col].to_numpy().astype("datetime64[us]").view("int64")
+        vals = batch[value_col].to_numpy().astype(np.float64)
+        bucket = pd.util.hash_array(keys) % n_buckets
+        for bi in range(n_buckets):
+            m = bucket == bi
+            if m.any():
+                pending.append(actors[bi].ingest.remote(
+                    keys[m].tolist(), ts_us[m], vals[m]))
+        if len(pending) > n_buckets * 4:
+            ray.get(pending)
+            pending = []
+    ray.get(pending)
+    rows, dropped = [], 0
+    for out, d in ray.get([a.flush.remote() for a in actors]):
+        rows.extend(out)
+        dropped += d
+    df = pd.DataFrame(rows, columns=[key_col, "window_id", "n_events",
+                                     "value_sum"])
+    df["window_id"] = df["window_id"].astype(np.int64)
+    df["n_events"] = df["n_events"].astype(np.int64)
+    return df.sort_values([key_col, "window_id"]).reset_index(drop=True), \
+        dropped

@@ -37,3 +37,58 @@ def test_streaming_empty(ray_session):
          "value": pd.Series(dtype=np.float64)}))
     out = streaming_sessionize(empty, n_buckets=2)
     assert len(out) == 0
+
+
+def test_watermark_window_matches_batch(ray_session):
+    import ray.data as rd
+    from geoflow.stages.streaming import streaming_window_aggregate
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["event_id", "event_type", "ts", "value"])
+    ev = ds.to_pandas()
+    got, dropped = streaming_window_aggregate(
+        ds, width_s=3600, key_col="event_type",
+        allowed_lateness_s=0, n_buckets=3)
+    assert dropped == 0
+    exp = (ev.assign(window_id=ev["ts"].astype("datetime64[us]")
+                     .astype(np.int64) // 3_600_000_000)
+             .groupby(["event_type", "window_id"])
+             .agg(n_events=("value", "size"), value_sum=("value", "sum"))
+             .reset_index())
+    gs = got.sort_values(["event_type", "window_id"]).reset_index(drop=True)
+    es = exp.sort_values(["event_type", "window_id"]).reset_index(drop=True)
+    assert (gs["n_events"].to_numpy() == es["n_events"].to_numpy()).all()
+    assert np.allclose(gs["value_sum"], es["value_sum"])
+
+
+def test_watermark_drops_late_events(ray_session):
+    import ray
+    from geoflow.stages.streaming import WindowActor
+
+    a = WindowActor.remote(3_600_000_000, 0)   # 1h windows, no lateness
+    h = 3_600_000_000
+    # window 0 data, then window 2 (watermark jumps to 2h -> closes 0,1)
+    ray.get(a.ingest.remote(["x", "x"], np.array([10, 20], dtype=np.int64),
+                            np.array([1.0, 2.0])))
+    ray.get(a.ingest.remote(["x"], np.array([2 * h + 5]), np.array([4.0])))
+    # late arrival for window 0: must be dropped, not merged
+    ray.get(a.ingest.remote(["x"], np.array([30]), np.array([8.0])))
+    out, dropped = ray.get(a.flush.remote())
+    assert dropped == 1
+    rows = {(k, w): (n, s) for k, w, n, s in out}
+    assert rows[("x", 0)] == (2, 3.0)          # late 8.0 not included
+    assert rows[("x", 2)] == (1, 4.0)
+
+
+def test_watermark_accepts_disorder_within_lateness(ray_session):
+    import ray
+    from geoflow.stages.streaming import WindowActor
+
+    h = 3_600_000_000
+    a = WindowActor.remote(h, 2 * h)           # lateness 2 windows
+    ray.get(a.ingest.remote(["x"], np.array([2 * h + 5]), np.array([4.0])))
+    ray.get(a.ingest.remote(["x"], np.array([30]), np.array([8.0])))
+    out, dropped = ray.get(a.flush.remote())
+    assert dropped == 0
+    rows = {(k, w): (n, s) for k, w, n, s in out}
+    assert rows[("x", 0)] == (1, 8.0)          # disorder absorbed
