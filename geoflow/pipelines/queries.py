@@ -1424,3 +1424,24 @@ def events_hourly_streaming(sf_dir: str):
         "n_events": df["n_events"],
         "value_sum": df["value_sum"].round(4),
     })
+
+
+@register("sampled_docs", sql="""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE (doc_id * 2654435761 + 40503) % 4294967296 % 100 < 10
+""")
+def sampled_docs(sf_dir: str):
+    """Deterministic ~10% Bernoulli sample by key hash — the
+    reproducible sampling pattern for web-scale pipelines (same rows on
+    every run and every cluster size, replayable in SQL; contrast
+    ds.random_sample, whose output depends on block layout)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def _sample(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(2654435761) + np.uint64(40503)) \
+            % np.uint64(4294967296) % np.uint64(100)
+        return b.filter(pa.array(h < 10))
+
+    return ds.map_batches(_sample, batch_format="pyarrow")
