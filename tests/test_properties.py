@@ -56,3 +56,50 @@ def test_haversine_properties(lat1, lon1, lat2, lon2):
     d2 = float(haversine_km(lat2, lon2, lat1, lon1))
     assert abs(d - d2) < 1e-6
     assert float(haversine_km(lat1, lon1, lat1, lon1)) < 1e-6
+
+
+@given(vals=st.lists(st.integers(0, 30), min_size=1, max_size=300),
+       q=st.floats(0.0, 1.0))
+@settings(max_examples=200, deadline=None)
+def test_quantile_from_counts_property(vals, q):
+    from geoflow.functions.agg import quantile_from_counts
+
+    arr = np.array(vals, dtype=np.float64)
+    uniq, counts = np.unique(arr, return_counts=True)
+    got = quantile_from_counts(uniq, counts, q)
+    exp = float(np.percentile(arr, q * 100))
+    assert abs(got - exp) < 1e-9
+
+
+@given(seed=st.integers(0, 10_000), n=st.integers(1, 3000),
+       p=st.integers(4, 14))
+@settings(max_examples=60, deadline=None)
+def test_hll_merge_equals_oneshot_property(seed, n, p):
+    """Splitting a stream arbitrarily and max-merging the registers
+    always equals hashing the whole stream at once (associativity —
+    the property that makes the sketch safe under ANY partitioning)."""
+    from geoflow.functions.sketch import hll_registers
+
+    rng = np.random.default_rng(seed)
+    h = rng.integers(0, 2**63, size=n, dtype=np.int64).astype(np.uint64)
+    cut = int(rng.integers(0, n + 1))
+    merged = np.maximum(hll_registers(h[:cut], p), hll_registers(h[cut:], p))
+    assert (merged == hll_registers(h, p)).all()
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(max_examples=100, deadline=None)
+def test_range_probe_matches_scan(seed):
+    """searchsorted interval probe == linear interval scan, including
+    values in gaps and outside all bands."""
+    rng = np.random.default_rng(seed)
+    edges = np.sort(rng.uniform(0, 100, 6))
+    lows, highs = edges[[0, 2, 4]], edges[[1, 3, 5]]
+    v = rng.uniform(-10, 110, 200)
+    idx = np.searchsorted(lows, v, side="right") - 1
+    ok = (idx >= 0) & (v < highs[np.clip(idx, 0, len(highs) - 1)])
+    for j in range(len(v)):
+        hit = [i for i in range(3) if lows[i] <= v[j] < highs[i]]
+        assert ok[j] == bool(hit)
+        if hit:
+            assert idx[j] == hit[0]
