@@ -3,13 +3,16 @@
 Patterns per the Ray Data guidance (ray_guide "Joins and lookups"):
 
 - small side -> broadcast: ``ray.put`` the lookup once, map over the big
-  side (used by orders_by_nation etc. in the query suite; no shuffle).
+  side (``broadcast_lookup`` — vectorized searchsorted probe, no Python
+  loop, no shuffle).
 - both sides large -> ONE-shuffle partitioned hash join: tag each side,
   union the two datasets under a common nullable schema, group by the
   key-hash bucket, and pandas-merge the two sides inside each group.
-  Every row moves exactly once; bucket count bounds reducer memory.
-  Hot join keys can be pre-salted on the probe side with the same
-  mechanism as geoflow.stages.skew (replicate the build rows per salt).
+  Every row moves exactly once; bucket count bounds reducer memory and
+  is derived from the input size estimate (``_auto_buckets``) unless
+  pinned. Hot join keys can be pre-salted on the probe side with the
+  same mechanism as geoflow.stages.skew (replicate the build rows per
+  salt).
 
 ``bucketed_hash_join`` is the portable engine operator;
 ``Dataset.join`` exists in recent Ray but its semantics/layout are
@@ -23,14 +26,72 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _mix64(keys: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer: mixes high bits into low bits so that a
+    power-of-two bucket modulo sees the whole key, not just ``key mod
+    2^k`` (a bare ``key * odd_const % 2^k`` is a bijection on the low k
+    bits — key sets sharing low bits would collapse into one reducer)."""
+    h = keys.astype(np.uint64, copy=True)
+    h += np.uint64(0x9E3779B97F4A7C15)
+    h ^= h >> np.uint64(30)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(27)
+    h *= np.uint64(0x94D049BB133111EB)
+    h ^= h >> np.uint64(31)
+    return h
+
+
+def estimate_size_bytes(ds) -> int | None:
+    """Cheap size estimate from the logical plan's metadata — walks the
+    DAG down to the datasource if needed and NEVER triggers execution
+    (``Dataset.size_bytes()`` executes the plan when metadata is
+    missing, which would double-run a lazy pipeline)."""
+    try:
+        dag = ds._logical_plan.dag
+    except Exception:
+        return None
+
+    def _walk(op):
+        try:
+            m = op.infer_metadata()
+            if m.size_bytes is not None:
+                return m.size_bytes
+        except Exception:
+            pass
+        sizes = [_walk(dep)
+                 for dep in getattr(op, "input_dependencies", [])]
+        sizes = [s for s in sizes if s]
+        return sum(sizes) if sizes else None
+
+    try:
+        return _walk(dag)
+    except Exception:
+        return None
+
+
+def _auto_buckets(left_ds, right_ds, target_bytes: int = 64 << 20,
+                  lo: int = 16, hi: int = 4096) -> int:
+    """Bucket count ~ total input bytes / 64 MiB, clamped to [16, 4096]
+    and rounded up to a power of two: buckets bound reducer memory AND
+    cap reducer parallelism, so both must scale with the input."""
+    total = 0
+    for ds in (left_ds, right_ds):
+        sz = estimate_size_bytes(ds)
+        total += sz or 0
+    if total <= 0:
+        return 64
+    want = max(1, total // target_bytes)
+    return int(min(hi, max(lo, 1 << int(want - 1).bit_length())))
+
+
 def _tag_side(side: int, key_col: str, out_key: str, num_buckets: int,
               all_cols: list[str]):
     def _f(b: pa.Table) -> pa.Table:
         keys = b.column(key_col).to_numpy().astype(np.int64)
-        bucket = ((keys * 0x9E3779B97F4A7C15) % num_buckets).astype(np.int32)
+        bucket = (_mix64(keys) % np.uint64(num_buckets)).astype(np.int32)
         cols = {
             out_key: pa.array(keys, pa.int64()),
-            "_bucket": pa.array(np.abs(bucket), pa.int32()),
+            "_bucket": pa.array(bucket, pa.int32()),
             "_side": pa.array(np.full(len(keys), side, dtype=np.int8)),
         }
         for c in all_cols:
@@ -43,13 +104,16 @@ def _tag_side(side: int, key_col: str, out_key: str, num_buckets: int,
 
 
 def bucketed_hash_join(left_ds, right_ds, left_key: str, right_key: str,
-                       num_buckets: int = 32, how: str = "inner"):
+                       num_buckets: int | None = None, how: str = "inner"):
     """Inner/left join of two large Datasets on int64 keys.
 
     Output columns: ``_key`` + all non-key columns of both sides.
     One groupby shuffle total; within each bucket group a pandas merge
-    joins the two sides.
+    joins the two sides. ``num_buckets=None`` derives the bucket count
+    from the input size estimate.
     """
+    if num_buckets is None:
+        num_buckets = _auto_buckets(left_ds, right_ds)
     left_schema = left_ds.schema()
     right_schema = right_ds.schema()
     left_cols = [c for c in left_schema.names if c != left_key]
@@ -89,16 +153,73 @@ def bucketed_hash_join(left_ds, right_ds, left_key: str, right_key: str,
         _join_bucket, batch_format="pandas")
 
 
+def broadcast_lookup(ds, key_col: str, lookup_keys: np.ndarray,
+                     lookup_values: np.ndarray, out_col: str,
+                     drop_missing: bool = False):
+    """Map a key column through a small broadcast lookup, vectorized.
+
+    The (sorted-keys, values) arrays go into the object store ONCE via
+    ``ray.put`` and every map task probes them with ``np.searchsorted``
+    — no per-row Python, no O(rows) driver dict pickled into closures.
+    Missing keys raise unless ``drop_missing`` (then rows are filtered).
+    """
+    import ray
+
+    order = np.argsort(lookup_keys, kind="stable")
+    sk = np.ascontiguousarray(np.asarray(lookup_keys)[order])
+    sv = np.asarray(lookup_values)[order]
+    ref = ray.put((sk, sv))
+
+    def _probe(b: pa.Table) -> pa.Table:
+        keys, vals = ray.get(ref)
+        k = b.column(key_col).to_numpy().astype(keys.dtype, copy=False)
+        idx = np.searchsorted(keys, k)
+        idx_c = np.clip(idx, 0, len(keys) - 1)
+        hit = keys[idx_c] == k
+        if not hit.all():
+            if drop_missing:
+                b = b.filter(pa.array(hit))
+                idx_c = idx_c[hit]
+            else:
+                missing = np.asarray(k)[~hit][:5]
+                raise KeyError(f"lookup miss for keys {missing.tolist()}")
+        return b.append_column(out_col, pa.array(vals[idx_c]))
+
+    return ds.map_batches(_probe, batch_format="pyarrow")
+
+
+def broadcast_semi_join(ds, key_col: str, keys: np.ndarray,
+                        anti: bool = False):
+    """Semi/anti join against a broadcast key set — ``np.isin`` on the
+    key array per batch (vectorized), keyset shipped via ``ray.put``."""
+    import ray
+
+    ref = ray.put(np.sort(np.asarray(keys)))
+
+    def _filter(b: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        k = b.column(key_col).to_numpy().astype(ks.dtype, copy=False)
+        idx = np.searchsorted(ks, k)
+        idx_c = np.clip(idx, 0, max(len(ks) - 1, 0))
+        hit = (ks[idx_c] == k) if len(ks) else np.zeros(len(k), dtype=bool)
+        return b.filter(pa.array(~hit if anti else hit))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
 def grouped_asof_join(left_ds, right_ds, key: tuple[str, str],
                       on: tuple[str, str], left_cols: list[str],
                       right_cols: list[str], tiebreak: str,
-                      num_buckets: int = 32):
+                      num_buckets: int | None = None):
     """Distributed backward as-of join (Ray Data has no native one).
 
     For every left row, pick the single right row with the same key and
     the greatest ``right_on <= left_on`` (ties on ``right_on`` broken by
     the greatest ``tiebreak`` value, so the result is deterministic).
-    Inner semantics: left rows with no match are dropped.
+    Inner semantics: left rows with no match are dropped. ``right_on``
+    IS preserved in the output when listed in ``right_cols`` (carried
+    through a shadow column around pandas.merge_asof, which consumes the
+    on-column).
 
     Same one-shuffle layout as ``bucketed_hash_join``: both sides are
     tagged with a key-hash bucket, unioned, and each bucket group runs a
@@ -107,6 +228,8 @@ def grouped_asof_join(left_ds, right_ds, key: tuple[str, str],
     Partitioning assumption: all rows of one key land in one bucket
     group (guaranteed by hashing the key itself).
     """
+    if num_buckets is None:
+        num_buckets = _auto_buckets(left_ds, right_ds)
     left_key, right_key = key
     left_on, right_on = on
 
@@ -115,27 +238,69 @@ def grouped_asof_join(left_ds, right_ds, key: tuple[str, str],
     overlap = set(lcols) & set(rcols)
     if overlap:
         raise ValueError(f"column collision: {overlap}")
-    all_cols = lcols + rcols
+    # match sentinel: a right-side constant that survives merge_asof as
+    # NaN exactly when no right row matched (a data column could be
+    # legitimately null on a matched row)
+    all_cols = lcols + rcols + ["_rhit"]
+
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    arrow_types = {}
+    for name, t in zip(left_schema.names, left_schema.types):
+        arrow_types[name] = t
+    for name, t in zip(right_schema.names, right_schema.types):
+        arrow_types[name] = t
+    out_cols = ["_key"] + lcols + rcols
+    int_cols = [c for c in lcols + rcols
+                if pa.types.is_integer(arrow_types.get(c, pa.null()))]
+
+    def _add_rhit(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_rhit", pa.array(np.ones(len(b), dtype=np.int8)))
 
     tagged_left = left_ds.map_batches(
         _tag_side(0, left_key, "_key", num_buckets, all_cols),
         batch_format="pyarrow")
-    tagged_right = right_ds.map_batches(
-        _tag_side(1, right_key, "_key", num_buckets, all_cols),
-        batch_format="pyarrow")
+    tagged_right = right_ds.map_batches(_add_rhit, batch_format="pyarrow") \
+        .map_batches(
+            _tag_side(1, right_key, "_key", num_buckets, all_cols),
+            batch_format="pyarrow")
     unioned = tagged_left.union(tagged_right)
+
+    def _empty_out() -> pd.DataFrame:
+        # exact post-merge column set AND dtypes (a diverging empty-case
+        # schema makes Ray log schema-mismatch warnings and upcasts ints)
+        data = {}
+        for c in out_cols:
+            t = arrow_types.get(c)
+            if c == "_key" or (t is not None and pa.types.is_integer(t)):
+                data[c] = pd.Series(dtype=np.int64)
+            elif t is not None and pa.types.is_timestamp(t):
+                data[c] = pd.Series(dtype="datetime64[us]")
+            elif t is not None and pa.types.is_string(t):
+                data[c] = pd.Series(dtype=object)
+            else:
+                data[c] = pd.Series(dtype=np.float64)
+        return pd.DataFrame(data)
 
     def _asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lt = g[g["_side"] == 0][["_key"] + lcols].sort_values(left_on)
-        rt = (g[g["_side"] == 1][["_key"] + rcols]
+        rt = (g[g["_side"] == 1][["_key"] + rcols + ["_rhit"]]
               .sort_values([right_on, tiebreak], kind="mergesort"))
         if lt.empty or rt.empty:
-            return pd.DataFrame(columns=["_key"] + all_cols)
+            return _empty_out()
+        if right_on in rcols:
+            rt = rt.assign(**{"_ron": rt[right_on]})
         rt = rt.rename(columns={right_on: left_on})
         out = pd.merge_asof(lt, rt, on=left_on, by="_key",
                             direction="backward")
-        probe = rcols[0] if rcols[0] != right_on else tiebreak
-        out = out[out[probe].notna()]
+        out = out[out["_rhit"].notna()]
+        if right_on in rcols:
+            out = out.rename(columns={"_ron": right_on})
+        out = out[out_cols]
+        for c in int_cols:
+            if c in out.columns and out[c].notna().all():
+                out[c] = out[c].astype(np.int64)
         return out
 
     return unioned.groupby("_bucket").map_groups(

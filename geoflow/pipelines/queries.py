@@ -63,6 +63,39 @@ def _round_cols(batch: pa.Table, spec: dict[str, int]) -> pa.Table:
     return batch
 
 
+# Build sides up to this many rows are attached via the vectorized
+# broadcast lookup (ray.put'd sorted arrays, searchsorted probe); larger
+# build sides route through the one-shuffle bucketed hash join. Tests
+# monkeypatch this to 0 to exercise the shuffle path on small data.
+BROADCAST_ROW_LIMIT = 5_000_000
+
+
+def _attach_dim(ds, key_col: str, dim_keys: np.ndarray, dim_vals,
+                out_col: str):
+    """Attach a dimension column to a fact Dataset.
+
+    Small build side -> broadcast_lookup (no shuffle, no per-row
+    Python). Large build side (O(SF) tables like customer at high SF)
+    -> bucketed_hash_join, so driver memory never scales with the fact
+    OR the build side beyond one ray.put.
+    """
+    from ..functions.joins import broadcast_lookup, bucketed_hash_join
+
+    dim_keys = np.asarray(dim_keys, dtype=np.int64)
+    dim_vals = np.asarray(dim_vals)
+    if len(dim_keys) <= BROADCAST_ROW_LIMIT:
+        return broadcast_lookup(ds, key_col, dim_keys, dim_vals, out_col)
+    import ray.data as rd
+    dim = rd.from_arrow(pa.table({"_dimkey": pa.array(dim_keys, pa.int64()),
+                                  out_col: pa.array(dim_vals)}))
+    joined = bucketed_hash_join(ds, dim, key_col, "_dimkey")
+    # restore the fact key's name (join emits it as _key)
+    return joined.map_batches(
+        lambda b: b.rename_columns(
+            [key_col if c == "_key" else c for c in b.column_names]),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-ish relational coverage
 # ---------------------------------------------------------------------------
@@ -163,26 +196,27 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY n_name
 """)
 def orders_by_nation(sf_dir: str):
-    # broadcast join: customer->nation lookup built once on the driver
+    # customer -> nation collapses into ONE lookup column; the probe is
+    # vectorized searchsorted over ray.put arrays (broadcast) or a
+    # bucketed hash join when customer outgrows the broadcast limit
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    nation_of = dict(zip(nat["n_nationkey"], nat["n_name"]))
-    cust_nation = {int(c): nation_of[int(nk)]
-                   for c, nk in zip(cust["c_custkey"], cust["c_nationkey"])}
+    nation_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    cust_keys = cust["c_custkey"].to_numpy(dtype=np.int64)
+    cust_nation = cust["c_nationkey"].map(nation_of).to_numpy()
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
-    def _tag(b: pa.Table) -> pa.Table:
-        names = [cust_nation[int(c)] for c in b.column("o_custkey").to_pylist()]
+    def _cents(b: pa.Table) -> pa.Table:
         cents = np.round(
             b.column("o_totalprice").to_numpy() * 100).astype(np.int64)
-        return pa.table({
-            "n_name": pa.array(names, pa.string()),
-            "cents": pa.array(cents),
-        })
+        return pa.table({"o_custkey": b.column("o_custkey"),
+                         "cents": pa.array(cents)})
 
-    agg = grouped_count_sum(ds.map_batches(_tag, batch_format="pyarrow"),
-                            ["n_name"], ["cents"], count_alias="n_orders")
+    tagged = _attach_dim(ds.map_batches(_cents, batch_format="pyarrow"),
+                         "o_custkey", cust_keys, cust_nation, "n_name")
+    agg = grouped_count_sum(tagged, ["n_name"], ["cents"],
+                            count_alias="n_orders")
 
     def _final(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -224,16 +258,12 @@ GROUP BY n_name
 """)
 def supplier_by_nation(sf_dir: str):
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    nation_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
     ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
-
-    def _tag(b: pa.Table) -> pa.Table:
-        names = [nation_of[int(k)] for k in b.column("s_nationkey").to_pylist()]
-        return pa.table({"n_name": pa.array(names, pa.string()),
-                         "s_acctbal": b.column("s_acctbal")})
-
-    agg = grouped_count_sum(ds.map_batches(_tag, batch_format="pyarrow"),
-                            ["n_name"], ["s_acctbal"], count_alias="n_suppliers")
+    tagged = _attach_dim(ds, "s_nationkey",
+                         nat["n_nationkey"].to_numpy(dtype=np.int64),
+                         nat["n_name"].to_numpy(), "n_name")
+    agg = grouped_count_sum(tagged, ["n_name"], ["s_acctbal"],
+                            count_alias="n_suppliers")
 
     def _final(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -308,21 +338,19 @@ WHERE c_custkey NOT IN
 """)
 def customers_without_big_orders(sf_dir: str):
     """Anti join via broadcast key set (ray_guide: semi/anti joins are a
-    broadcast of the key set + a vectorized filter, never a shuffle)."""
+    broadcast of the key set + a vectorized filter, never a shuffle).
+    The distinct big-order custkeys are reduced DISTRIBUTED (unique),
+    shipped once via ray.put, and probed with vectorized searchsorted —
+    no per-row Python, no driver set in the task closure."""
+    from ..functions.joins import broadcast_semi_join
+
     big = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
         lambda b: b.filter(pc.greater(b.column("o_totalprice"),
                                       pa.scalar(300000.0))),
         batch_format="pyarrow")
-    keys = set(big.to_pandas()["o_custkey"])
+    keys = np.asarray(big.unique("o_custkey"), dtype=np.int64)
     ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-
-    def _anti(b: pa.Table) -> pa.Table:
-        keep = np.fromiter(
-            (int(k) not in keys for k in b.column("c_custkey").to_pylist()),
-            dtype=bool, count=len(b))
-        return b.filter(pa.array(keep))
-
-    return ds.map_batches(_anti, batch_format="pyarrow")
+    return broadcast_semi_join(ds, "c_custkey", keys, anti=True)
 
 
 @register("distinct_langs", sql="""
@@ -360,7 +388,7 @@ def order_lineitem_revenue(sf_dir: str):
 
     joined = bucketed_hash_join(
         orders, lineitem.map_batches(_rev, batch_format="pyarrow"),
-        "o_orderkey", "l_orderkey", num_buckets=32)
+        "o_orderkey", "l_orderkey")
     agg = grouped_count_sum(joined, ["o_orderpriority"], ["rev_e4"],
                             count_alias="n_items")
 
@@ -1086,11 +1114,14 @@ FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
 GROUP BY r_name
 """)
 def revenue_by_region(sf_dir: str):
-    """TPC-H Q5-style 5-table join: the three dimension hops
-    (customer -> nation -> region) collapse into ONE broadcast lookup
-    built on the driver; the single large-large edge (lineitem-orders)
-    is the bucketed one-shuffle hash join. Total data movement: one
-    shuffle of slim (key, region, rev) rows."""
+    """TPC-H Q5-style 5-table join: the two fixed-size dimension hops
+    (nation -> region) collapse into a 25-entry driver dict; the O(SF)
+    customer build side is attached via _attach_dim (ray.put'd sorted
+    arrays + vectorized searchsorted under the broadcast limit, a
+    bucketed hash join above it — customer is NOT a dimension at
+    sf1000); the single large-large edge (lineitem-orders) is the
+    bucketed one-shuffle hash join. Total data movement: one shuffle of
+    slim (key, region, rev) rows."""
     from ..functions.joins import bucketed_hash_join
 
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
@@ -1100,16 +1131,13 @@ def revenue_by_region(sf_dir: str):
         nat["n_regionkey"].map(dict(zip(reg["r_regionkey"].astype(int),
                                         reg["r_name"])))))
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    region_of_cust = {int(c): region_of_nation[int(nk)]
-                      for c, nk in zip(cust["c_custkey"], cust["c_nationkey"])}
+    cust_keys = cust["c_custkey"].to_numpy(dtype=np.int64)
+    cust_region = cust["c_nationkey"].map(region_of_nation).to_numpy()
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-
-    def _tag_region(b: pa.Table) -> pa.Table:
-        names = [region_of_cust[int(c)]
-                 for c in b.column("o_custkey").to_pylist()]
-        return pa.table({"o_orderkey": b.column("o_orderkey"),
-                         "r_name": pa.array(names, pa.string())})
+    orders = _attach_dim(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        "o_custkey", cust_keys, cust_region, "r_name").map_batches(
+        lambda b: b.select(["o_orderkey", "r_name"]), batch_format="pyarrow")
 
     lineitem = _read(sf_dir, "lineitem",
                      ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -1123,9 +1151,8 @@ def revenue_by_region(sf_dir: str):
         })
 
     joined = bucketed_hash_join(
-        orders.map_batches(_tag_region, batch_format="pyarrow"),
-        lineitem.map_batches(_rev, batch_format="pyarrow"),
-        "o_orderkey", "l_orderkey", num_buckets=32)
+        orders, lineitem.map_batches(_rev, batch_format="pyarrow"),
+        "o_orderkey", "l_orderkey")
     agg = grouped_count_sum(joined, ["r_name"], ["rev_e4"],
                             count_alias="n_items")
 

@@ -53,6 +53,35 @@ def test_grouped_asof_join_matches_brute_force(ray_session):
             == es["rid"].to_numpy()).all()
     assert (gs["payload"].to_numpy().astype(np.int64)
             == es["payload"].to_numpy()).all()
+    # right_on is preserved in the output (carried around merge_asof's
+    # on-column consumption) and int columns come back int64
+    assert "rts" in got.columns
+    assert gs["rid"].dtype == np.int64
+    assert gs["payload"].dtype == np.int64
+
+
+def test_grouped_asof_join_sparse_buckets_schema(ray_session):
+    """Many buckets force empty bucket groups: the empty-case branch must
+    emit the exact post-merge schema (columns and dtypes)."""
+    import ray.data as rd
+    base = np.datetime64("2024-01-01", "us")
+    left = pd.DataFrame({"k": [1, 1, 2], "lid": [0, 1, 2],
+                         "ts": base + np.array([5, 9, 7]).astype(
+                             "timedelta64[us]")})
+    right = pd.DataFrame({"rk": [1, 2], "rid": [10, 11],
+                          "rts": base + np.array([4, 8]).astype(
+                              "timedelta64[us]"),
+                          "payload": [100, 200]})
+    got = grouped_asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        key=("k", "rk"), on=("ts", "rts"),
+        left_cols=["lid", "ts"], right_cols=["rid", "rts", "payload"],
+        tiebreak="rid", num_buckets=64).to_pandas()
+    got = got.sort_values("lid").reset_index(drop=True)
+    assert got["lid"].tolist() == [0, 1]   # lid=2: rts 8 > ts 7? no — 8>7 drops
+    assert got["rid"].tolist() == [10, 10]
+    assert got["rid"].dtype == np.int64
+    assert list(got.columns) == ["_key", "lid", "ts", "rid", "rts", "payload"]
 
 
 def test_quantile_from_counts_matches_numpy():

@@ -29,6 +29,47 @@ def test_bucketed_hash_join_matches_pandas(ray_session):
     assert gs["b"].dtype == np.int64     # dtype preserved through union
 
 
+def test_broadcast_lookup_and_semi_join(ray_session):
+    import ray.data as rd
+    from geoflow.functions.joins import broadcast_lookup, broadcast_semi_join
+    df = pd.DataFrame({"k": [5, 3, 9, 3, 7], "v": range(5)})
+    ds = rd.from_pandas(df)
+    keys = np.array([3, 5, 7], dtype=np.int64)
+    vals = np.array(["three", "five", "seven"], dtype=object)
+    out = broadcast_lookup(ds, "k", keys, vals, "name",
+                           drop_missing=True).to_pandas()
+    assert out.sort_values("v")["name"].tolist() == [
+        "five", "three", "three", "seven"]
+    semi = broadcast_semi_join(ds, "k", np.array([3, 9])).to_pandas()
+    assert sorted(semi["k"].tolist()) == [3, 3, 9]
+    anti = broadcast_semi_join(ds, "k", np.array([3, 9]),
+                               anti=True).to_pandas()
+    assert sorted(anti["k"].tolist()) == [5, 7]
+    import pytest as _pytest
+    with _pytest.raises((KeyError, Exception)):
+        broadcast_lookup(ds, "k", keys, vals, "name").to_pandas()
+
+
+def test_attach_dim_shuffle_path_matches_broadcast(ray_session, monkeypatch):
+    """Forcing BROADCAST_ROW_LIMIT=0 routes _attach_dim through the
+    bucketed hash join; result must equal the broadcast path."""
+    import ray.data as rd
+    from geoflow.pipelines import queries as q
+    df = pd.DataFrame({"fk": [2, 4, 2, 8, 6], "x": range(5)})
+    keys = np.array([2, 4, 6, 8], dtype=np.int64)
+    vals = np.array(["a", "b", "c", "d"], dtype=object)
+    bc = q._attach_dim(rd.from_pandas(df), "fk", keys, vals,
+                       "lbl").to_pandas()
+    monkeypatch.setattr(q, "BROADCAST_ROW_LIMIT", 0)
+    sh = q._attach_dim(rd.from_pandas(df), "fk", keys, vals,
+                       "lbl").to_pandas()
+    b = bc.sort_values(["x"]).reset_index(drop=True)
+    s = sh.sort_values(["x"]).reset_index(drop=True)
+    assert b["lbl"].tolist() == s["lbl"].tolist()
+    assert (b["fk"].to_numpy().astype(np.int64)
+            == s["fk"].to_numpy().astype(np.int64)).all()
+
+
 def test_join_column_collision_raises(ray_session):
     import ray.data as rd
     l = rd.from_pandas(pd.DataFrame({"k": [1], "x": [1]}))
