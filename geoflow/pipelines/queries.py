@@ -871,15 +871,53 @@ def _docs_with_near_dups(sf_dir: str):
     return ds.map_batches(_inject, batch_format="pyarrow")
 
 
-@register("minhash_near_dup")
+# Brute-force word-3-shingle Jaccard over the injected corpus — the
+# DuckDB oracle for the MinHash-LSH family. Shingle construction and
+# the i/(|A|+|B|-i) ratio replay geoflow.stages.dedup exactly (distinct
+# shingles per doc; docs with < 3 tokens form one whole-text shingle).
+_MINHASH_PAIRS_CTE = r"""
+docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' extra tail token' FROM documents
+  WHERE doc_id % 7 = 0
+),
+tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM docs),
+sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) < 3
+       THEN CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                 ELSE [array_to_string(toks, ' ')] END
+       ELSE list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       END) AS s
+  FROM tok
+),
+shd AS (SELECT DISTINCT doc_id, s FROM sh),
+cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b, i * 1.0 / (ca.n + cb.n - i) AS jaccard
+  FROM inter JOIN cnt ca ON ca.doc_id = id_a
+             JOIN cnt cb ON cb.doc_id = id_b
+  WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+)
+"""
+
+
+@register("minhash_near_dup", sql="WITH " + _MINHASH_PAIRS_CTE + """
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM pairs
+""")
 def minhash_near_dup(sf_dir: str):
-    import ray
+    """MinHash-LSH near-dup pairs, DuckDB-verified against a brute-force
+    shingle-Jaccard CTE (hash match => the LSH candidate generation has
+    recall 1.0 on every pair above the threshold AND the exact-verify
+    stage removed every false positive)."""
     from ..stages.dedup import minhash_lsh_pairs
 
-    ds = _docs_with_near_dups(sf_dir)
-    texts = {int(r["doc_id"]): r["text"] for r in ds.iter_rows()}
-    pairs = minhash_lsh_pairs(ds, "doc_id", jaccard_threshold=0.5,
-                              texts_ref=ray.put(texts))
+    pairs = minhash_lsh_pairs(_docs_with_near_dups(sf_dir), "doc_id",
+                              jaccard_threshold=0.5)
     return pairs.map_batches(
         lambda b: pa.table({
             "id_a": pc.cast(b.column("id_a"), pa.int64()),
@@ -888,23 +926,40 @@ def minhash_near_dup(sf_dir: str):
         }), batch_format="pyarrow")
 
 
-@register("minhash_dup_clusters")
+@register("minhash_dup_clusters", sql="WITH RECURSIVE " + _MINHASH_PAIRS_CTE
+          + """,
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+         FROM reach GROUP BY a)
+SELECT component AS representative_id, count(*) AS cluster_size
+FROM comp GROUP BY component
+""")
 def minhash_dup_clusters(sf_dir: str):
-    """Near-dup clusters: MinHash-LSH pairs -> connected components ->
-    one representative (min id) per cluster with its size."""
-    import ray
-    from ..stages.dedup import dup_components_driver, minhash_lsh_pairs
+    """Near-dup clusters: MinHash-LSH pairs -> DISTRIBUTED connected
+    components (min-label propagation over bucketed joins — the 10^12
+    path; the driver union-find is gone) -> (representative, size).
+    Oracle: recursive-CTE transitive closure over the brute-force pair
+    set."""
+    from ray.data.aggregate import Count
 
-    ds = _docs_with_near_dups(sf_dir)
-    texts = {int(r["doc_id"]): r["text"] for r in ds.iter_rows()}
-    pairs = minhash_lsh_pairs(ds, "doc_id", jaccard_threshold=0.5,
-                              texts_ref=ray.put(texts)).to_pandas()
-    comp = dup_components_driver(pairs)
-    out = (comp.groupby("component")
-           .agg(cluster_size=("doc_id", "size"))
-           .reset_index()
-           .rename(columns={"component": "representative_id"}))
-    return out.sort_values("representative_id").reset_index(drop=True)
+    from ..stages.dedup import dup_components, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_docs_with_near_dups(sf_dir), "doc_id",
+                              jaccard_threshold=0.5)
+    comp = dup_components(pairs)
+    agg = comp.groupby("component").aggregate(
+        Count(alias_name="cluster_size"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "representative_id": pc.cast(b.column("component"), pa.int64()),
+            "cluster_size": pc.cast(b.column("cluster_size"), pa.int64()),
+        }), batch_format="pyarrow")
 
 
 @register("simhash_near_dup")

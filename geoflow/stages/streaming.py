@@ -1,27 +1,36 @@
-"""Incremental streaming state: actor-held session windows.
+"""Incremental streaming state: watermarked windows + session gaps.
 
 Ray Data has no watermarks; the ordered-log pattern (ray_guide
-"Streaming-shaped workloads") is: treat the events table as a log
-ordered by ts, shard state by key-hash bucket across ``@ray.remote``
-actors, and feed each actor its bucket's rows in ts order. The actor
-keeps the OPEN session per key (incremental state), emits a session the
-moment the gap closes it, and a final ``flush`` drains what's still
-open. This is the raw-actor escape hatch the Dataset API can't express
-(the batch equivalent — per-key ``map_groups`` over the whole log — is
-geoflow.stages.windows.session_windows; both produce identical rows,
-tested against each other).
+"Streaming-shaped workloads") has two faces here:
 
-Ordering contract: the caller must deliver each bucket's rows in
-non-decreasing (ts, event_id) order. ``streaming_sessionize`` satisfies
-it by sorting the Dataset by (ts, event_id) and routing batches from the
-sorted stream; in a true ingestion setting the upstream log supplies the
-order per partition.
+- **Dataset entrypoints** (``streaming_sessionize``,
+  ``streaming_window_aggregate``): fully DISTRIBUTED replay of the
+  incremental state machine. One map_batches pass tags each row with a
+  key-hash bucket; ONE groupby co-locates each bucket's log; inside the
+  bucket group the log is replayed in arrival order with *vectorized*
+  state evolution (numpy gap detection / running-max watermark — no
+  per-row Python, no driver loop). The round-1 driver-side
+  ``iter_batches`` routing is gone: the driver only receives the final
+  aggregate-sized result.
+- **Actors** (``SessionActor``, ``WindowActor``): the true-ingestion
+  escape hatch for a continuous upstream feed (each actor owns a
+  bucket's open state, emits on watermark advance). Semantics are
+  identical to the replay; the watermark/late-drop contract is
+  unit-tested on the actors with disordered feeds.
+
+Watermark contract (both faces): watermark = max event time seen so
+far minus allowed lateness; an event whose window already fell fully
+behind the watermark *at its arrival* is dropped, never merged into an
+emitted result. The replay evaluates the watermark per arrival row
+(running max of earlier rows); the actor advances it per ingest batch —
+identical for in-order feeds, and both tested.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 
@@ -37,18 +46,43 @@ class SessionActor:
 
     def ingest(self, keys: np.ndarray, ts_us: np.ndarray,
                values: np.ndarray) -> int:
-        for k, t, v in zip(keys.tolist(), ts_us.tolist(), values.tolist()):
-            cur = self.open.get(k)
-            if cur is not None and t - cur["end"] > self.gap_us:
+        """Vectorized: one numpy pass per distinct key in the batch
+        (stable key sort + group-boundary detection), not per row."""
+        order = np.argsort(keys, kind="stable")     # keeps ts order per key
+        k = np.asarray(keys)[order]
+        t = np.asarray(ts_us)[order]
+        v = np.asarray(values)[order]
+        bounds = np.concatenate(
+            ([0], np.nonzero(k[1:] != k[:-1])[0] + 1, [len(k)]))
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            key = int(k[s])
+            ts_seg, v_seg = t[s:e], v[s:e]
+            new_s = np.concatenate(
+                ([False], np.diff(ts_seg) > self.gap_us))
+            cur = self.open.get(key)
+            if cur is not None and ts_seg[0] - cur["end"] > self.gap_us:
                 self.closed.append(cur)
                 cur = None
-            if cur is None:
-                self.open[k] = {"key": k, "start": t, "end": t,
-                                "n": 1, "value_sum": v}
-            else:
-                cur["end"] = t
-                cur["n"] += 1
-                cur["value_sum"] += v
+            seg_id = np.cumsum(new_s)
+            n_seg = int(seg_id[-1]) + 1
+            starts = np.concatenate(([0], np.nonzero(new_s)[0]))
+            ends = np.concatenate((starts[1:], [len(ts_seg)]))
+            counts = ends - starts
+            sums = np.add.reduceat(v_seg, starts)
+            for i in range(n_seg):
+                piece = {"key": key, "start": int(ts_seg[starts[i]]),
+                         "end": int(ts_seg[ends[i] - 1]),
+                         "n": int(counts[i]), "value_sum": float(sums[i])}
+                if i == 0 and cur is not None:
+                    cur["end"] = piece["end"]
+                    cur["n"] += piece["n"]
+                    cur["value_sum"] += piece["value_sum"]
+                    piece = cur
+                if i < n_seg - 1:
+                    self.closed.append(piece)
+                    self.open.pop(key, None)
+                else:
+                    self.open[key] = piece
         return len(self.closed)
 
     def flush(self) -> list[dict]:
@@ -59,55 +93,78 @@ class SessionActor:
         return out
 
 
+_SESSION_COLS = ["user_id", "session_id", "n_events",
+                 "session_start_us", "session_end_us", "value_sum"]
+
+
+def _empty_sessions() -> pd.DataFrame:
+    return pd.DataFrame({
+        "user_id": pd.Series(dtype=np.int64),
+        "session_id": pd.Series(dtype=np.int64),
+        "n_events": pd.Series(dtype=np.int64),
+        "session_start_us": pd.Series(dtype=np.int64),
+        "session_end_us": pd.Series(dtype=np.int64),
+        "value_sum": pd.Series(dtype=np.float64),
+    })
+
+
 def streaming_sessionize(events_ds, gap_s: int = 1800, n_buckets: int = 4,
                          key_col: str = "user_id", ts_col: str = "ts",
                          value_col: str = "value") -> pd.DataFrame:
-    """Sessionize via incremental actor state; rows match
+    """Sessionize by distributed ordered-log replay; rows match
     geoflow.stages.windows.session_windows (see module docstring).
 
-    Returns (user_id, session_id, n_events, session_start_us,
-    session_end_us, value_sum) with session_id numbered per key in ts
-    order.
+    One bucket-tag pass + ONE groupby shuffle; each bucket group
+    replays its log with numpy gap detection (no per-row Python, no
+    driver routing). Returns (user_id, session_id, n_events,
+    session_start_us, session_end_us, value_sum) with session_id
+    numbered per key in ts order; only this aggregate-sized session
+    table reaches the driver.
     """
     gap_us = gap_s * 1_000_000
-    actors = [SessionActor.remote(gap_us) for _ in range(n_buckets)]
-    ordered = events_ds.sort([ts_col, "event_id"])
-    pending = []
-    for batch in ordered.iter_batches(batch_size=8192,
-                                      batch_format="pandas"):
-        keys = batch[key_col].to_numpy().astype(np.int64)
-        ts_us = batch[ts_col].to_numpy().astype("datetime64[us]").view("int64")
-        vals = batch[value_col].to_numpy().astype(np.float64)
-        bucket = (keys % n_buckets).astype(np.int64)
-        for bi in range(n_buckets):
-            m = bucket == bi
-            if m.any():
-                # sequential per actor (ordering), pipelined across actors
-                pending.append(actors[bi].ingest.remote(
-                    keys[m], ts_us[m], vals[m]))
-        if len(pending) > n_buckets * 4:
-            ray.get(pending)
-            pending = []
-    ray.get(pending)
-    rows: list[dict] = []
-    for sessions in ray.get([a.flush.remote() for a in actors]):
-        rows.extend(sessions)
-    for a in actors:
-        ray.kill(a)
-    if not rows:
-        return pd.DataFrame(columns=["user_id", "session_id", "n_events",
-                                     "session_start_us", "session_end_us",
-                                     "value_sum"])
-    df = pd.DataFrame(rows).sort_values(["key", "start"])
-    df["session_id"] = df.groupby("key").cumcount() + 1
-    return pd.DataFrame({
-        "user_id": df["key"].to_numpy(),
-        "session_id": df["session_id"].to_numpy(np.int64),
-        "n_events": df["n"].to_numpy(np.int64),
-        "session_start_us": df["start"].to_numpy(np.int64),
-        "session_end_us": df["end"].to_numpy(np.int64),
-        "value_sum": df["value_sum"].to_numpy(np.float64),
-    }).reset_index(drop=True)
+
+    def _tag(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_numpy().astype(np.int64)
+        return b.append_column(
+            "_bucket", pa.array((keys % n_buckets).astype(np.int32)))
+
+    def _replay(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, "event_id"], kind="mergesort")
+        if len(g) == 0:
+            return _empty_sessions()
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").view(np.int64)
+        keys = g[key_col].to_numpy().astype(np.int64)
+        vals = g[value_col].to_numpy().astype(np.float64)
+        newkey = np.concatenate(([True], keys[1:] != keys[:-1]))
+        gap = np.concatenate(([gap_us + 1], ts[1:] - ts[:-1]))
+        new_s = newkey | (gap > gap_us)
+        seg = np.cumsum(new_s) - 1                      # session index
+        starts_idx = np.nonzero(new_s)[0]
+        ends_idx = np.concatenate((starts_idx[1:] - 1, [len(ts) - 1]))
+        n_events = np.bincount(seg)
+        vsum = np.bincount(seg, weights=vals)
+        skey = keys[starts_idx]
+        # session_id = 1-based rank of the session within its key
+        first_seg_of_key = np.nonzero(newkey[starts_idx])[0]
+        reps = np.diff(np.concatenate((first_seg_of_key, [len(skey)])))
+        sid = np.arange(len(skey)) - np.repeat(first_seg_of_key, reps) + 1
+        return pd.DataFrame({
+            "user_id": skey,
+            "session_id": sid.astype(np.int64),
+            "n_events": n_events.astype(np.int64),
+            "session_start_us": ts[starts_idx],
+            "session_end_us": ts[ends_idx],
+            "value_sum": vsum,
+        })
+
+    out = (events_ds.map_batches(_tag, batch_format="pyarrow")
+           .groupby("_bucket")
+           .map_groups(_replay, batch_format="pandas")
+           .to_pandas())
+    if len(out) == 0:
+        return _empty_sessions()
+    return out[_SESSION_COLS].sort_values(
+        ["user_id", "session_id"]).reset_index(drop=True)
 
 
 @ray.remote
@@ -167,45 +224,74 @@ def streaming_window_aggregate(events_ds, width_s: int = 3600,
                                key_col: str = "event_type",
                                ts_col: str = "ts", value_col: str = "value",
                                allowed_lateness_s: int = 0,
-                               n_buckets: int = 4):
-    """Tumbling-window count/sum with watermark semantics.
+                               n_buckets: int = 4,
+                               arrival_col: str | None = None):
+    """Tumbling-window count/sum with watermark semantics, distributed.
 
-    Same ordered-log shape as ``streaming_sessionize`` (per-bucket
-    actors, ts-sorted feed); with in-order delivery nothing drops and
-    the result equals the batch groupby (DuckDB-verified as
-    ``events_hourly_streaming``); under disorder the watermark contract
-    applies (tested with shuffled feeds in tests/test_streaming.py).
+    Same bucket-group replay shape as ``streaming_sessionize``: hash
+    the key to ``n_buckets``, ONE groupby, replay each bucket's log in
+    arrival order with a vectorized running-max watermark. Arrival
+    order defaults to (ts, event_id) — i.e. an in-order log, where
+    nothing drops and the result equals the batch groupby
+    (DuckDB-verified as ``events_hourly_streaming``); pass
+    ``arrival_col`` to replay a disordered feed, where the watermark
+    drop contract applies (tested in tests/test_streaming.py).
 
     Returns (DataFrame[key, window_id, n_events, value_sum],
     dropped_count).
     """
     width_us = width_s * 1_000_000
     late_us = allowed_lateness_s * 1_000_000
-    actors = [WindowActor.remote(width_us, late_us)
-              for _ in range(n_buckets)]
-    ordered = events_ds.sort([ts_col, "event_id"])
-    pending = []
-    for batch in ordered.iter_batches(batch_size=8192,
-                                      batch_format="pandas"):
-        keys = batch[key_col].to_numpy()
-        ts_us = batch[ts_col].to_numpy().astype("datetime64[us]").view("int64")
-        vals = batch[value_col].to_numpy().astype(np.float64)
-        bucket = pd.util.hash_array(keys) % n_buckets
-        for bi in range(n_buckets):
-            m = bucket == bi
-            if m.any():
-                pending.append(actors[bi].ingest.remote(
-                    keys[m].tolist(), ts_us[m], vals[m]))
-        if len(pending) > n_buckets * 4:
-            ray.get(pending)
-            pending = []
-    ray.get(pending)
-    rows, dropped = [], 0
-    for out, d in ray.get([a.flush.remote() for a in actors]):
-        rows.extend(out)
-        dropped += d
-    df = pd.DataFrame(rows, columns=[key_col, "window_id", "n_events",
-                                     "value_sum"])
+
+    def _tag(b: pd.DataFrame) -> pd.DataFrame:
+        bucket = pd.util.hash_array(
+            np.asarray(b[key_col])) % n_buckets
+        b = b.copy()
+        b["_bucket"] = bucket.astype(np.int32)
+        return b
+
+    order_cols = [arrival_col] if arrival_col else [ts_col, "event_id"]
+
+    def _replay(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        if len(g) == 0:
+            return pd.DataFrame({key_col: pd.Series(dtype=object),
+                                 "window_id": pd.Series(dtype=np.int64),
+                                 "n_events": pd.Series(dtype=np.int64),
+                                 "value_sum": pd.Series(dtype=np.float64),
+                                 "_dropped": pd.Series(dtype=np.int64)})
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").view(np.int64)
+        win = ts // width_us
+        # watermark visible to each row = max ts of STRICTLY EARLIER
+        # arrivals minus lateness (the actor's per-batch watermark is
+        # the batched form of the same rule)
+        # sentinel well below any timestamp but with room to subtract
+        # late_us without int64 underflow (int64.min - late wraps POSITIVE)
+        prev_max = np.concatenate(
+            ([-(1 << 62)], np.maximum.accumulate(ts)[:-1]))
+        wm = prev_max - late_us
+        drop = (win + 1) * width_us <= wm
+        kept = g[~drop].assign(window_id=win[~drop])
+        out = (kept.groupby([key_col, "window_id"], sort=False,
+                            observed=True)
+               .agg(n_events=(value_col, "size"),
+                    value_sum=(value_col, "sum"))
+               .reset_index())
+        out["_dropped"] = 0
+        if drop.any():   # carry the bucket's drop count as one tally row
+            out = pd.concat([out, pd.DataFrame({
+                key_col: [g[key_col].iloc[0]], "window_id": [-1],
+                "n_events": [0], "value_sum": [0.0],
+                "_dropped": [int(drop.sum())]})], ignore_index=True)
+        return out
+
+    all_rows = (events_ds.map_batches(_tag, batch_format="pandas")
+                .groupby("_bucket")
+                .map_groups(_replay, batch_format="pandas")
+                .to_pandas())
+    dropped = int(all_rows["_dropped"].sum()) if len(all_rows) else 0
+    df = all_rows[all_rows["_dropped"] == 0][
+        [key_col, "window_id", "n_events", "value_sum"]].copy()
     df["window_id"] = df["window_id"].astype(np.int64)
     df["n_events"] = df["n_events"].astype(np.int64)
     return df.sort_values([key_col, "window_id"]).reset_index(drop=True), \

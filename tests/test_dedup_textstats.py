@@ -26,12 +26,9 @@ def _docs_ds(ray_session=None, n=120, dup_every=10):
 
 
 def test_minhash_finds_near_dups(ray_session):
-    import ray
     ds, df = _docs_ds()
-    texts_ref = ray.put(dict(zip(df["doc_id"], df["text"])))
-    pairs = dedup.minhash_lsh_pairs(ds, "doc_id", num_perm=64,
-                                    jaccard_threshold=0.5,
-                                    texts_ref=texts_ref).to_pandas()
+    pairs = dedup.minhash_lsh_pairs(ds, "doc_id",
+                                    jaccard_threshold=0.5).to_pandas()
     # every injected pair must be found (exact dups have jaccard 1.0)
     expected_pairs = set()
     for i in range(len(df)):

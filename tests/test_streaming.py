@@ -61,6 +61,41 @@ def test_watermark_window_matches_batch(ray_session):
     assert np.allclose(gs["value_sum"], es["value_sum"])
 
 
+def test_replay_watermark_drops_late_events_dataset_path(ray_session):
+    """Disordered feed through the DISTRIBUTED replay (arrival_col):
+    same late-drop contract as the actor."""
+    import ray.data as rd
+    from geoflow.stages.streaming import streaming_window_aggregate
+
+    h = 3_600_000_000
+    base = np.datetime64("2024-01-01", "us")
+    ev = pd.DataFrame({
+        "event_id": [0, 1, 2, 3],
+        "arrival": [0, 1, 2, 3],
+        "event_type": ["x"] * 4,
+        "ts": base + np.array([10, 20, 2 * h + 5, 30]).astype(
+            "timedelta64[us]"),
+        "value": [1.0, 2.0, 4.0, 8.0],
+    })
+    got, dropped = streaming_window_aggregate(
+        rd.from_pandas(ev), width_s=3600, key_col="event_type",
+        allowed_lateness_s=0, n_buckets=2, arrival_col="arrival")
+    assert dropped == 1            # the ts=30 row arrives behind watermark
+    rows = {(r.event_type, r.window_id): (r.n_events, r.value_sum)
+            for r in got.itertuples(index=False)}
+    w0 = int((base.astype(np.int64)) // h)
+    assert rows[("x", w0)] == (2, 3.0)
+    assert rows[("x", w0 + 2)] == (1, 4.0)
+    # within-lateness disorder is absorbed
+    got2, dropped2 = streaming_window_aggregate(
+        rd.from_pandas(ev), width_s=3600, key_col="event_type",
+        allowed_lateness_s=7200, n_buckets=2, arrival_col="arrival")
+    assert dropped2 == 0
+    rows2 = {(r.event_type, r.window_id): (r.n_events, r.value_sum)
+             for r in got2.itertuples(index=False)}
+    assert rows2[("x", w0)] == (3, 11.0)
+
+
 def test_watermark_drops_late_events(ray_session):
     import ray
     from geoflow.stages.streaming import WindowActor
