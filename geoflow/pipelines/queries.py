@@ -840,6 +840,110 @@ def ann_lsh_top5(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+@register("flagship_zonal_verified", sql="""
+WITH win AS (
+  SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+         min(len(text)) AS n_chars
+  FROM documents GROUP BY text
+), g AS (
+  SELECT doc_id, n_copies, n_chars,
+         (doc_id * 2654435761 + 17) % 4294967296 AS h1,
+         (doc_id * 2246822519 + 101) % 4294967296 AS h2,
+         doc_id % 10 AS sel
+  FROM win
+), geo AS (
+  SELECT doc_id, n_copies, n_chars,
+    CASE WHEN sel = 0 THEN 40.7 + (h1 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 1 THEN 51.5 + (h1 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 2 THEN 35.7 + (h1 / 4294967296.0 - 0.5) * 0.5
+         ELSE h1 / 4294967296.0 * 130.0 - 60.0 END AS lat,
+    CASE WHEN sel = 0 THEN -74.0 + (h2 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 1 THEN -0.1 + (h2 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 2 THEN 139.7 + (h2 / 4294967296.0 - 0.5) * 0.5
+         ELSE h2 / 4294967296.0 * 360.0 - 180.0 END AS lon
+  FROM g
+)
+SELECT CAST(floor((lon + 180.0) / 360.0 * 32.0) AS BIGINT) AS zone_x,
+       CAST(floor((90.0 - lat) / 180.0 * 32.0) AS BIGINT) AS zone_y,
+       count(*) AS n_pages,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+       CAST(sum(n_copies) AS BIGINT) AS n_copies_sum
+FROM geo GROUP BY zone_x, zone_y
+""")
+def flagship_zonal_verified(sf_dir: str):
+    """SQL-verified twin of the flagship pipeline: every stage is the
+    real engine stage, keyed so DuckDB replays it bit-exactly.
+
+    - extract + byte-identity: each doc renders to HTML (same template
+      as sources.pages.wrap_documents_batch), runs the REAL extractor,
+      and asserts the result equals an INDEPENDENTLY constructed
+      expected string (title + heading + canonicalized lines + decoded
+      footer) — any tag/entity/whitespace drift fails the task loudly;
+    - exact dedup: content-hash groupby, min-doc_id winner, copy count
+      (SQL: GROUP BY text);
+    - geocode + zonal: doc_id geocode (SQL-replayable) aggregated on a
+      32x32 (zone_x, zone_y) grid — the Morton cell id of
+      flagship_zonal is the bit-interleave of exactly these coords.
+    """
+    from ray.data.aggregate import Count, Min, Sum
+
+    from ..stages.extract import extract_text
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _extract_verify(b: pa.Table) -> pa.Table:
+        from ..sources.pages import wrap_documents_batch
+        ids = b.column("doc_id").to_numpy()
+        texts = b.column("text").to_pylist()
+        pages = wrap_documents_batch(
+            b.append_column("lang", pa.array(["x"] * len(b))))
+        htmls = pages.column("html").to_pylist()
+        for html, i, body in zip(htmls, ids.tolist(), texts):
+            got = extract_text(html)
+            lines = [" ".join(ln.split())
+                     for ln in (body or "").split("\n") if ln.strip()]
+            expected = "\n".join([f"doc {i}", f"Document {i}"]
+                                 + lines + ["© 2025"])
+            if got != expected:
+                raise ValueError(
+                    f"extraction byte-identity violated for doc {i}")
+        from .flagship import text_hash64
+        return pa.table({
+            "text_hash": pa.array(text_hash64(texts), pa.int64()),
+            "doc_id": b.column("doc_id"),
+            "n_chars": pa.array(
+                np.fromiter((len(t or "") for t in texts),
+                            dtype=np.int64, count=len(texts))),
+        })
+
+    slim = ds.map_batches(_extract_verify, batch_format="pyarrow")
+    winners = slim.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="doc_id"),
+        Min("n_chars", alias_name="n_chars"),
+        Count(alias_name="n_copies"))
+
+    def _zone(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        lat, lon = geocode_doc_ids(ids)
+        return pa.table({
+            "zone_x": np.floor((lon + 180.0) / 360.0 * 32.0).astype(np.int64),
+            "zone_y": np.floor((90.0 - lat) / 180.0 * 32.0).astype(np.int64),
+            "n_chars": b.column("n_chars"),
+            "n_copies": pc.cast(b.column("n_copies"), pa.int64()),
+        })
+
+    agg = grouped_count_sum(winners.map_batches(_zone, batch_format="pyarrow"),
+                            ["zone_x", "zone_y"], ["n_chars", "n_copies"],
+                            count_alias="n_pages")
+    return agg.map_batches(
+        lambda b: pa.table({
+            "zone_x": b.column("zone_x"), "zone_y": b.column("zone_y"),
+            "n_pages": b.column("n_pages"),
+            "n_chars_sum": b.column("n_chars_sum"),
+            "n_copies_sum": b.column("n_copies_sum"),
+        }), batch_format="pyarrow")
+
+
 @register("flagship_zonal")
 def flagship_zonal(sf_dir: str):
     from ..sources.pages import pages_from_documents
@@ -976,24 +1080,75 @@ def simhash_near_dup(sf_dir: str):
         }), batch_format="pyarrow")
 
 
-@register("langid_docs")
+_STOPLIST_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in sorted(ws)) + "]"
+    for lang, ws in textstats._STOPWORDS.items() if ws}
+
+
+@register("langid_docs", sql=rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_transform(regexp_extract_all(text, '\pL+'),
+                        w -> lower(w)) AS toks
+  FROM documents
+), h AS (
+  SELECT doc_id, text, toks,
+    len(list_filter(toks, w -> list_contains({_STOPLIST_SQL['en']}, w))) AS h_en,
+    len(list_filter(toks, w -> list_contains({_STOPLIST_SQL['de']}, w))) AS h_de,
+    len(list_filter(toks, w -> list_contains({_STOPLIST_SQL['fr']}, w))) AS h_fr,
+    len(list_filter(toks, w -> list_contains({_STOPLIST_SQL['es']}, w))) AS h_es
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN text IS NULL OR text = '' THEN 'und'
+       WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+       WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+       WHEN len(toks) = 0 THEN 'und'
+       WHEN h_es > greatest(h_en, h_de, h_fr) THEN 'es'
+       WHEN h_fr > greatest(h_en, h_de) THEN 'fr'
+       WHEN h_de > h_en THEN 'de'
+       ELSE 'en' END AS lang_pred
+FROM h
+""")
 def langid_docs(sf_dir: str):
+    """Stopword/script language ID; the DuckDB oracle replays the exact
+    decision procedure (script regexes first, then strict-greater argmax
+    over per-language stopword hit counts in en,de,fr,es order)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(textstats.LangId, batch_format="pyarrow",
                           concurrency=2).map_batches(
         lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow")
 
 
-@register("doc_quality_scores")
+@register("doc_quality_scores", sql=r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[a-zA-Z]'))
+       * (greatest(len(text), 1) - len(regexp_extract_all(text, '[0-9]')))
+       * 1000000
+       // (greatest(len(text), 1) * greatest(len(text), 1)) AS BIGINT)
+      AS quality_e6,
+  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+FROM documents
+""")
 def doc_quality_scores(sf_dir: str):
+    """Composite quality = alpha_ratio * (1 - digit_ratio), emitted as
+    the EXACT scaled integer floor(na*(len-nd)*1e6 / len^2): ratio
+    scores with power-of-two denominators (len 128, 512, ...) land
+    exactly on decimal rounding boundaries where numpy (banker's) and
+    DuckDB (half-away) disagree — integer arithmetic on both sides
+    removes float rounding from the contract entirely."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def _q(b: pa.Table) -> pa.Table:
         out = textstats.quality_score_batch(b)
+        ln = np.maximum(out.column("text_len").to_numpy(), 1).astype(np.int64)
+        na = out.column("n_alpha").to_numpy().astype(np.int64)
+        nd = out.column("n_digit").to_numpy().astype(np.int64)
+        q_e6 = na * (ln - nd) * 1_000_000 // (ln * ln)
         return pa.table({
             "doc_id": out.column("doc_id"),
-            "quality": pa.array(np.round(out.column("quality").to_numpy(), 6)),
-            "n_tokens": out.column("n_tokens"),
+            "quality_e6": pa.array(q_e6, pa.int64()),
+            "n_tokens": pc.cast(out.column("n_tokens"), pa.int64()),
         })
 
     return ds.map_batches(_q, batch_format="pyarrow")
@@ -1012,7 +1167,48 @@ def doc_fingerprints(sf_dir: str):
     return ds.map_batches(_fp, batch_format="pyarrow")
 
 
-@register("knn_haversine_docs")
+_QUERY_GEO_CTE = """
+qid0 AS (SELECT unnest(range(0, 20)) AS query_id),
+qid1 AS (SELECT query_id, query_id + 777000 AS gid FROM qid0),
+qh AS (
+  SELECT query_id,
+         (gid * 2654435761 + 17) % 4294967296 AS h1,
+         (gid * 2246822519 + 101) % 4294967296 AS h2,
+         gid % 10 AS sel
+  FROM qid1
+), qgeo AS (
+  SELECT query_id,
+    CASE WHEN sel = 0 THEN 40.7 + (h1 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 1 THEN 51.5 + (h1 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 2 THEN 35.7 + (h1 / 4294967296.0 - 0.5) * 0.5
+         ELSE h1 / 4294967296.0 * 130.0 - 60.0 END AS qlat,
+    CASE WHEN sel = 0 THEN -74.0 + (h2 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 1 THEN -0.1 + (h2 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 2 THEN 139.7 + (h2 / 4294967296.0 - 0.5) * 0.5
+         ELSE h2 / 4294967296.0 * 360.0 - 180.0 END AS qlon
+  FROM qh
+)
+"""
+
+
+@register("knn_haversine_docs", sql=_GEO_SQL_CTE + "," + _QUERY_GEO_CTE + """
+, d AS (
+  SELECT query_id, doc_id AS neighbor_id,
+         2 * 6371.0088 * asin(sqrt(
+             pow(sin(radians(lat - qlat) / 2), 2)
+             + cos(radians(qlat)) * cos(radians(lat))
+               * pow(sin(radians(lon - qlon) / 2), 2))) AS dist_km
+  FROM qgeo CROSS JOIN geo
+), r AS (
+  SELECT query_id, neighbor_id, dist_km,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist_km, neighbor_id) AS rank
+  FROM d
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       round(dist_km, 3) AS distance_km
+FROM r WHERE rank <= 5
+""")
 def knn_haversine_docs(sf_dir: str):
     import ray.data as rd
     from ..stages.knn import knn_haversine
@@ -1036,8 +1232,40 @@ def knn_haversine_docs(sf_dir: str):
         }), batch_format="pyarrow")
 
 
-@register("pip_polygon_docs")
+def _pip_edges_sql() -> str:
+    """VALUES rows (region_id, name, x1, y1, x2, y2) for every edge of
+    the deterministic polygon table, at full float precision (repr
+    round-trips doubles), closing edge included — so DuckDB can replay
+    the exact even-odd crossing test."""
+    from ..stages.pip_join import make_polygons
+
+    rows = []
+    for poly in make_polygons(64, seed=42).itertuples(index=False):
+        ring = np.asarray(poly.ring, dtype=np.float64)
+        if (ring[0] != ring[-1]).any():
+            ring = np.vstack([ring, ring[0]])
+        for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+            rows.append(f"({poly.region_id}, '{poly.name}', "
+                        f"{x1!r}, {y1!r}, {x2!r}, {y2!r})")
+    return ",\n".join(rows)
+
+
+@register("pip_polygon_docs", sql=_GEO_SQL_CTE + f"""
+, edges(region_id, name, x1, y1, x2, y2) AS (VALUES {_pip_edges_sql()}),
+hits AS (
+  SELECT geo.doc_id AS id, region_id, name, count(*) AS crossings
+  FROM geo JOIN edges
+    ON ((y1 > lat) <> (y2 > lat))
+   AND lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+  GROUP BY 1, 2, 3
+)
+SELECT id, region_id, name FROM hits WHERE crossings % 2 = 1
+""")
 def pip_polygon_docs(sf_dir: str):
+    """Point-in-polygon join (pinned grid index actor pool); the DuckDB
+    oracle replays the even-odd ray-casting test edge-by-edge against
+    the polygon table embedded as VALUES literals — identical crossing
+    expression, identical operand order, so the parity is exact."""
     import ray.data as rd
     from ..stages.pip_join import make_polygons, pip_join
 

@@ -576,40 +576,96 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     return len(A & B) / max(len(A | B), 1)
 
 
+def vec_column_matrix(col) -> np.ndarray:
+    """Arrow list/tensor column -> (n, d) float64 matrix (zero-copy from
+    the flattened list buffer where the layout allows)."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    mats = []
+    for c in chunks:
+        if len(c) == 0:
+            continue
+        if hasattr(c, "values"):                       # list<float>
+            flat = c.values.to_numpy(zero_copy_only=False)
+            mats.append(flat.reshape(len(c), -1).astype(np.float64))
+        else:                                          # tensor extension
+            arr = c.to_numpy(zero_copy_only=False)
+            if arr.dtype == object:
+                arr = np.stack([np.asarray(v) for v in arr])
+            mats.append(np.asarray(arr, dtype=np.float64))
+    return np.vstack(mats) if mats else np.empty((0, 0))
+
+
+def _unit_rows(batch: pa.Table, id_col: str, vec_col: str) -> pa.Table:
+    """(id, unit-normalized vector) block; vectors flattened zero-copy."""
+    ids = batch.column(id_col).to_numpy().astype(np.int64)
+    mat = vec_column_matrix(batch.column(vec_col))
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    return pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "vec": pa.array(list(mat), pa.list_(pa.float64())),
+    })
+
+
+def _unpack_block(t: pa.Table):
+    ids = t.column("id").to_numpy()
+    col = t.column("vec")
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    mat = np.vstack([c.values.to_numpy(zero_copy_only=False)
+                     .reshape(len(c), -1) for c in chunks]) \
+        if len(ids) else np.empty((0, 0))
+    return ids, mat
+
+
 def embedding_dup_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
                         threshold: float = 0.93):
-    """Pairs with cosine similarity >= threshold.
+    """EXACT pairs with cosine similarity >= threshold, via a blocked
+    distributed cross-join — the default (scale) plan.
 
-    Small-side broadcast: the unit-normalized corpus matrix goes into the
-    object store once (``ray.put``); each batch does one blocked matmul
-    against it. O(N*B) flops per batch — the scale path swaps the
-    broadcast matrix for LSH bucketing (random hyperplanes), same
-    pair-emission contract.
+    The normalized corpus is left in the OBJECT STORE as its Arrow
+    blocks (``to_arrow_refs`` — nothing corpus-sized on the driver); a
+    task per block pair (i <= j) fetches just those two blocks and
+    emits its exact above-threshold pairs. Memory per task = 2 blocks;
+    total network = O(N * num_blocks), the classic exact all-pairs
+    map-reduce bound. Exact all-pairs is inherently quadratic in
+    compute — for web-scale corpora use the approximate alternatives
+    (``cosine_topk_lsh`` random-hyperplane bucketing / MinHash) and
+    reserve this for within-bucket or per-partition verification.
     """
     import ray
+    import ray.data as rd
 
-    rows = ds.select_columns([id_col, vec_col]).to_pandas()
-    ids_all = rows[id_col].to_numpy()
-    mat = np.vstack(rows[vec_col].to_numpy()).astype(np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((ids_all, mat))
+    norm = ds.map_batches(
+        lambda b: _unit_rows(b, id_col, vec_col), batch_format="pyarrow")
+    refs = norm.to_arrow_refs()
+    refs_ref = ray.put(refs)
+    k = len(refs)
+    pair_ds = rd.from_items(
+        [{"bi": i, "bj": j} for i in range(k) for j in range(i, k)])
 
-    def _pairs(batch: pa.Table) -> pa.Table:
-        ids_a, corpus = ray.get(ref)
-        ids = batch.column(id_col).to_numpy()
-        vecs = np.vstack(
-            [np.asarray(v, dtype=np.float64)
-             for v in batch.column(vec_col).to_pylist()])
-        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
-        sims = vecs @ corpus.T
-        ri, ci = np.nonzero(sims >= threshold)
-        a_ = ids[ri]
-        b_ = ids_a[ci]
-        keep = a_ < b_   # canonical orientation also drops self-pairs
+    def _score(batch: pa.Table) -> pa.Table:
+        blocks = ray.get(refs_ref)
+        out_a, out_b, out_c = [], [], []
+        for bi, bj in zip(batch.column("bi").to_pylist(),
+                          batch.column("bj").to_pylist()):
+            ids_a, A = _unpack_block(ray.get(blocks[bi]))
+            ids_b, B = _unpack_block(ray.get(blocks[bj]))
+            if not len(ids_a) or not len(ids_b):
+                continue
+            sims = A @ B.T
+            ri, ci = np.nonzero(sims >= threshold)
+            a_, b_ = ids_a[ri], ids_b[ci]
+            keep = a_ < b_   # canonical orientation also drops self-pairs
+            out_a.append(a_[keep])
+            out_b.append(b_[keep])
+            out_c.append(np.round(sims[ri, ci][keep], 6))
+        if not out_a:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
         return pa.table({
-            "id_a": pa.array(a_[keep], pa.int64()),
-            "id_b": pa.array(b_[keep], pa.int64()),
-            "cosine": pa.array(np.round(sims[ri, ci][keep], 6)),
+            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "cosine": pa.array(np.concatenate(out_c)),
         })
 
-    return ds.map_batches(_pairs, batch_format="pyarrow")
+    return pair_ds.map_batches(_score, batch_format="pyarrow", batch_size=4)
