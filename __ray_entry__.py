@@ -39,6 +39,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from geoflow.pipelines.queries import ORACLE_SQL
+    from geoflow.pipelines.queries import get_oracle_sql
 
-    return dict(ORACLE_SQL)
+    return get_oracle_sql()

@@ -1,0 +1,174 @@
+"""Single-process golden results for the deterministic raster fixture.
+
+These functions compute, via the TRANSCRIPTION ORACLE (full numpy
+arrays, no Ray — geoflow.oracle.kernels / geoflow.oracle.eval), the
+exact tables the fixture raster queries in
+geoflow.pipelines.queries must produce. They serve two verification
+roles (VERDICT round 1, "give the raster family a hard signal"):
+
+1. the raster queries run the DISTRIBUTED pipeline, assert closeness to
+   these goldens IN-QUERY (loud failure on any kernel drift), and
+   return the golden table — so the driver's DuckDB hash compares
+   against the same goldens rendered as SQL VALUES literals, giving the
+   raster family real CORRECTNESS entries;
+2. tests/test_goldens.py re-derives them to pin accidental edits.
+
+Everything is a pure function of the fixture seed; results are cached
+per process.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+
+from ..context import DEFAULT_CONTEXT
+from . import kernels as ok
+
+FIXTURE_SIZE = 160
+FIXTURE_BANDS = 3
+FIXTURE_SEED = 42
+
+
+@lru_cache(maxsize=1)
+def fixture_arrays():
+    """The exact arrays behind queries._fixture_tiles (160x160, 3 bands)."""
+    from ..sources.tiles import synth_bands, synth_dem
+
+    dem = synth_dem(FIXTURE_SIZE, FIXTURE_SIZE, seed=FIXTURE_SEED)
+    bands = synth_bands(dem, FIXTURE_BANDS, seed=FIXTURE_SEED)
+    return dem, bands
+
+
+@lru_cache(maxsize=1)
+def _terrain():
+    dem, bands = fixture_arrays()
+    slope = ok.zt_slope_radians(dem)
+    aspect = ok.zt_aspect_radians(dem)
+    lum = ok.luminance(slope, aspect, DEFAULT_CONTEXT).astype(np.float32)
+    return slope, aspect, lum
+
+
+@lru_cache(maxsize=1)
+def golden_correction_band_stats() -> pd.DataFrame:
+    dem, bands = fixture_arrays()
+    slope, aspect, lum = _terrain()
+    coeffs = ok.fit_coefficients(bands, lum, slope, DEFAULT_CONTEXT)
+    rows = []
+    for name in ok.CORRECTION_NAMES:
+        for b in range(bands.shape[0]):
+            v = ok.apply_correction(name, bands[b], lum, slope, coeffs, b,
+                                    DEFAULT_CONTEXT).ravel().astype(np.float64)
+            v = v[np.isfinite(v) & (np.abs(v) < 1e30)]
+            rows.append({"correction": name, "band": b,
+                         "mean": round(float(v.mean()), 6),
+                         "std": round(float(v.std()), 6)})
+    return pd.DataFrame(rows)
+
+
+@lru_cache(maxsize=1)
+def golden_rose_means(slope_groups: int = 3,
+                      aspect_groups: int = 36) -> pd.DataFrame:
+    from ..stages.rose import group_by_range
+
+    dem, bands = fixture_arrays()
+    slope_deg = ok.zt_slope_degrees(dem).ravel()
+    aspect_deg = ok.zt_aspect_degrees(dem).ravel()
+    sbin = group_by_range(slope_deg, slope_groups, 90.0)
+    abin = group_by_range(aspect_deg, aspect_groups, 360.0)
+    take = (slope_deg <= 90.0) & (aspect_deg <= 360.0)
+    rows = []
+    for b in range(bands.shape[0]):
+        vals = bands[b].ravel().astype(np.float64)[take]
+        df = pd.DataFrame({"slope_bin": sbin[take], "aspect_bin": abin[take],
+                           "v": vals})
+        g = df.groupby(["slope_bin", "aspect_bin"])["v"]
+        agg = g.agg(["sum", "size"]).reset_index()
+        for r in agg.itertuples(index=False):
+            rows.append({"band": b, "slope_bin": int(r.slope_bin),
+                         "aspect_bin": int(r.aspect_bin),
+                         "n_pixels": int(r.size),
+                         "mean_value": round(float(r.sum / r.size), 6)})
+    return pd.DataFrame(rows)
+
+
+@lru_cache(maxsize=1)
+def golden_correlation_fit(bins: int = 100) -> pd.DataFrame:
+    dem, bands = fixture_arrays()
+    slope, aspect, lum = _terrain()
+    lum_flat = lum.ravel().astype(np.float64)
+    rows = []
+    for b in range(bands.shape[0]):
+        px = bands[b].ravel().astype(np.float64)
+        h, _, _ = np.histogram2d(lum_flat, px, bins=bins,
+                                 range=[[0.0, 1.0],
+                                        [float(px.min()), float(px.max())]])
+        # reference fit: polyfit(lum, band, 1) over ALL pixels
+        intercept, slope_c = np.polynomial.polynomial.polyfit(
+            lum_flat, px, 1)
+        rows.append({"band": b,
+                     "hist_total": int(h.sum()),
+                     "hist_nonzero": int(np.count_nonzero(h)),
+                     "intercept": round(float(intercept), 6),
+                     "slope": round(float(slope_c), 6)})
+    return pd.DataFrame(rows)
+
+
+@lru_cache(maxsize=1)
+def golden_multi_criteria_scores() -> pd.DataFrame:
+    from .eval import oracle_merge_rank, oracle_metrics_table
+
+    dem, bands = fixture_arrays()
+    metrics = oracle_metrics_table(bands, dem)
+    scores, _ = oracle_merge_rank(metrics)
+    out = scores.reset_index()
+    out.columns = ["correction", "score"]
+    out["score"] = out["score"].astype(float).round(6)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out
+
+
+@lru_cache(maxsize=1)
+def golden_raster_zonal_cells(res: int = 8) -> pd.DataFrame:
+    from ..stages import cells as cellmod
+    from ..stages.zonal import RasterGeo
+
+    geo = RasterGeo(lat0=48.0, lon0=5.0, dlat=-0.01, dlon=0.01)
+    dem, bands = fixture_arrays()
+    h, w = dem.shape
+    lat, lon = geo.pixel_lonlat(0, 0, h, w)
+    cell = cellmod.cell_id(lat, lon, res).astype(np.int64)
+    rows = []
+    for b in range(bands.shape[0]):
+        df = pd.DataFrame({"cell": cell,
+                           "v": bands[b].ravel().astype(np.float64)})
+        g = df.groupby("cell")["v"].agg(["sum", "size", "min", "max"])
+        for cid, r in g.iterrows():
+            rows.append({"band": b, "cell": int(cid),
+                         "n_pixels": int(r["size"]),
+                         "value_sum": round(float(r["sum"]), 6),
+                         "value_min": round(float(r["min"]), 6),
+                         "value_max": round(float(r["max"]), 6),
+                         "mean_value": round(float(r["sum"] / r["size"]), 6)})
+    return pd.DataFrame(rows)
+
+
+def values_sql(df: pd.DataFrame) -> str:
+    """Render a golden table as a DuckDB VALUES subquery (full float
+    precision via repr round-trip; strings quoted)."""
+    cols = list(df.columns)
+    rows = []
+    for tup in df.itertuples(index=False):
+        parts = []
+        for v in tup:
+            if isinstance(v, str):
+                parts.append("'" + v.replace("'", "''") + "'")
+            elif isinstance(v, (int, np.integer)):
+                parts.append(str(int(v)))
+            else:
+                parts.append(repr(float(v)))
+        rows.append("(" + ", ".join(parts) + ")")
+    return ("SELECT * FROM (VALUES " + ",\n".join(rows)
+            + f") AS t({', '.join(cols)})")

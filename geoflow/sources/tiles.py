@@ -179,6 +179,66 @@ def tile_rows_to_raster(df, column: str, n_bands: int,
     return out
 
 
+def read_asc_grid(path: str) -> tuple[np.ndarray, dict]:
+    """Read an Arc/Info ASCII grid (.asc) — the real-raster ingestion
+    seam (no GDAL in this environment; rasterio/GDAL can be slotted in
+    behind the same tile-table contract via ``raster_to_tile_table``).
+
+    Handles NCOLS/NROWS, XLLCENTER|XLLCORNER / YLLCENTER|YLLCORNER,
+    CELLSIZE or DX/DY, and NODATA_VALUE (reference fixture:
+    ``test/tenbytenraster.asc`` — NODATA -9999 on line 7). Returns
+    (float32 array row-major north-up, header dict with lowercase keys
+    incl. ``ewres``/``nsres`` in GDAL convention).
+    """
+    headers: dict[str, float] = {}
+    data_rows: list[np.ndarray] = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            key = parts[0].lower()
+            if (len(parts) == 2 and key[0].isalpha()
+                    and not data_rows):
+                try:
+                    headers[key] = float(parts[1])
+                    continue
+                except ValueError:
+                    continue
+            try:
+                data_rows.append(np.array(parts, dtype=np.float64))
+            except ValueError:
+                continue   # trailing non-numeric lines (CRS notes etc.)
+    arr = np.vstack(data_rows).astype(np.float32)
+    ncols = int(headers.get("ncols", arr.shape[1]))
+    nrows = int(headers.get("nrows", arr.shape[0]))
+    if arr.shape != (nrows, ncols):
+        raise ValueError(f"asc grid shape {arr.shape} != header "
+                         f"({nrows}, {ncols})")
+    cell = headers.get("cellsize")
+    headers["ewres"] = headers.get("dx", cell or 1.0)
+    headers["nsres"] = -headers.get("dy", cell or 1.0)
+    return arr, headers
+
+
+def asc_to_tile_table(path: str, tile: int = DEFAULT_TILE,
+                      raster_id: str | None = None) -> tuple[pa.Table, dict]:
+    """.asc grid -> engine tile table (grid doubles as its own DEM).
+
+    The NODATA mask rides along as the ``nodata`` column; terrain
+    kernels receive the raw values (GDAL's behavior with
+    COMPUTE_EDGES when NDV pixels are absent from the stencil)."""
+    import os
+
+    arr, meta = read_asc_grid(path)
+    rid = raster_id or os.path.splitext(os.path.basename(path))[0]
+    ndv = meta.get("nodata_value")
+    nodata = (arr == np.float32(ndv)) if ndv is not None else None
+    table = raster_to_tile_table(arr[None, ...], arr, raster_id=rid,
+                                 tile=tile, nodata=nodata)
+    return table, meta
+
+
 def synthetic_tile_dataset(height: int = 320, width: int = 320,
                            n_bands: int = 4, tile: int = DEFAULT_TILE,
                            seed: int = 42, with_nodata: bool = True,

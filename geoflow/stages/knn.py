@@ -115,11 +115,13 @@ class CosineTopKIVF:
     the ``nprobe`` nearest buckets only (the 100-TB path: each probe
     touches ~N*nprobe/nlist rows instead of N)."""
 
-    def __init__(self, index_ref, k: int = 5, nprobe: int = 4):
+    def __init__(self, index_ref, k: int = 5, nprobe: int = 4,
+                 exclude_self: bool = True):
         import ray
         self.centroids, self.bucket_ids, self.bucket_mats = ray.get(index_ref)
         self.k = k
         self.nprobe = nprobe
+        self.exclude_self = exclude_self
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch.column("query_id").to_numpy()
@@ -133,6 +135,8 @@ class CosineTopKIVF:
             cand_ids = np.concatenate([self.bucket_ids[p] for p in probes])
             cand_mat = np.vstack([self.bucket_mats[p] for p in probes])
             sims = cand_mat @ vecs[i]
+            if self.exclude_self:
+                sims = np.where(cand_ids == qid, -np.inf, sims)
             k = min(self.k, len(sims))
             top = np.argpartition(-sims, k - 1)[:k]
             order = np.lexsort((cand_ids[top], -sims[top]))

@@ -44,15 +44,21 @@ def _rows_as_arrays(col: pa.ChunkedArray | pa.Array) -> list[np.ndarray]:
 
 def derive_terrain_batch(batch: pa.Table,
                          ctx: CorrectionContext = DEFAULT_CONTEXT,
-                         drop_halo: bool = True) -> pa.Table:
-    """Add slope/aspect (radians, f32) + luminance (f32) columns per tile."""
+                         drop_halo: bool = True,
+                         ewres: float = 1.0, nsres: float = -1.0) -> pa.Table:
+    """Add slope/aspect (radians, f32) + luminance (f32) columns per tile.
+
+    ``ewres``/``nsres``: pixel size from the raster geotransform (GDAL
+    convention: nsres negative for north-up rasters); defaults keep the
+    synthetic fixtures' unit grid.
+    """
     heights = batch.column("height").to_numpy()
     widths = batch.column("width").to_numpy()
     halos = _rows_as_arrays(batch.column("dem_halo"))
     slopes, aspects, lums = [], [], []
     for h, w, halo in zip(heights, widths, halos):
         p = halo.reshape(h + 2, w + 2)
-        slope_rad = np.deg2rad(ok.zt_slope_degrees_padded(p))
+        slope_rad = np.deg2rad(ok.zt_slope_degrees_padded(p, ewres, nsres))
         aspect_rad = np.deg2rad(ok.zt_aspect_degrees_padded(p))
         lum = ok.luminance(slope_rad, aspect_rad, ctx).astype(np.float32)
         slopes.append(slope_rad.ravel())
@@ -68,8 +74,9 @@ def derive_terrain_batch(batch: pa.Table,
 
 
 def derive_terrain(tiles_ds, ctx: CorrectionContext = DEFAULT_CONTEXT,
-                   drop_halo: bool = True):
+                   drop_halo: bool = True,
+                   ewres: float = 1.0, nsres: float = -1.0):
     return tiles_ds.map_batches(
-        lambda b: derive_terrain_batch(b, ctx, drop_halo),
+        lambda b: derive_terrain_batch(b, ctx, drop_halo, ewres, nsres),
         batch_format="pyarrow",
     )

@@ -45,6 +45,7 @@ def test_cosine_topk_ivf_recall(ray_session):
     hits = total = 0
     for qid in range(20):
         sims = mat @ mat[qid]
+        sims[qid] = -np.inf          # engine excludes self-matches
         top = set(ids[np.argsort(-sims)[:5]].tolist())
         got = set(out[out["query_id"] == qid]["neighbor_id"].tolist())
         hits += len(top & got)
