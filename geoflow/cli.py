@@ -109,6 +109,34 @@ def cmd_list(_args) -> dict:
             "duckdb_verified": sorted(ORACLE_SQL)}
 
 
+def cmd_report(args) -> dict:
+    """Render the full evaluation report (rose SVGs, correlation PNGs,
+    rank xlsx) from the distributed pipelines over a tiled raster."""
+    from geoflow.pipelines.queries import _fixture_tiles
+    from geoflow.pipelines.rank import rank_corrections
+    from geoflow.pipelines.report import render_full_report
+    from geoflow.stages.histogram import correlation_eval_ds
+    from geoflow.stages.rose import rose_diagram_ds
+    from geoflow.stages.terrain import derive_terrain
+
+    import ray.data as rd
+
+    t0 = time.perf_counter()
+    if args.tiles_dir:
+        tiles = rd.read_parquet(args.tiles_dir)
+    else:
+        tiles = _fixture_tiles()
+    rose = rose_diagram_ds(tiles).to_pandas()
+    corr = correlation_eval_ds(derive_terrain(tiles)).to_pandas()
+    scores, _, _ = rank_corrections(tiles)
+    rank_df = scores.reset_index()
+    rank_df.columns = ["correction", "score"]
+    out = render_full_report(args.out_dir, rose, corr, rank_df)
+    return {"out_dir": args.out_dir,
+            "files": {k: len(v) for k, v in out.items()},
+            "wall_s": round(time.perf_counter() - t0, 3)}
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="geoflow",
                                 description=__doc__.split("\n")[0])
@@ -134,6 +162,12 @@ def main(argv: list[str] | None = None) -> int:
 
     l = sub.add_parser("list", help="list query names")
     l.set_defaults(fn=cmd_list)
+
+    r = sub.add_parser("report", help="render rose/correlation/rank report")
+    r.add_argument("--tiles-dir", default=None,
+                   help="tile-table parquet dir (default: synthetic fixture)")
+    r.add_argument("--out-dir", default="/tmp/geoflow_report")
+    r.set_defaults(fn=cmd_report)
 
     args = p.parse_args(argv)
     if args.cmd != "list":

@@ -32,9 +32,27 @@ import numpy as np
 
 from ..context import CorrectionContext, DEFAULT_CONTEXT
 
-# gdal_calc's default NoDataValue for Float32 outputs (gdal_calc.py
-# DefaultNDVLookup; raster_calc.py:176 picks it when NoDataValue is None).
-FLOAT32_NDV = 3.402823466e38
+# gdal_calc's default NoDataValue table (public osgeo_utils.gdal_calc
+# DefaultNDVLookup; the reference imports it at util/raster_calc.py:25
+# and applies it at :176 when NoDataValue is None). The engine's kernels
+# compute in float32, but integer-typed inputs/outputs resolve through
+# the same table via default_ndv().
+DEFAULT_NDV_LOOKUP = {
+    np.dtype(np.uint8): 255,
+    np.dtype(np.int8): -128,
+    np.dtype(np.uint16): 65535,
+    np.dtype(np.int16): -32768,
+    np.dtype(np.uint32): 4294967293,
+    np.dtype(np.int32): -2147483647,
+    np.dtype(np.float32): 3.402823466e38,
+    np.dtype(np.float64): 1.7976931348623158e308,
+}
+FLOAT32_NDV = DEFAULT_NDV_LOOKUP[np.dtype(np.float32)]
+
+
+def default_ndv(dtype) -> float:
+    """Default output NODATA for a numpy dtype (raster_calc.py:176)."""
+    return DEFAULT_NDV_LOOKUP[np.dtype(dtype)]
 
 
 # ---------------------------------------------------------------------------

@@ -203,14 +203,21 @@ def rank_corrections_zonal(tiles_ds, names: list[str] | None = None,
 def export_rank_report(scores: pd.DataFrame, metrics: pd.DataFrame,
                        normalized: pd.DataFrame, out_dir: str) -> list[str]:
     """Driver-side report sink (reference exports xlsx sheets,
-    ``multi_criteria_eval.py:231-265``; engine writes CSV + parquet)."""
+    ``multi_criteria_eval.py:231-265``; engine writes CSV + parquet +
+    a real xlsx workbook via the stdlib OOXML writer)."""
     import os
+
+    from .report import write_xlsx
+
     os.makedirs(out_dir, exist_ok=True)
     paths = []
+    sheets = {}
     for name, df in (("scores", scores), ("metrics", metrics),
                      ("normalized_metrics", normalized)):
         p = os.path.join(out_dir, f"{name}.csv")
         df.to_csv(p)
         df.reset_index().to_parquet(os.path.join(out_dir, f"{name}.parquet"))
+        sheets[name] = df.reset_index()
         paths.append(p)
+    paths.append(write_xlsx(os.path.join(out_dir, "report.xlsx"), sheets))
     return paths

@@ -2,13 +2,16 @@
 
 Task-brief component: "treat image/audio/video as opaque binary columns
 with typed metadata; implement decode / feature-extract / resize /
-frame-sample as actor-pool map_batches stages". No image/audio codec
-libraries exist in this container, so the CODEC layer is pluggable:
-real decoders (PIL / torchaudio / pyav) slot in behind ``Codec``;
-the default is a deterministic fake codec over a tiny in-repo header
-format, which keeps the Ray-side plumbing — schema, actor-pool
-signature, batch sizing, memory posture, output layout — real and
-fully tested.
+frame-sample as actor-pool map_batches stages". The CODEC layer is
+pluggable and now handles TWO REAL formats end-to-end with stdlib only:
+
+- PNG (8-bit gray/RGB/RGBA, non-interlaced): zlib inflate + full
+  filter-type 0-4 reconstruction (``decode_png``/``encode_png``),
+- WAV (PCM16): stdlib ``wave`` (``decode_wav``/``encode_wav``).
+
+Heavier codecs (JPEG/FLAC/video) slot in behind the same ``Codec``
+interface (PIL / torchaudio / pyav) when available; the deterministic
+fake header format remains for tests that want arbitrary shapes cheap.
 
 Schema convention for a media table::
 
@@ -51,27 +54,153 @@ def encode_fake_audio(sample_rate: int, n_samples: int, seed: int) -> bytes:
     return MAGIC_AUDIO + struct.pack("<II", sample_rate, n_samples) + samples.tobytes()
 
 
+# --- real PNG codec (stdlib zlib; 8-bit, non-interlaced) -------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG -> (H, W, C) uint8. Supports bit depth 8, color types
+    0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlace; all five
+    scanline filter types are reconstructed per the spec."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat = 8, []
+    w = h = channels = None
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos:pos + 4], "big")
+        typ = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, bitd, ctype, _comp, _filt, inter = struct.unpack(
+                ">IIBBBBB", chunk)
+            if bitd != 8 or inter != 0:
+                raise NotImplementedError("only 8-bit non-interlaced PNG")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    bpp = channels
+    img = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    p = 0
+    for y in range(h):
+        ft = raw[p]
+        row = np.frombuffer(raw, np.uint8, stride, p + 1).astype(np.int64)
+        p += stride + 1
+        if ft == 1:                      # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:                    # Up
+            row = (row + prev) & 0xFF
+        elif ft == 3:                    # Average
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:                    # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pp = a + b - c
+                pa_, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (
+                    b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        prev = row
+        img[y] = row.astype(np.uint8)
+    return img.reshape(h, w, channels)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(H, W[, C]) uint8 -> PNG bytes (filter 0 rows, zlib)."""
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (len(payload).to_bytes(4, "big") + typ + payload
+                + zlib.crc32(typ + payload).to_bytes(4, "big"))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+# --- real WAV codec (stdlib wave; PCM16) -----------------------------------
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """WAV bytes -> (sample_rate, mono float32 in [-1, 1])."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as wf:
+        sr = wf.getframerate()
+        n = wf.getnframes()
+        ch = wf.getnchannels()
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError("only PCM16 WAV")
+        pcm = np.frombuffer(wf.readframes(n), dtype="<i2")
+    x = pcm.astype(np.float32) / 32768.0
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return sr, x
+
+
+def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
+    """mono float32 [-1, 1] -> PCM16 WAV bytes."""
+    import io
+    import wave
+
+    pcm = np.clip(np.asarray(samples, np.float64) * 32767.0,
+                  -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 class Codec:
-    """Decode interface. Swap in a real implementation for production:
-    e.g. PIL.Image.open for images, soundfile/torchaudio for audio.
+    """Decode interface, format-sniffing: real PNG / WAV (stdlib), plus
+    the deterministic fake header format. Heavier codecs (JPEG, FLAC,
+    video) slot in here when their libraries are present.
     ``decode_image -> (H, W, C) uint8``; ``decode_audio -> (n,) float32``.
     """
 
     def decode_image(self, payload: bytes) -> np.ndarray:
-        if payload[:4] != MAGIC_IMAGE:
-            raise NotImplementedError(
-                "real image codecs (JPEG/PNG) are not available in this "
-                "environment; payload is not in the fake-codec format")
-        w, h, c = struct.unpack("<III", payload[4:16])
-        return np.frombuffer(payload, dtype=np.uint8,
-                             offset=16).reshape(h, w, c)
+        if payload[:8] == _PNG_SIG:
+            return decode_png(payload)
+        if payload[:4] == MAGIC_IMAGE:
+            w, h, c = struct.unpack("<III", payload[4:16])
+            return np.frombuffer(payload, dtype=np.uint8,
+                                 offset=16).reshape(h, w, c)
+        raise NotImplementedError(
+            "unsupported image format (PNG and the fake-codec header are "
+            "decodable here; JPEG needs an external codec library)")
 
     def decode_audio(self, payload: bytes) -> tuple[int, np.ndarray]:
-        if payload[:4] != MAGIC_AUDIO:
-            raise NotImplementedError(
-                "real audio codecs are not available in this environment")
-        sr, n = struct.unpack("<II", payload[4:12])
-        return sr, np.frombuffer(payload, dtype=np.float32, offset=12, count=n)
+        if payload[:4] == b"RIFF":
+            return decode_wav(payload)
+        if payload[:4] == MAGIC_AUDIO:
+            sr, n = struct.unpack("<II", payload[4:12])
+            return sr, np.frombuffer(payload, dtype=np.float32,
+                                     offset=12, count=n)
+        raise NotImplementedError(
+            "unsupported audio format (WAV/PCM16 and the fake-codec "
+            "header are decodable here)")
 
 
 def make_media_table(n_images: int = 32, n_audio: int = 16,

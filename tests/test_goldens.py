@@ -34,6 +34,19 @@ def test_lazy_oracle_sql_resolves():
         duckdb.sql(sqls[name]).df()        # parseable + executable
 
 
+def test_default_ndv_lookup():
+    """GDAL default-NDV table parity (osgeo_utils.gdal_calc
+    DefaultNDVLookup; reference util/raster_calc.py:25,176)."""
+    from geoflow.oracle.kernels import FLOAT32_NDV, default_ndv
+
+    assert default_ndv(np.uint8) == 255
+    assert default_ndv(np.int16) == -32768
+    assert default_ndv(np.uint32) == 4294967293
+    assert default_ndv(np.int32) == -2147483647
+    assert default_ndv(np.float32) == FLOAT32_NDV == 3.402823466e38
+    assert default_ndv(np.float64) == 1.7976931348623158e308
+
+
 def test_golden_scores_shape():
     from geoflow.oracle.fixture_goldens import golden_multi_criteria_scores
 

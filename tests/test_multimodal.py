@@ -16,12 +16,15 @@ def test_fake_codec_roundtrip():
     assert np.array_equal(img, codec.decode_image(mm.encode_fake_image(40, 30, 1)))
 
 
-def test_codec_rejects_real_formats():
+def test_codec_rejects_unsupported_formats():
+    import wave
+
     codec = mm.Codec()
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError):   # JPEG needs external libs
         codec.decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
-    with pytest.raises(NotImplementedError):
-        codec.decode_audio(b"RIFF....WAVE")
+    with pytest.raises(wave.Error):            # RIFF routes to the real
+        codec.decode_audio(b"RIFF....WAVE")    # WAV codec, which rejects
+        # truncated/garbage containers loudly
 
 
 def test_image_feature_stage(ray_session):
@@ -61,3 +64,94 @@ def test_media_pipeline_deterministic(ray_session):
     o1 = o1.sort_values("media_id").reset_index(drop=True)
     o2 = o2.sort_values("media_id").reset_index(drop=True)
     assert (o1["mean_intensity"] == o2["mean_intensity"]).all()
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png -> decode_png round-trips; decoder reconstructs
+    filter types 1/2/3/4 from hand-filtered scanlines."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(7)
+    for c in (1, 3, 4):
+        img = rng.integers(0, 256, size=(13, 9, c), dtype=np.uint8)
+        back = mm.decode_png(mm.encode_png(img))
+        assert (back == img).all(), c
+    # build a PNG whose rows use each filter type explicitly
+    img = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    h, w, ch = img.shape
+    bpp = ch
+
+    def filt(y, ft):
+        row = img[y].reshape(-1).astype(np.int64)
+        prev = (img[y - 1].reshape(-1).astype(np.int64)
+                if y > 0 else np.zeros_like(row))
+        out = np.empty_like(row)
+        for i in range(len(row)):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            cc = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cc
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (
+                    b if pb <= pc else cc)
+            out[i] = (row[i] - pred) & 0xFF
+        return bytes([ft]) + bytes(out.astype(np.uint8))
+
+    raw = b"".join(filt(y, y % 5) for y in range(h))
+
+    def chunk(typ, payload):
+        return (len(payload).to_bytes(4, "big") + typ + payload
+                + zlib.crc32(typ + payload).to_bytes(4, "big"))
+
+    data = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    assert (mm.decode_png(data) == img).all()
+
+
+def test_wav_roundtrip():
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal(4000) * 0.3).clip(-1, 1).astype(np.float32)
+    sr, back = mm.decode_wav(mm.encode_wav(16000, x))
+    assert sr == 16000
+    assert len(back) == len(x)
+    assert np.abs(back - x).max() < 2.0 / 32768  # PCM16 quantization
+
+
+def test_real_codecs_through_actor_stages(ray_session):
+    """Real PNG + WAV payloads through the actor-pool feature stages."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(6):
+        img = rng.integers(0, 256, size=(40 + i, 30, 3), dtype=np.uint8)
+        rows.append({"media_id": i, "kind": "image",
+                     "payload": mm.encode_png(img),
+                     "meta": json.dumps({"width": 30, "height": 40 + i,
+                                         "channels": 3})})
+    for j in range(4):
+        x = (rng.standard_normal(8000 + 500 * j) * 0.2).astype(np.float32)
+        rows.append({"media_id": 100 + j, "kind": "audio",
+                     "payload": mm.encode_wav(8000, x),
+                     "meta": json.dumps({"sample_rate": 8000,
+                                         "n_samples": len(x)})})
+    ds = rd.from_items(rows)
+    imgs = mm.image_features(ds, concurrency=2, batch_size=4).to_pandas()
+    assert len(imgs) == 6
+    assert (imgs["height"] == 64).all()      # resize stage ran
+    auds = mm.audio_features(ds, concurrency=2, batch_size=4).to_pandas()
+    assert len(auds) == 4
+    assert np.allclose(auds["duration_s"], [(8000 + 500 * j) / 8000
+                                            for j in range(4)], atol=1e-6)
+    assert (auds["rms"] > 0.1).all()

@@ -59,6 +59,12 @@ def test_export_rank_report(zoned_fixture, tmp_path):
     paths = export_rank_report(scores, metrics, normalized, str(tmp_path))
     import pandas as pd
     for p in paths:
-        assert len(pd.read_csv(p)) > 0
+        if p.endswith(".csv"):
+            assert len(pd.read_csv(p)) > 0
+    import zipfile
+    xlsx = [p for p in paths if p.endswith(".xlsx")]
+    assert len(xlsx) == 1
+    with zipfile.ZipFile(xlsx[0]) as z:
+        assert "xl/worksheets/sheet1.xml" in z.namelist()
     back = pd.read_parquet(tmp_path / "scores.parquet")
     assert list(back["correction"]) == list(scores.index)
