@@ -155,6 +155,33 @@ def golden_raster_zonal_cells(res: int = 8) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+@lru_cache(maxsize=1)
+def golden_raster_zonal_join_side(res: int = 7,
+                                  join_res: int = 5) -> pd.DataFrame:
+    """Raster zonal stats for the cell-join query's georeference
+    (lat0=53, lon0=-1.5, 0.005 deg pixels) incl. the res-5 join cell."""
+    from ..stages import cells as cellmod
+    from ..stages.zonal import RasterGeo
+
+    geo = RasterGeo(lat0=53.0, lon0=-1.5, dlat=-0.005, dlon=0.005)
+    dem, bands = fixture_arrays()
+    h, w = dem.shape
+    lat, lon = geo.pixel_lonlat(0, 0, h, w)
+    cell = cellmod.cell_id(lat, lon, res).astype(np.int64)
+    rows = []
+    for b in range(bands.shape[0]):
+        df = pd.DataFrame({"cell": cell,
+                           "v": bands[b].ravel().astype(np.float64)})
+        g = df.groupby("cell")["v"].agg(["sum", "size"])
+        for cid, r in g.iterrows():
+            jc = int(cellmod.cell_parent(
+                np.array([cid], dtype=np.uint64), join_res)[0])
+            rows.append({"band": b, "cell": int(cid), "join_cell": jc,
+                         "n_pixels": int(r["size"]),
+                         "mean_value": round(float(r["sum"] / r["size"]), 6)})
+    return pd.DataFrame(rows)
+
+
 def values_sql(df: pd.DataFrame) -> str:
     """Render a golden table as a DuckDB VALUES subquery (full float
     precision via repr round-trip; strings quoted)."""

@@ -1508,6 +1508,89 @@ def raster_pages_cell_join(sf_dir: str):
     return out
 
 
+def _cell_join_sql() -> str:
+    """SQL twin of raster_pages_cell_join_verified: raster side from the
+    transcription-oracle golden (VALUES), page side replayed fully in
+    SQL — doc-id geocode, 32x32 quantization, and the res-5 Morton cell
+    id via a 32-entry bit-spread lookup table."""
+    from ..oracle.fixture_goldens import golden_raster_zonal_join_side
+    from ..stages.cells import _spread_bits
+
+    rz = golden_raster_zonal_join_side()
+    rz_rows = ",\n".join(
+        f"({r.band}, {r.cell}, {r.join_cell}, {r.n_pixels}, "
+        f"{float(r.mean_value)!r})" for r in rz.itertuples(index=False))
+    sp = ", ".join(
+        f"({v}, {int(_spread_bits(np.array([v], dtype=np.uint64))[0])})"
+        for v in range(32))
+    base = int(np.uint64(5) << np.uint64(58))
+    return _GEO_SQL_CTE + f"""
+, sp(v, s) AS (VALUES {sp}),
+pz AS (
+  SELECT CAST(floor((lon + 180.0) / 360.0 * 32.0) AS BIGINT) AS zx,
+         CAST(floor((90.0 - lat) / 180.0 * 32.0) AS BIGINT) AS zy,
+         n_chars
+  FROM geo
+),
+pzc AS (
+  SELECT {base} + sx.s + 2 * sy.s AS zone, count(*) AS n_pages,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+  FROM pz JOIN sp sx ON sx.v = zx JOIN sp sy ON sy.v = zy
+  GROUP BY 1
+),
+rz(band, cell, join_cell, n_pixels, mean_value) AS (VALUES {rz_rows})
+SELECT band, cell, join_cell, n_pixels, mean_value, n_pages, n_chars_sum
+FROM rz JOIN pzc ON pzc.zone = rz.join_cell
+"""
+
+
+@register("raster_pages_cell_join_verified", lazy_sql=_cell_join_sql)
+def raster_pages_cell_join_verified(sf_dir: str):
+    """Raster zonal stats joined cell-to-cell with page-density zones —
+    the raster<->vector bridge, fully verified: the raster side is
+    asserted against the transcription-oracle golden in-query, the page
+    side (doc-id geocode -> res-5 quadtree zone -> grouped stats) and
+    the equality join replay bit-exactly in DuckDB."""
+    from ray.data.aggregate import Sum
+
+    from ..oracle.fixture_goldens import golden_raster_zonal_join_side
+    from ..stages import cells as cellmod
+    from ..stages.zonal import RasterGeo, raster_zonal_stats
+
+    geo = RasterGeo(lat0=53.0, lon0=-1.5, dlat=-0.005, dlon=0.005)
+    rz = raster_zonal_stats(_fixture_tiles(), geo, res=7,
+                            tile_size=64).to_pandas()
+    rz["join_cell"] = cellmod.cell_parent(
+        rz["cell"].to_numpy().astype(np.uint64), 5).astype(np.int64)
+    golden = golden_raster_zonal_join_side()
+    m = rz.merge(golden, on=["band", "cell"], suffixes=("_e", "_g"))
+    assert len(m) == len(golden) == len(rz)
+    assert (m["join_cell_e"].to_numpy() == m["join_cell_g"].to_numpy()).all()
+    assert (m["n_pixels_e"].to_numpy() == m["n_pixels_g"].to_numpy()).all()
+    _assert_close("cell_join.mean_value", m["mean_value_e"],
+                  m["mean_value_g"])
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def _zone(b: pa.Table) -> pa.Table:
+        g = _geocode_batch(b)
+        lat = g.column("lat").to_numpy()
+        lon = g.column("lon").to_numpy()
+        zone = cellmod.cell_id(lat, lon, 5).astype(np.int64)
+        return pa.table({"zone": pa.array(zone, pa.int64()),
+                         "n_chars": g.column("n_chars")})
+
+    pz = grouped_count_sum(docs.map_batches(_zone, batch_format="pyarrow"),
+                           ["zone"], ["n_chars"],
+                           count_alias="n_pages").to_pandas()
+    out = golden.merge(
+        pd.DataFrame({"join_cell": pz["zone"], "n_pages": pz["n_pages"],
+                      "n_chars_sum": pz["n_chars_sum"]}),
+        on="join_cell", how="inner")
+    return out[["band", "cell", "join_cell", "n_pixels", "mean_value",
+                "n_pages", "n_chars_sum"]]
+
+
 @register("multi_criteria_scores",
           lazy_sql=_golden_sql("golden_multi_criteria_scores"))
 def multi_criteria_scores(sf_dir: str):
