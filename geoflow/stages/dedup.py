@@ -256,9 +256,9 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str = "text",
         lambda b: explode_bands(b, id_col, num_bands), batch_format="pyarrow")
     cands = lsh_candidate_pairs(bands, id_col).materialize()
 
-    cand_ids = np.asarray(
-        sorted(set(cands.unique("id_a")) | set(cands.unique("id_b"))),
-        dtype=np.int64)
+    ids_a = cands.unique("id_a") or []   # unique() is None on empty input
+    ids_b = cands.unique("id_b") or []
+    cand_ids = np.asarray(sorted(set(ids_a) | set(ids_b)), dtype=np.int64)
     if len(cand_ids) == 0:
         import ray.data as rd
         return rd.from_arrow(pa.table({

@@ -44,6 +44,26 @@ def test_minhash_finds_near_dups(ray_session):
             dedup.ngram_jaccard(df["text"][int(r.id_a)], df["text"][int(r.id_b)]))
 
 
+def test_minhash_no_candidates(ray_session):
+    """A corpus with no near-dups returns an empty typed pair table
+    (exercises the empty-candidate early-return path)."""
+    import ray.data as rd
+    rng = np.random.default_rng(9)
+    rows = [{"doc_id": i,
+             "text": " ".join(rng.choice([f"w{k}" for k in range(5000)], 40))}
+            for i in range(40)]
+    pairs = dedup.minhash_lsh_pairs(rd.from_items(rows), "doc_id",
+                                    jaccard_threshold=0.5).to_pandas()
+    assert len(pairs) == 0
+    # also exercise the zero-candidate early return directly (two docs
+    # sharing no shingles cannot collide in any band)
+    tiny = rd.from_items([{"doc_id": 0, "text": "a b c d e f"},
+                          {"doc_id": 1, "text": "q r s t u v"}])
+    out2 = dedup.minhash_lsh_pairs(tiny, "doc_id")
+    assert out2.schema().names == ["id_a", "id_b", "jaccard"]
+    assert len(out2.to_pandas()) == 0
+
+
 def test_simhash_pairs(ray_session):
     ds, df = _docs_ds()
     pairs = dedup.simhash_pairs(ds, "doc_id", max_hamming=3).to_pandas()
