@@ -1941,6 +1941,193 @@ def nearest_site_docs(sf_dir: str):
     return agg.map_batches(_final, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# Round-2 additions: embedding dup clusters, corpus curation, stratified
+# sampling, salted zonal aggregation — each DuckDB-verified
+# ---------------------------------------------------------------------------
+
+@register("embedding_dup_clusters", sql="""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a, embeddings b
+  WHERE a.vec_id < b.vec_id
+    AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+),
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+         FROM reach GROUP BY a)
+SELECT component AS representative_id, count(*) AS cluster_size
+FROM comp GROUP BY component
+""")
+def embedding_dup_clusters(sf_dir: str):
+    """Embedding-cosine near-dup clusters: blocked exact pair emission
+    -> distributed min-label connected components -> (representative,
+    size); recursive-CTE transitive closure as the oracle."""
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import dup_components, embedding_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = embedding_dup_pairs(ds, threshold=0.4)
+    comp = dup_components(pairs)
+    agg = comp.groupby("component").aggregate(Count(alias_name="cluster_size"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "representative_id": pc.cast(b.column("component"), pa.int64()),
+            "cluster_size": pc.cast(b.column("cluster_size"), pa.int64()),
+        }), batch_format="pyarrow")
+
+
+@register("corpus_curation", sql=r"""
+WITH win AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+),
+kept AS (
+  SELECT d.lang,
+         len(regexp_extract_all(d.text, '\S+')) AS n_tokens
+  FROM documents d JOIN win w ON d.doc_id = w.doc_id
+  WHERE len(regexp_extract_all(d.text, '[a-zA-Z]'))
+        * (greatest(len(d.text), 1) - len(regexp_extract_all(d.text, '[0-9]')))
+        * 1000000 // (greatest(len(d.text), 1) * greatest(len(d.text), 1))
+        >= 500000
+    AND len(regexp_extract_all(d.text, '\S+')) BETWEEN 5 AND 5000
+    AND d.lang IN ('en', 'de', 'fr')
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM kept GROUP BY lang
+""")
+def corpus_curation(sf_dir: str):
+    """The canonical LLM-corpus curation pipeline, end to end: exact
+    dedup (content-hash winners) -> broadcast semi-join back to full
+    rows -> quality score + token count (vectorized) -> language +
+    quality + length filters -> per-language kept-token stats. All
+    stages are the real engine operators; DuckDB replays the whole
+    chain."""
+    from ray.data.aggregate import Min
+
+    from ..functions.joins import broadcast_semi_join
+    from .flagship import text_hash64
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def _hash(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "text_hash": pa.array(
+                text_hash64(b.column("text").to_pylist()), pa.int64()),
+        })
+
+    winner_ids = np.asarray(
+        docs.map_batches(_hash, batch_format="pyarrow")
+        .groupby("text_hash").aggregate(Min("doc_id", alias_name="doc_id"))
+        .unique("doc_id"), dtype=np.int64)
+    winners = broadcast_semi_join(docs, "doc_id", winner_ids)
+
+    def _curate(b: pa.Table) -> pa.Table:
+        out = textstats.quality_score_batch(b)
+        ln = np.maximum(out.column("text_len").to_numpy(), 1).astype(np.int64)
+        na = out.column("n_alpha").to_numpy().astype(np.int64)
+        nd = out.column("n_digit").to_numpy().astype(np.int64)
+        q_e6 = na * (ln - nd) * 1_000_000 // (ln * ln)
+        ntok = out.column("n_tokens").to_numpy().astype(np.int64)
+        lang = np.asarray(out.column("lang").to_pylist(), dtype=object)
+        keep = ((q_e6 >= 500_000) & (ntok >= 5) & (ntok <= 5000)
+                & np.isin(lang, ("en", "de", "fr")))
+        return pa.table({
+            "lang": pa.array(lang[keep].tolist(), pa.string()),
+            "n_tokens": pa.array(ntok[keep], pa.int64()),
+        })
+
+    agg = grouped_count_sum(
+        winners.map_batches(_curate, batch_format="pyarrow"),
+        ["lang"], ["n_tokens"], count_alias="n_docs")
+    return agg.map_batches(
+        lambda b: pa.table({
+            "lang": b.column("lang"),
+            "n_docs": b.column("n_docs"),
+            "total_tokens": b.column("n_tokens_sum"),
+        }), batch_format="pyarrow")
+
+
+@register("stratified_sample_docs", sql="""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+             PARTITION BY lang
+             ORDER BY (doc_id * 2654435761 + 99) % 4294967296, doc_id) AS rn
+  FROM documents
+) WHERE rn <= 5
+""")
+def stratified_sample_docs(sf_dir: str):
+    """Deterministic stratified sampling: 5 docs per language, ranked by
+    a key hash (reproducible across runs/cluster sizes — the per-stratum
+    quota pattern for building balanced eval sets). Local per-batch
+    top-k combiner bounds the shuffle at k rows per (batch, lang)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def _rank(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(2654435761) + np.uint64(99)) \
+            % np.uint64(4294967296)
+        df = pd.DataFrame({"lang": b.column("lang").to_pylist(),
+                           "doc_id": ids.astype(np.int64),
+                           "_h": h.astype(np.int64)})
+        df = (df.sort_values(["lang", "_h", "doc_id"])
+                .groupby("lang", sort=False).head(5))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_h", "doc_id"]).head(5)
+        return g[["lang", "doc_id"]]
+
+    return (ds.map_batches(_rank, batch_format="pyarrow")
+              .groupby("lang").map_groups(_topk, batch_format="pandas"))
+
+
+@register("zonal_salted_docs", sql=_GEO_SQL_CTE + """
+SELECT CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT) * 64
+       + CAST(floor((90.0 - lat) / 180.0 * 64.0) AS BIGINT) AS cell_key,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+FROM geo GROUP BY cell_key
+""")
+def zonal_salted_docs(sf_dir: str):
+    """Zonal aggregation through the SALTED two-stage path
+    (geoflow.stages.skew): hot cells (3 clusters hold ~30% of docs) fan
+    out across (key, salt) reducers, partials re-combine by key. The
+    oracle is the plain groupby — salting must be invisible in the
+    result."""
+    from ..stages.skew import salted_grouped_count_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def _key(b: pa.Table) -> pa.Table:
+        g = _geocode_batch(b)
+        lat = g.column("lat").to_numpy()
+        lon = g.column("lon").to_numpy()
+        cx = np.floor((lon + 180.0) / 360.0 * 64.0).astype(np.int64)
+        cy = np.floor((90.0 - lat) / 180.0 * 64.0).astype(np.int64)
+        return pa.table({"cell_key": pa.array(cx * 64 + cy, pa.int64()),
+                         "n_chars": g.column("n_chars")})
+
+    agg = salted_grouped_count_sum(
+        ds.map_batches(_key, batch_format="pyarrow"),
+        "cell_key", ["n_chars"], num_salts=16, count_alias="n_docs")
+    return agg.map_batches(
+        lambda b: pa.table({
+            "cell_key": b.column("cell_key"),
+            "n_docs": b.column("n_docs"),
+            "n_chars_sum": b.column("n_chars_sum"),
+        }), batch_format="pyarrow")
+
+
 ORACLE_SQL["events_hourly_streaming"] = ORACLE_SQL["events_hourly"]
 
 

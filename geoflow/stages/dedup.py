@@ -333,7 +333,32 @@ def dup_components_driver(pairs: pd.DataFrame) -> pd.DataFrame:
                          "component": [find(i) for i in ids]})
 
 
-def dup_components(pairs_ds, max_iters: int = 10):
+def dup_components(pairs_ds, max_iters: int = 10,
+                   driver_limit: int = 2_000_000):
+    """Connected components over near-dup pairs.
+
+    The input is the POST-LSH, POST-VERIFICATION pair set — an
+    aggregate bounded by the true duplicate structure, not by corpus
+    size. Below ``driver_limit`` edges the driver union-find is both
+    exact and orders of magnitude cheaper than iterated distributed
+    joins (each propagation round costs several full Ray executions of
+    fixed overhead); above it, distributed min-label propagation takes
+    over. Only edge (id) rows ever reach the driver — never texts or
+    signatures.
+    """
+    n_edges = pairs_ds.count()
+    if n_edges <= driver_limit:
+        import ray.data as rd
+        pairs = pairs_ds.to_pandas()
+        if len(pairs) == 0:
+            return rd.from_arrow(pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "component": pa.array([], pa.int64())}))
+        return rd.from_pandas(dup_components_driver(pairs))
+    return _dup_components_distributed(pairs_ds, max_iters)
+
+
+def _dup_components_distributed(pairs_ds, max_iters: int = 10):
     """Distributed min-label propagation (the 10^12-doc path).
 
     Each round: every node sends its current label across its edges,
@@ -654,10 +679,20 @@ def embedding_dup_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
             sims = A @ B.T
             ri, ci = np.nonzero(sims >= threshold)
             a_, b_ = ids_a[ri], ids_b[ci]
-            keep = a_ < b_   # canonical orientation also drops self-pairs
-            out_a.append(a_[keep])
-            out_b.append(b_[keep])
-            out_c.append(np.round(sims[ri, ci][keep], 6))
+            if bi == bj:
+                # within-block: each unordered pair appears twice plus
+                # the self-pairs — keep the upper triangle
+                keep = a_ < b_
+                out_a.append(a_[keep])
+                out_b.append(b_[keep])
+                out_c.append(np.round(sims[ri, ci][keep], 6))
+            else:
+                # cross-block: each unordered pair appears exactly once,
+                # in arbitrary id order (block layout is NOT id-sorted)
+                # — canonicalize with min/max, never filter
+                out_a.append(np.minimum(a_, b_))
+                out_b.append(np.maximum(a_, b_))
+                out_c.append(np.round(sims[ri, ci], 6))
         if not out_a:
             return pa.table({"id_a": pa.array([], pa.int64()),
                              "id_b": pa.array([], pa.int64()),

@@ -23,7 +23,8 @@ def test_union_find_components():
 def test_distributed_min_label_matches_union_find(ray_session):
     import ray.data as rd
     pairs = _pairs()
-    got = dup_components(rd.from_pandas(pairs)).to_pandas()
+    # driver_limit=0 forces the DISTRIBUTED propagation path
+    got = dup_components(rd.from_pandas(pairs), driver_limit=0).to_pandas()
     exp = dup_components_driver(pairs)
     m = got.merge(exp, on="doc_id", suffixes=("", "_e"))
     assert len(m) == len(exp)
@@ -34,7 +35,8 @@ def test_distributed_chain_multi_round(ray_session):
     import ray.data as rd
     # a chain 0-1-2-3-4 needs several propagation rounds to converge
     pairs = pd.DataFrame({"id_a": np.arange(4), "id_b": np.arange(1, 5)})
-    got = dup_components(rd.from_pandas(pairs), max_iters=8).to_pandas()
+    got = dup_components(rd.from_pandas(pairs), max_iters=8,
+                         driver_limit=0).to_pandas()
     assert (got["component"] == 0).all()
     assert len(got) == 5
 
