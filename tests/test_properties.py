@@ -103,3 +103,49 @@ def test_range_probe_matches_scan(seed):
         assert ok[j] == bool(hit)
         if hit:
             assert idx[j] == hit[0]
+
+
+@given(st.lists(st.integers(0, (1 << 62) - 1), min_size=1, max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_mersenne_folding_equals_modulo(xs):
+    """_mod_p31 (shift/add folding) == hardware % for all x < 2^62."""
+    from geoflow.stages.dedup import _P31, _mod_p31
+
+    x = np.array(xs, dtype=np.uint64)
+    assert (_mod_p31(x) == x % _P31).all()
+
+
+@given(st.lists(st.integers(0, (1 << 64) - 1), min_size=1, max_size=50))
+@settings(max_examples=200, deadline=None)
+def test_popcount64_matches_python(xs):
+    from geoflow.stages.dedup import popcount64
+
+    x = np.array(xs, dtype=np.uint64)
+    got = popcount64(x)
+    assert got.tolist() == [bin(v).count("1") for v in xs]
+
+
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(1, 4),
+       st.integers(0, 2**31 - 1))
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_random_shapes(h, w, c, seed):
+    from geoflow.stages.multimodal import decode_png, encode_png
+
+    if c == 2:
+        c = 4   # color types: 1 gray, 3 RGB, 4 RGBA (2 = gray+alpha
+                # is writable too, but keep the strategy space small)
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    assert (decode_png(encode_png(img)) == img).all()
+
+
+@given(st.integers(1, 5000), st.integers(0, 2**31 - 1))
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_random(n, seed):
+    from geoflow.stages.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1, 1, n).astype(np.float32)
+    sr, back = decode_wav(encode_wav(8000, x))
+    assert sr == 8000 and len(back) == n
+    assert np.abs(back - x).max() <= 2.0 / 32768
