@@ -2004,50 +2004,49 @@ SELECT lang, count(*) AS n_docs,
 FROM kept GROUP BY lang
 """)
 def corpus_curation(sf_dir: str):
-    """The canonical LLM-corpus curation pipeline, end to end: exact
-    dedup (content-hash winners) -> broadcast semi-join back to full
-    rows -> quality score + token count (vectorized) -> language +
-    quality + length filters -> per-language kept-token stats. All
-    stages are the real engine operators; DuckDB replays the whole
-    chain."""
-    from ray.data.aggregate import Min
-
-    from ..functions.joins import broadcast_semi_join
+    """The canonical LLM-corpus curation pipeline, end to end: quality
+    metrics are computed IN the same pass as the content hash (one read,
+    text never shuffles), exact dedup picks the min-doc_id winner ROW
+    (metrics ride along) via the bucket-keyed argmin shuffle, then
+    language + quality + length filters and per-language token stats.
+    Nothing corpus-sized touches the driver — the shuffle carries only
+    ~40 B/doc metric rows. DuckDB replays the whole chain."""
     from .flagship import text_hash64
 
     docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
 
-    def _hash(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": b.column("doc_id"),
-            "text_hash": pa.array(
-                text_hash64(b.column("text").to_pylist()), pa.int64()),
-        })
-
-    winner_ids = np.asarray(
-        docs.map_batches(_hash, batch_format="pyarrow")
-        .groupby("text_hash").aggregate(Min("doc_id", alias_name="doc_id"))
-        .unique("doc_id"), dtype=np.int64)
-    winners = broadcast_semi_join(docs, "doc_id", winner_ids)
-
-    def _curate(b: pa.Table) -> pa.Table:
+    def _prep(b: pa.Table) -> pa.Table:
         out = textstats.quality_score_batch(b)
         ln = np.maximum(out.column("text_len").to_numpy(), 1).astype(np.int64)
         na = out.column("n_alpha").to_numpy().astype(np.int64)
         nd = out.column("n_digit").to_numpy().astype(np.int64)
         q_e6 = na * (ln - nd) * 1_000_000 // (ln * ln)
-        ntok = out.column("n_tokens").to_numpy().astype(np.int64)
-        lang = np.asarray(out.column("lang").to_pylist(), dtype=object)
-        keep = ((q_e6 >= 500_000) & (ntok >= 5) & (ntok <= 5000)
-                & np.isin(lang, ("en", "de", "fr")))
+        th = text_hash64(b.column("text").to_pylist())
+        bk = ((th.view(np.uint64) ^ (th.view(np.uint64) >> np.uint64(31)))
+              * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(40)) \
+            % np.uint64(64)
         return pa.table({
-            "lang": pa.array(lang[keep].tolist(), pa.string()),
-            "n_tokens": pa.array(ntok[keep], pa.int64()),
+            "text_hash": pa.array(th, pa.int64()),
+            "doc_id": b.column("doc_id"),
+            "lang": b.column("lang"),
+            "n_tokens": pc.cast(out.column("n_tokens"), pa.int64()),
+            "q_e6": pa.array(q_e6, pa.int64()),
+            "_bk": pa.array(bk.astype(np.int32)),
         })
 
-    agg = grouped_count_sum(
-        winners.map_batches(_curate, batch_format="pyarrow"),
-        ["lang"], ["n_tokens"], count_alias="n_docs")
+    def _winners_and_filter(g: pd.DataFrame) -> pd.DataFrame:
+        w = (g.sort_values(["text_hash", "doc_id"], kind="mergesort")
+              .drop_duplicates("text_hash", keep="first"))
+        keep = ((w["q_e6"] >= 500_000) & (w["n_tokens"] >= 5)
+                & (w["n_tokens"] <= 5000)
+                & w["lang"].isin(("en", "de", "fr")))
+        return w[keep][["lang", "n_tokens"]]
+
+    kept = (docs.map_batches(_prep, batch_format="pyarrow")
+            .groupby("_bk")
+            .map_groups(_winners_and_filter, batch_format="pandas"))
+    agg = grouped_count_sum(kept, ["lang"], ["n_tokens"],
+                            count_alias="n_docs")
     return agg.map_batches(
         lambda b: pa.table({
             "lang": b.column("lang"),
