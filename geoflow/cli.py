@@ -109,6 +109,53 @@ def cmd_list(_args) -> dict:
             "duckdb_verified": sorted(ORACLE_SQL)}
 
 
+def cmd_correct(args) -> dict:
+    """The reference's primary entry point (terraform_topocorrection) as
+    a cluster job: ingest a real raster (GeoTIFF / .asc / tile-table
+    parquet), run one correction distributed, write corrected tiles as
+    partitioned parquet and (for driver-sized rasters) a GeoTIFF."""
+    import numpy as np
+    import ray.data as rd
+
+    from geoflow.pipelines.correction import run_correction
+    from geoflow.sources.geotiff import geotiff_to_tile_table, write_geotiff
+    from geoflow.sources.tiles import asc_to_tile_table, tile_rows_to_raster
+
+    t0 = time.perf_counter()
+    meta: dict = {}
+    if args.raster.endswith((".tif", ".tiff")):
+        table, meta = geotiff_to_tile_table(args.raster, tile=args.tile)
+        tiles = rd.from_arrow(table)
+    elif args.raster.endswith(".asc"):
+        table, meta = asc_to_tile_table(args.raster, tile=args.tile)
+        tiles = rd.from_arrow(table)
+    else:
+        tiles = rd.read_parquet(args.raster)
+
+    corrected, coeffs = run_correction(tiles, args.algorithm)
+    os.makedirs(args.output, exist_ok=True)
+    corrected = corrected.materialize()
+    corrected.write_parquet(f"{args.output}/tiles")
+    out = {"algorithm": args.algorithm, "rows": corrected.count(),
+           "tiles_dir": f"{args.output}/tiles"}
+    if meta and out["rows"] * args.tile * args.tile < 2e8:
+        df = corrected.to_pandas()
+        n_bands = int(df["band"].max()) + 1
+        h = int(meta.get("height",
+                         (df["tile_y"].max() + 1) * args.tile))
+        w = int(meta.get("width", (df["tile_x"].max() + 1) * args.tile))
+        arr = tile_rows_to_raster(df, "corrected", n_bands, h, w)
+        tif = f"{args.output}/corrected.tif"
+        write_geotiff(tif, np.nan_to_num(arr, nan=0.0),
+                      pixel_scale=(meta.get("ewres", 1.0),
+                                   -meta.get("nsres", -1.0)),
+                      tiepoint=(meta.get("lon0", 0.0),
+                                meta.get("lat0", 0.0)))
+        out["geotiff"] = tif
+    out["wall_s"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
 def cmd_report(args) -> dict:
     """Render the full evaluation report (rose SVGs, correlation PNGs,
     rank xlsx) from the distributed pipelines over a tiled raster."""
@@ -162,6 +209,14 @@ def main(argv: list[str] | None = None) -> int:
 
     l = sub.add_parser("list", help="list query names")
     l.set_defaults(fn=cmd_list)
+
+    c = sub.add_parser("correct", help="topographic correction of a raster")
+    c.add_argument("--raster", required=True,
+                   help=".tif / .asc file or tile-table parquet dir")
+    c.add_argument("--algorithm", default="SCS+C")
+    c.add_argument("--tile", type=int, default=64)
+    c.add_argument("--output", default="/tmp/geoflow_corrected")
+    c.set_defaults(fn=cmd_correct)
 
     r = sub.add_parser("report", help="render rose/correlation/rank report")
     r.add_argument("--tiles-dir", default=None,
