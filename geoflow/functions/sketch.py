@@ -77,3 +77,80 @@ def approx_distinct(ds, hash_fn, p: int = 12) -> float:
         for r in b.column("regs").to_pylist():
             np.maximum(merged, np.asarray(r, dtype=np.uint8), out=merged)
     return hll_estimate(merged)
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: space-saving candidates + exact recount (two passes)
+# ---------------------------------------------------------------------------
+
+def space_saving_counts(items, capacity: int) -> dict:
+    """Metwally et al. space-saving summary of one partition's items.
+
+    Guarantee used downstream: every item whose count in THIS partition
+    exceeds n_partition / capacity is present in the summary.
+    """
+    counts: dict = {}
+    for it in items:
+        if it in counts:
+            counts[it] += 1
+        elif len(counts) < capacity:
+            counts[it] = 1
+        else:
+            victim = min(counts, key=counts.get)
+            counts[it] = counts.pop(victim) + 1
+    return counts
+
+
+def frequent_items_exact(ds, item_fn, phi: float = 0.005,
+                         capacity: int | None = None):
+    """EXACT heavy hitters (count >= phi * N) in two passes.
+
+    Pass 1 runs a space-saving summary per batch (``capacity >= 1/phi``)
+    — by pigeonhole, any global phi-heavy item is phi-heavy in at least
+    one batch, so the union of per-batch summaries is a SUPERSET of the
+    true heavy hitters (bounded: capacity x batches rows, independent
+    of N); the same pass carries each batch's item count, so the global
+    N comes for free. Pass 2 broadcasts the candidate set and recounts
+    EXACTLY with a vectorized membership filter + pre-aggregated
+    groupby, then thresholds on the exact counts. Output is exact and
+    deterministic — a plain ``GROUP BY ... HAVING count >= phi*N``
+    replays it in SQL — while the full-cardinality item groupby (the
+    thing that does not scale) never runs.
+
+    ``item_fn(batch) -> sequence of string items``. Returns
+    (DataFrame[item, n_occurrences], total_item_count).
+    """
+    import ray
+
+    from ..functions.agg import grouped_count_sum
+
+    capacity = capacity or max(64, int(np.ceil(1.0 / phi)))
+    _SENT = "\x00__total__"
+
+    def _pass1(b: pa.Table) -> pa.Table:
+        items = list(item_fn(b))
+        cnt = space_saving_counts(items, capacity)
+        return pa.table({
+            "item": pa.array(list(cnt.keys()) + [_SENT], pa.string()),
+            "_n": pa.array([0] * len(cnt) + [len(items)], pa.int64()),
+        })
+
+    summary = grouped_count_sum(
+        ds.map_batches(_pass1, batch_format="pyarrow"),
+        ["item"], ["_n"], count_alias="_rows").to_pandas()
+    n_total = int(summary.loc[summary["item"] == _SENT, "_n_sum"].sum())
+    candidates = np.array(
+        sorted(summary.loc[summary["item"] != _SENT, "item"]), dtype=object)
+    cand_ref = ray.put(candidates)
+
+    def _pass2(b: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ref)
+        items = np.asarray(list(item_fn(b)), dtype=object)
+        kept = items[np.isin(items, cands)]
+        return pa.table({"item": pa.array(kept.tolist(), pa.string())})
+
+    agg = grouped_count_sum(
+        ds.map_batches(_pass2, batch_format="pyarrow"),
+        ["item"], [], count_alias="n_occurrences").to_pandas()
+    out = agg[agg["n_occurrences"] >= phi * n_total]
+    return (out.sort_values("item").reset_index(drop=True), n_total)

@@ -1943,8 +1943,35 @@ def nearest_site_docs(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # Round-2 additions: embedding dup clusters, corpus curation, stratified
-# sampling, salted zonal aggregation — each DuckDB-verified
+# sampling, salted zonal aggregation, exact heavy hitters — each
+# DuckDB-verified
 # ---------------------------------------------------------------------------
+
+@register("frequent_tokens", sql=r"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(text, '\S+')) AS item FROM documents
+)
+SELECT item, count(*) AS n_occurrences FROM tok
+GROUP BY item
+HAVING count(*) >= 0.005 * (SELECT count(*) FROM tok)
+""")
+def frequent_tokens(sf_dir: str):
+    """EXACT heavy-hitter tokens (>= 0.5% of all occurrences) via the
+    two-pass space-saving + exact-recount plan — the full-cardinality
+    token groupby never runs, yet the result equals the plain GROUP BY
+    ... HAVING oracle exactly."""
+    from ..functions.sketch import frequent_items_exact
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def _tokens(b: pa.Table):
+        out = []
+        for t in b.column("text").to_pylist():
+            out.extend((t or "").split())
+        return out
+
+    out, _n = frequent_items_exact(ds, _tokens, phi=0.005)
+    return out[["item", "n_occurrences"]]
 
 @register("embedding_dup_clusters", sql="""
 WITH RECURSIVE pairs AS (

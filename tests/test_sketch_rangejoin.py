@@ -83,3 +83,45 @@ def test_range_join_overlap_rejected(ray_session):
     with pytest.raises(ValueError, match="overlap"):
         broadcast_range_join(
             rd.from_pandas(pd.DataFrame({"value": [1.0]})), "value", bands)
+
+
+def test_space_saving_superset_guarantee():
+    """Any item with count > n/capacity must be in the summary."""
+    from geoflow.functions.sketch import space_saving_counts
+
+    rng = np.random.default_rng(4)
+    items = list(rng.choice([f"t{i}" for i in range(500)], 5000,
+                            p=np.r_[np.full(5, 0.1), np.full(495, 0.5 / 495)]))
+    cap = 20
+    summary = space_saving_counts(items, cap)
+    import collections
+    true = collections.Counter(items)
+    for it, c in true.items():
+        if c > len(items) / cap:
+            assert it in summary, it
+
+
+def test_frequent_items_exact_matches_counter(ray_session):
+    import collections
+
+    import pyarrow as pa
+    import ray.data as rd
+    from geoflow.functions.sketch import frequent_items_exact
+
+    rng = np.random.default_rng(8)
+    vocab = [f"w{i}" for i in range(200)]
+    p = np.r_[np.full(4, 0.15), np.full(196, 0.4 / 196)]
+    texts = [" ".join(rng.choice(vocab, 50, p=p)) for _ in range(200)]
+    ds = rd.from_items([{"text": t} for t in texts]).repartition(8)
+
+    def _tokens(b: pa.Table):
+        out = []
+        for t in b.column("text").to_pylist():
+            out.extend(t.split())
+        return out
+
+    got, n = frequent_items_exact(ds, _tokens, phi=0.01)
+    true = collections.Counter(" ".join(texts).split())
+    assert n == sum(true.values())
+    exp = {w: c for w, c in true.items() if c >= 0.01 * n}
+    assert dict(zip(got["item"], got["n_occurrences"])) == exp
