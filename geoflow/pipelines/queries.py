@@ -1226,15 +1226,66 @@ def doc_quality_scores(sf_dir: str):
     return ds.map_batches(_q, batch_format="pyarrow")
 
 
-@register("doc_fingerprints")
+def _fingerprint_sql() -> str:
+    from ..stages.textstats import _FP_B_TOK, _FP_P
+
+    pw = ", ".join(f"({e}, {pow(_FP_B_TOK, e, _FP_P)})" for e in range(8))
+    return rf"""
+WITH tokd AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+),
+th AS (
+  SELECT doc_id, i AS pos,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(toks[i], ''),
+                       c -> CAST(unicode(c) AS BIGINT))),
+        (a, c) -> (a * 31 + c) % {_FP_P}) AS h,
+    len(toks) AS ntok
+  FROM tokd, unnest(range(1, len(toks) + 1)) AS u(i)
+),
+pw(e, v) AS (VALUES {pw}),
+win AS (
+  SELECT a.doc_id, a.pos AS i,
+     CAST(CAST(sum(CAST(b.h * pw.v AS HUGEINT)) AS HUGEINT)
+          % {_FP_P} AS BIGINT) AS wh
+  FROM th a JOIN th b ON b.doc_id = a.doc_id
+                     AND b.pos BETWEEN a.pos AND a.pos + 7
+            JOIN pw ON pw.e = 7 - (b.pos - a.pos)
+  WHERE a.ntok >= 8 AND a.pos <= a.ntok - 7
+  GROUP BY a.doc_id, a.pos
+),
+longfp AS (SELECT doc_id, min(wh) AS fingerprint FROM win GROUP BY doc_id),
+shortfp AS (
+  SELECT a.doc_id,
+     CAST(CAST(sum(CAST(a.h * pw.v AS HUGEINT)) AS HUGEINT)
+          % {_FP_P} AS BIGINT) AS fingerprint
+  FROM th a JOIN pw ON pw.e = a.ntok - a.pos
+  WHERE a.ntok BETWEEN 1 AND 7
+  GROUP BY a.doc_id
+),
+emptyfp AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS fingerprint FROM documents
+  WHERE len(regexp_extract_all(text, '\S+')) = 0
+)
+SELECT doc_id, fingerprint FROM longfp
+UNION ALL SELECT doc_id, fingerprint FROM shortfp
+UNION ALL SELECT doc_id, fingerprint FROM emptyfp
+"""
+
+
+@register("doc_fingerprints", lazy_sql=_fingerprint_sql)
 def doc_fingerprints(sf_dir: str):
+    """Winnowing-style document fingerprint (min over 8-token windows of
+    a rolling polynomial hash), now with a FULL DuckDB replay: per-token
+    char-polynomial hashes via list_reduce, window folds via a power
+    table + HUGEINT modular sums — every fold step is integer-exact on
+    both sides."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def _fp(b: pa.Table) -> pa.Table:
-        out = textstats.fingerprint_batch(b)
-        fp = out.column("fingerprint").to_numpy().astype(np.int64)  # wrap ok
+        out = textstats.fingerprint_poly_batch(b)
         return pa.table({"doc_id": out.column("doc_id"),
-                         "fingerprint": pa.array(fp, pa.int64())})
+                         "fingerprint": out.column("fingerprint_poly")})
 
     return ds.map_batches(_fp, batch_format="pyarrow")
 

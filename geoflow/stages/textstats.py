@@ -147,3 +147,49 @@ def hash_token(tok: str) -> int:
     import hashlib
     return int.from_bytes(
         hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+# --- SQL-replayable polynomial fingerprint (winnowing min over token
+# windows, like fingerprint_batch, but with pure integer arithmetic the
+# DuckDB oracle replays exactly; blake2 variant above is the
+# stronger-hash alternative) ---
+
+_FP_P = 2147483647        # 2^31 - 1: keeps every fold step inside int64
+_FP_B_CHAR = 31
+_FP_B_TOK = 1000003
+
+
+def poly_token_hash(tok: str) -> int:
+    acc = 0
+    for ch in tok:
+        acc = (acc * _FP_B_CHAR + ord(ch)) % _FP_P
+    return acc
+
+
+def fingerprint_poly_batch(batch: pa.Table, text_col: str = "text",
+                           window: int = 8) -> pa.Table:
+    """min over ``window``-token folds of per-token char-polynomial
+    hashes; docs shorter than the window fold all tokens; empty -> 0."""
+    texts = batch.column(text_col).to_pylist()
+    pw = np.array([pow(_FP_B_TOK, window - 1 - k, _FP_P)
+                   for k in range(window)], dtype=np.int64)
+    fps = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = (t or "").split()
+        if not toks:
+            continue
+        hs = np.fromiter((poly_token_hash(w) for w in toks),
+                         dtype=np.int64, count=len(toks))
+        if len(hs) < window:
+            acc = 0
+            for h in hs.tolist():
+                acc = (acc * _FP_B_TOK + h) % _FP_P
+            fps[i] = acc
+        else:
+            wins = np.lib.stride_tricks.sliding_window_view(hs, window)
+            acc = np.zeros(len(wins), dtype=np.int64)
+            for k in range(window):          # products < p^2 < 2^62
+                acc = (acc + wins[:, k] * pw[k]) % _FP_P
+            fps[i] = int(acc.min())
+    return batch.append_column("fingerprint_poly",
+                               pa.array(fps, pa.int64()))

@@ -116,3 +116,17 @@ def test_langid_and_fingerprint(ray_session):
     out = textstats.fingerprint_batch(batch)
     fp = out.column("fingerprint").to_pylist()
     assert fp[0] == fp[1] != fp[2]
+
+
+def test_fingerprint_poly_properties():
+    import pyarrow as pa
+    texts = ["one two three four five six seven eight nine ten",
+             "one two three four five six seven eight nine ten",
+             "totally different words in here right now yes ok sure",
+             "short doc", ""]
+    batch = pa.table({"text": texts})
+    out = textstats.fingerprint_poly_batch(batch)
+    fp = out.column("fingerprint_poly").to_pylist()
+    assert fp[0] == fp[1] != fp[2]     # identical docs share fingerprints
+    assert fp[4] == 0                  # empty -> 0
+    assert all(0 <= v < 2**31 for v in fp)
