@@ -190,20 +190,33 @@ class WindowActor:
 
     def ingest(self, keys: list, ts_us: np.ndarray,
                values: np.ndarray) -> None:
+        """Vectorized: late-drop mask + per-(key, window) partial sums
+        in one pandas pass; Python touches only the distinct groups."""
         if not (len(keys) == len(ts_us) == len(values)):
             raise ValueError("keys/ts/values length mismatch")
-        wins = (ts_us // self.width_us).tolist()
-        for k, w, t, v in zip(keys, wins, ts_us.tolist(), values.tolist()):
-            if (self.watermark is not None
-                    and (w + 1) * self.width_us <= self.watermark):
-                self.dropped += 1
-                continue
-            st = self.open.get((k, w))
-            if st is None:
-                self.open[(k, w)] = [1, v]
-            else:
-                st[0] += 1
-                st[1] += v
+        ts_us = np.asarray(ts_us, dtype=np.int64)
+        wins = ts_us // self.width_us
+        if self.watermark is not None:
+            keep = (wins + 1) * self.width_us > self.watermark
+            self.dropped += int((~keep).sum())
+        else:
+            keep = np.ones(len(wins), dtype=bool)
+        if keep.any():
+            import pandas as pd
+            g = (pd.DataFrame({"k": np.asarray(keys, dtype=object)[keep],
+                               "w": wins[keep],
+                               "v": np.asarray(values,
+                                               dtype=np.float64)[keep]})
+                 .groupby(["k", "w"], sort=False)["v"]
+                 .agg(["size", "sum"]))
+            for (k, w), row in g.iterrows():
+                st = self.open.get((k, w))
+                if st is None:
+                    self.open[(k, int(w))] = [int(row["size"]),
+                                              float(row["sum"])]
+                else:
+                    st[0] += int(row["size"])
+                    st[1] += float(row["sum"])
         wm = int(ts_us.max()) - self.lateness_us
         if self.watermark is None or wm > self.watermark:
             self.watermark = wm
