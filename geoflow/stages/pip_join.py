@@ -78,8 +78,101 @@ def pip_bruteforce(points: pd.DataFrame, polygons: pd.DataFrame) -> pd.DataFrame
     return df.sort_values(["id", "region_id"]).reset_index(drop=True)
 
 
+class STRtree:
+    """Sort-Tile-Recursive packed R-tree over polygon bboxes (the north
+    rule's index, hand-rolled — no shapely in this environment).
+
+    Bulk load (Leutenegger et al. STR): sort rects by center-x, cut
+    into vertical slices of ~sqrt(n/cap) each, sort each slice by
+    center-y, pack leaves of ``cap`` rects; repeat on the leaf bboxes
+    until one root remains. Query descends only nodes whose bbox
+    contains the point — O(log n + candidates), same contract as
+    shapely.STRtree.query.
+    """
+
+    def __init__(self, bboxes: np.ndarray, cap: int = 8):
+        # level 0 = the rects themselves; each upper level packs the
+        # previous one; node = (bbox, slice of child indices)
+        self.cap = cap
+        self.rect_boxes = np.asarray(bboxes, dtype=np.float64)
+        n = len(bboxes)
+        self.levels: list[tuple[np.ndarray, list[np.ndarray]]] = []
+        cur_boxes = np.asarray(bboxes, dtype=np.float64)
+        cur_ids = [np.array([i]) for i in range(n)]   # ids into bboxes
+        child_index = np.arange(n)
+        while len(cur_boxes) > 1:
+            order = np.argsort(
+                (cur_boxes[:, 0] + cur_boxes[:, 2]) / 2, kind="stable")
+            n_nodes = max(1, int(np.ceil(len(order) / cap)))
+            n_slices = max(1, int(np.ceil(np.sqrt(n_nodes))))
+            slice_sz = int(np.ceil(len(order) / n_slices))
+            groups: list[np.ndarray] = []
+            for s in range(0, len(order), slice_sz):
+                sl = order[s:s + slice_sz]
+                sl = sl[np.argsort(
+                    (cur_boxes[sl, 1] + cur_boxes[sl, 3]) / 2,
+                    kind="stable")]
+                for g in range(0, len(sl), cap):
+                    groups.append(sl[g:g + cap])
+            boxes = np.array([
+                [cur_boxes[g, 0].min(), cur_boxes[g, 1].min(),
+                 cur_boxes[g, 2].max(), cur_boxes[g, 3].max()]
+                for g in groups])
+            self.levels.append((cur_boxes, [child_index[g] for g in groups]))
+            cur_boxes = boxes
+            child_index = np.arange(len(groups))
+        self.root_box = cur_boxes[0] if len(cur_boxes) else None
+
+    def query_point(self, x: float, y: float) -> np.ndarray:
+        """Indices of rects whose bbox contains (x, y)."""
+        hits = self.query_points(np.array([x]), np.array([y]))
+        return np.array(sorted(hits), dtype=np.int64) if hits else \
+            np.empty(0, dtype=np.int64)
+
+    def query_points(self, xs: np.ndarray,
+                     ys: np.ndarray) -> dict[int, np.ndarray]:
+        """Batch query: rect index -> indices of points inside its bbox.
+
+        Descends the tree with WHOLE point sets (vectorized mask per
+        node), so the per-point cost is amortized numpy, not a Python
+        loop per point.
+        """
+        out: dict[int, np.ndarray] = {}
+        if len(xs) == 0 or len(self.rect_boxes) == 0:
+            return out
+        if not self.levels:                 # 1 rect: no packing happened
+            b = self.rect_boxes[0]
+            m = ((b[0] <= xs) & (xs <= b[2]) & (b[1] <= ys) & (ys <= b[3]))
+            if m.any():
+                out[0] = np.nonzero(m)[0]
+            return out
+        top = len(self.levels) - 1
+        all_pts = np.arange(len(xs))
+        stack = [(top, node, all_pts)
+                 for node in range(len(self.levels[top][1]))]
+        while stack:
+            lvl, node, pts = stack.pop()
+            boxes, children = self.levels[lvl]
+            kids = children[node]
+            px, py = xs[pts], ys[pts]
+            for kid in kids:
+                b = boxes[kid]
+                m = (b[0] <= px) & (px <= b[2]) & (b[1] <= py) & (py <= b[3])
+                if not m.any():
+                    continue
+                sub = pts[m]
+                if lvl == 0:
+                    prev = out.get(int(kid))
+                    out[int(kid)] = sub if prev is None else \
+                        np.concatenate([prev, sub])
+                else:
+                    stack.append((lvl - 1, int(kid), sub))
+        return out
+
+
 class GridIndex:
-    """Uniform-grid bbox index over polygons (STRtree stand-in)."""
+    """Uniform-grid bbox index over polygons (cheap alternative to the
+    STRtree for roughly uniform polygon layouts)."""
 
     def __init__(self, polygons: pd.DataFrame, grid: int = 64):
         self.grid = grid
@@ -120,22 +213,42 @@ class GridIndex:
 
 
 class PIPJoiner:
-    """Actor-pool callable: points batch -> (id, region_id, name) matches."""
+    """Actor-pool callable: points batch -> (id, region_id, name) matches.
 
-    def __init__(self, polygons_ref, grid: int = 64):
+    ``index="str"`` (default) pins an STR-packed R-tree per actor;
+    ``index="grid"`` keeps the uniform-grid bucket index (cheaper build,
+    good for roughly uniform polygon layouts).
+    """
+
+    def __init__(self, polygons_ref, grid: int = 64, index: str = "str"):
         import ray
         polygons = ray.get(polygons_ref)
-        self.index = GridIndex(polygons, grid)
+        self.kind = index
+        self.rings = [np.asarray(r, dtype=np.float64)
+                      for r in polygons["ring"]]
+        self.region_ids = polygons["region_id"].to_numpy()
+        self.bboxes = np.array([
+            [r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max()]
+            for r in self.rings])
+        if index == "str":
+            self.tree = STRtree(self.bboxes)
+        else:
+            self.grid_index = GridIndex(polygons, grid)
         self.names = polygons["name"].to_numpy()
+
+    def _candidates(self, lat, lon) -> dict[int, np.ndarray]:
+        if self.kind == "str":
+            return self.tree.query_points(lon, lat)   # bbox x=lon, y=lat
+        return self.grid_index.candidates(lat, lon)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lat = batch.column("lat").to_numpy()
         lon = batch.column("lon").to_numpy()
         ids = batch.column("id").to_numpy()
         out_id, out_region, out_name = [], [], []
-        for poly_idx, pt_idx in self.index.candidates(lat, lon).items():
-            ring = self.index.rings[poly_idx]
-            bb = self.index.bboxes[poly_idx]
+        for poly_idx, pt_idx in self._candidates(lat, lon).items():
+            ring = self.rings[poly_idx]
+            bb = self.bboxes[poly_idx]
             la, lo = lat[pt_idx], lon[pt_idx]
             near = (lo >= bb[0]) & (lo <= bb[2]) & (la >= bb[1]) & (la <= bb[3])
             pt_near = pt_idx[near]
@@ -144,7 +257,7 @@ class PIPJoiner:
             hit = point_in_ring(lat[pt_near], lon[pt_near], ring)
             matched = pt_near[hit]
             out_id.extend(ids[matched].tolist())
-            out_region.extend([self.index.region_ids[poly_idx]] * len(matched))
+            out_region.extend([self.region_ids[poly_idx]] * len(matched))
             out_name.extend([self.names[poly_idx]] * len(matched))
     # deterministic within-batch order: (id, region_id)
         if out_id:
@@ -160,13 +273,13 @@ class PIPJoiner:
 
 
 def pip_join(points_ds, polygons: pd.DataFrame, concurrency: int = 4,
-             grid: int = 64):
+             grid: int = 64, index: str = "str"):
     """points_ds(id, lat, lon) |> PIP join against the polygon table."""
     import ray
 
     ref = ray.put(polygons)
     return points_ds.map_batches(
         PIPJoiner, batch_format="pyarrow",
-        fn_constructor_kwargs=dict(polygons_ref=ref, grid=grid),
+        fn_constructor_kwargs=dict(polygons_ref=ref, grid=grid, index=index),
         concurrency=(1, concurrency), batch_size=4096,
     )

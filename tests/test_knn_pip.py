@@ -136,3 +136,46 @@ def test_lsh_ann_recall_on_near_duplicates(ray_session):
     m = approx.merge(exact, on=["query_id", "neighbor_id"],
                      suffixes=("_lsh", "_exact"))
     assert np.allclose(m["cosine_lsh"], m["cosine_exact"], atol=1e-12)
+
+
+def test_strtree_query_matches_bbox_scan():
+    """STRtree batch point query == brute-force bbox containment scan,
+    over random rect sets of many sizes (incl. the 1-rect edge)."""
+    from geoflow.stages.pip_join import STRtree
+
+    rng = np.random.default_rng(12)
+    for n in (1, 2, 7, 8, 9, 63, 200):
+        lo = rng.uniform(0, 90, size=(n, 2))
+        wh = rng.uniform(0.5, 15, size=(n, 2))
+        boxes = np.column_stack([lo, lo + wh])     # x0,y0,x1,y1
+        tree = STRtree(boxes)
+        xs = rng.uniform(-5, 110, 500)
+        ys = rng.uniform(-5, 110, 500)
+        got = tree.query_points(xs, ys)
+        for r in range(n):
+            b = boxes[r]
+            exp = np.nonzero((b[0] <= xs) & (xs <= b[2])
+                             & (b[1] <= ys) & (ys <= b[3]))[0]
+            have = np.sort(got.get(r, np.empty(0, dtype=np.int64)))
+            assert (have == exp).all(), (n, r)
+
+
+def test_pip_strtree_equals_grid_and_brute(ray_session):
+    import ray.data as rd
+    from geoflow.stages.pip_join import (make_polygons, pip_bruteforce,
+                                         pip_join)
+
+    rng = np.random.default_rng(21)
+    pts = pd.DataFrame({"id": np.arange(3000),
+                        "lat": rng.uniform(-60, 70, 3000),
+                        "lon": rng.uniform(-179, 179, 3000)})
+    polys = make_polygons(48, seed=9)
+    exp = pip_bruteforce(pts, polys)
+    for index in ("str", "grid"):
+        got = (pip_join(rd.from_pandas(pts), polys, concurrency=2,
+                        index=index).to_pandas()
+               .sort_values(["id", "region_id"]).reset_index(drop=True))
+        assert len(got) == len(exp), index
+        assert (got["id"].to_numpy() == exp["id"].to_numpy()).all()
+        assert (got["region_id"].to_numpy()
+                == exp["region_id"].to_numpy()).all()
