@@ -85,29 +85,59 @@ BROADCAST_ROW_LIMIT = 5_000_000
 
 
 def _attach_dim(ds, key_col: str, dim_keys: np.ndarray, dim_vals,
-                out_col: str):
+                out_col: str, dim_ds=None):
     """Attach a dimension column to a fact Dataset.
 
     Small build side -> broadcast_lookup (no shuffle, no per-row
     Python). Large build side (O(SF) tables like customer at high SF)
-    -> bucketed_hash_join, so driver memory never scales with the fact
-    OR the build side beyond one ray.put.
+    -> bucketed_hash_join against ``dim_ds`` (a DATASET of
+    (_dimkey, out_col) rows) so nothing build-side-sized touches the
+    driver; without dim_ds the arrays are lifted into a Dataset (still
+    avoids pickling them into every task closure).
     """
     from ..functions.joins import broadcast_lookup, bucketed_hash_join
 
-    dim_keys = np.asarray(dim_keys, dtype=np.int64)
-    dim_vals = np.asarray(dim_vals)
-    if len(dim_keys) <= BROADCAST_ROW_LIMIT:
-        return broadcast_lookup(ds, key_col, dim_keys, dim_vals, out_col)
-    import ray.data as rd
-    dim = rd.from_arrow(pa.table({"_dimkey": pa.array(dim_keys, pa.int64()),
-                                  out_col: pa.array(dim_vals)}))
-    joined = bucketed_hash_join(ds, dim, key_col, "_dimkey")
+    dim_keys = np.asarray(dim_keys, dtype=np.int64) \
+        if dim_keys is not None else None
+    if dim_keys is not None and len(dim_keys) <= BROADCAST_ROW_LIMIT:
+        return broadcast_lookup(ds, key_col, dim_keys,
+                                np.asarray(dim_vals), out_col)
+    if dim_ds is None:
+        import ray.data as rd
+        dim_ds = rd.from_arrow(pa.table({
+            "_dimkey": pa.array(dim_keys, pa.int64()),
+            out_col: pa.array(np.asarray(dim_vals))}))
+    joined = bucketed_hash_join(ds, dim_ds, key_col, "_dimkey")
     # restore the fact key's name (join emits it as _key)
     return joined.map_batches(
         lambda b: b.rename_columns(
             [key_col if c == "_key" else c for c in b.column_names]),
         batch_format="pyarrow")
+
+
+def _attach_customer_dim(fact_ds, fact_key: str, sf_dir: str, out_col: str,
+                         value_of_nation: dict):
+    """customer-keyed dimension attach that never materializes customer
+    on the driver above the broadcast limit: the row count comes from
+    parquet metadata, and the large path maps the 25-entry nation dict
+    over the customer DATASET and routes through the bucketed join."""
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    if cust_ds.count() <= BROADCAST_ROW_LIMIT:     # metadata, no execution
+        cust = cust_ds.to_pandas()
+        return _attach_dim(fact_ds, fact_key,
+                           cust["c_custkey"].to_numpy(dtype=np.int64),
+                           cust["c_nationkey"].map(value_of_nation).to_numpy(),
+                           out_col)
+
+    def _dim(b: pa.Table) -> pa.Table:
+        nk = b.column("c_nationkey").to_numpy()
+        vals = [value_of_nation[int(k)] for k in nk.tolist()]
+        return pa.table({"_dimkey": pc.cast(b.column("c_custkey"), pa.int64()),
+                         out_col: pa.array(vals, pa.string())})
+
+    return _attach_dim(fact_ds, fact_key, None, None, out_col,
+                       dim_ds=cust_ds.map_batches(_dim,
+                                                  batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
@@ -212,12 +242,10 @@ GROUP BY n_name
 def orders_by_nation(sf_dir: str):
     # customer -> nation collapses into ONE lookup column; the probe is
     # vectorized searchsorted over ray.put arrays (broadcast) or a
-    # bucketed hash join when customer outgrows the broadcast limit
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    # bucketed hash join against the customer DATASET when it outgrows
+    # the broadcast limit (only the 25-entry nation dict is driver-side)
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     nation_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
-    cust_keys = cust["c_custkey"].to_numpy(dtype=np.int64)
-    cust_nation = cust["c_nationkey"].map(nation_of).to_numpy()
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
@@ -227,8 +255,9 @@ def orders_by_nation(sf_dir: str):
         return pa.table({"o_custkey": b.column("o_custkey"),
                          "cents": pa.array(cents)})
 
-    tagged = _attach_dim(ds.map_batches(_cents, batch_format="pyarrow"),
-                         "o_custkey", cust_keys, cust_nation, "n_name")
+    tagged = _attach_customer_dim(
+        ds.map_batches(_cents, batch_format="pyarrow"),
+        "o_custkey", sf_dir, "n_name", nation_of)
     agg = grouped_count_sum(tagged, ["n_name"], ["cents"],
                             count_alias="n_orders")
 
@@ -1698,13 +1727,10 @@ def revenue_by_region(sf_dir: str):
         nat["n_nationkey"].astype(int),
         nat["n_regionkey"].map(dict(zip(reg["r_regionkey"].astype(int),
                                         reg["r_name"])))))
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    cust_keys = cust["c_custkey"].to_numpy(dtype=np.int64)
-    cust_region = cust["c_nationkey"].map(region_of_nation).to_numpy()
 
-    orders = _attach_dim(
+    orders = _attach_customer_dim(
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
-        "o_custkey", cust_keys, cust_region, "r_name").map_batches(
+        "o_custkey", sf_dir, "r_name", region_of_nation).map_batches(
         lambda b: b.select(["o_orderkey", "r_name"]), batch_format="pyarrow")
 
     lineitem = _read(sf_dir, "lineitem",

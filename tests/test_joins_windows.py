@@ -114,3 +114,18 @@ def test_sliding_explode_covers_windows():
     t2 = tumbling_window_key(t, width_s=3600)
     assert t2.column("window_start").to_pylist() == [
         int(pd.Timestamp("2024-01-01 02:00:00").value // 10**9 // 3600)]
+
+
+def test_attach_customer_dim_dataset_path(ray_session, monkeypatch):
+    """Above the broadcast limit the customer dim rides as a DATASET
+    through the bucketed join — results must match the broadcast path."""
+    from geoflow.pipelines import queries as q
+
+    bc = q.QUERIES["orders_by_nation"]("/root/testdata/sf0.001").to_pandas()
+    monkeypatch.setattr(q, "BROADCAST_ROW_LIMIT", 0)
+    ds = q.QUERIES["orders_by_nation"]("/root/testdata/sf0.001").to_pandas()
+    b = bc.sort_values("n_name").reset_index(drop=True)
+    s = ds.sort_values("n_name").reset_index(drop=True)
+    assert b["n_name"].tolist() == s["n_name"].tolist()
+    assert (b["n_orders"].to_numpy() == s["n_orders"].to_numpy()).all()
+    assert (b["total_cents"].to_numpy() == s["total_cents"].to_numpy()).all()
