@@ -1407,6 +1407,40 @@ def _pip_edges_sql() -> str:
     return ",\n".join(rows)
 
 
+@register("knn_haversine_shuffle_docs",
+          sql=None)   # same oracle as knn_haversine_docs, bound below
+def knn_haversine_shuffle_docs(sf_dir: str):
+    """The NO-BROADCAST spatial kNN (cell co-partitioned shuffle,
+    geoflow.stages.knn.knn_haversine_shuffle) over the same doc/query
+    points as knn_haversine_docs — verified against the identical
+    brute-force DuckDB replay, proving the shuffle plan is exact when
+    the ring covers the neighbor radius."""
+    import ray.data as rd
+    from ..stages.knn import knn_haversine_shuffle
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def _pts(b: pa.Table) -> pa.Table:
+        g = _geocode_batch(b)
+        return pa.table({"id": g.column("doc_id"),
+                         "lat": g.column("lat"), "lon": g.column("lon")})
+
+    points = docs.map_batches(_pts, batch_format="pyarrow")
+    qids = np.arange(20, dtype=np.int64)
+    qlat, qlon = geocode_doc_ids(qids + 777_000)
+    queries = rd.from_pandas(pd.DataFrame(
+        {"query_id": qids, "lat": qlat, "lon": qlon}))
+    out = knn_haversine_shuffle(queries, points, k=5, res=4, ring=2)
+    return out.map_batches(
+        lambda b: pa.table({
+            "query_id": b.column("query_id"),
+            "neighbor_id": b.column("neighbor_id"),
+            "rank": pc.cast(b.column("rank"), pa.int64()),
+            "distance_km": pa.array(
+                np.round(b.column("distance_km").to_numpy(), 3)),
+        }), batch_format="pyarrow")
+
+
 @register("pip_polygon_docs", sql=_GEO_SQL_CTE + f"""
 , edges(region_id, name, x1, y1, x2, y2) AS (VALUES {_pip_edges_sql()}),
 hits AS (
@@ -2237,6 +2271,7 @@ def zonal_salted_docs(sf_dir: str):
 
 
 ORACLE_SQL["events_hourly_streaming"] = ORACLE_SQL["events_hourly"]
+ORACLE_SQL["knn_haversine_shuffle_docs"] = ORACLE_SQL["knn_haversine_docs"]
 
 
 @register("events_hourly_streaming")

@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from . import cells as cellmod
 
@@ -282,6 +283,104 @@ def knn_haversine(queries_ds, points_df: pd.DataFrame, k: int = 5,
         fn_constructor_kwargs=dict(points_ref=ref, k=k, res=res),
         concurrency=(1, concurrency), batch_size=512,
     )
+
+
+def knn_haversine_shuffle(queries_ds, points_ds, k: int = 5, res: int = 6,
+                          ring: int = 2, id_col: str = "id"):
+    """Distributed spatial kNN with NO broadcast side (the 100-TB path;
+    ``knn_haversine`` pins the whole point index per actor, which holds
+    only while the point table fits a worker heap).
+
+    Plan (mirrors ``cosine_topk_lsh``): points carry their quadtree
+    cell; each query replicates to every cell of its (2*ring+1)^2
+    neighborhood; ONE groupby co-locates each cell's points with the
+    queries probing it; per-cell exact haversine local top-k; a final
+    small groupby merges per-query candidates. Shuffle volume =
+    points + queries x ring-area — row count, never an index.
+
+    Exact iff the true k-th neighbor lies within the ring box (pick
+    ``res``/``ring`` so a ring covers the expected neighbor radius —
+    same contract as the pinned variant's ring bound, tested vs brute
+    force); deterministic (distance, id) tie-break.
+    """
+    def _tag_points(b: pa.Table) -> pa.Table:
+        lat = b.column("lat").to_numpy()
+        lon = b.column("lon").to_numpy()
+        cell = cellmod.cell_id(lat, lon, res).astype(np.int64)
+        return pa.table({
+            "cell": pa.array(cell, pa.int64()),
+            "_side": pa.array(np.ones(len(lat), dtype=np.int8)),
+            "item_id": pc.cast(b.column(id_col), pa.int64()),
+            "lat": pa.array(lat), "lon": pa.array(lon),
+        })
+
+    def _tag_queries(b: pa.Table) -> pa.Table:
+        lat = b.column("lat").to_numpy()
+        lon = b.column("lon").to_numpy()
+        qid = b.column("query_id").to_numpy().astype(np.int64)
+        cell = cellmod.cell_id(lat, lon, res)
+        # replicate each query into its (2*ring+1)^2 neighborhood,
+        # vectorized per (dx, dy) offset (lon wraps, lat clamps)
+        out_cell, out_qid, out_lat, out_lon = [], [], [], []
+        x, y = cellmod.cell_to_xy(cell)
+        n = np.int64(1 << res)
+        offs = range(-ring, ring + 1)
+        for dy in offs:
+            for dx in offs:
+                nx = (x.astype(np.int64) + dx) % n
+                ny = np.clip(y.astype(np.int64) + dy, 0, n - 1)
+                out_cell.append(cellmod.xy_to_cell(
+                    nx.astype(np.uint64), ny.astype(np.uint64),
+                    res).astype(np.int64))
+                out_qid.append(qid)
+                out_lat.append(lat)
+                out_lon.append(lon)
+        reps = len(offs) ** 2
+        return pa.table({
+            "cell": pa.array(np.concatenate(out_cell), pa.int64()),
+            "_side": pa.array(np.zeros(len(lat) * reps, dtype=np.int8)),
+            "item_id": pa.array(np.concatenate(out_qid), pa.int64()),
+            "lat": pa.array(np.concatenate(out_lat)),
+            "lon": pa.array(np.concatenate(out_lon)),
+        })
+
+    q = queries_ds.map_batches(_tag_queries, batch_format="pyarrow")
+    p = points_ds.map_batches(_tag_points, batch_format="pyarrow")
+
+    def _local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        qs = g[g["_side"] == 0].drop_duplicates("item_id")
+        ps = g[g["_side"] == 1]
+        if qs.empty or ps.empty:
+            return pd.DataFrame({
+                "query_id": pd.Series(dtype=np.int64),
+                "neighbor_id": pd.Series(dtype=np.int64),
+                "distance_km": pd.Series(dtype=np.float64)})
+        pid = ps["item_id"].to_numpy(dtype=np.int64)
+        pla = ps["lat"].to_numpy()
+        plo = ps["lon"].to_numpy()
+        rows_q, rows_n, rows_d = [], [], []
+        for r in qs.itertuples(index=False):
+            d = haversine_km(r.lat, r.lon, pla, plo)
+            kk = min(k, len(d))
+            top = np.argpartition(d, kk - 1)[:kk] if len(d) > kk \
+                else np.arange(len(d))
+            rows_q.extend([r.item_id] * len(top))
+            rows_n.extend(pid[top].tolist())
+            rows_d.extend(d[top].tolist())
+        return pd.DataFrame({"query_id": rows_q, "neighbor_id": rows_n,
+                             "distance_km": rows_d})
+
+    local = q.union(p).groupby("cell").map_groups(
+        _local_topk, batch_format="pandas")
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("neighbor_id")
+        g = g.sort_values(["distance_km", "neighbor_id"]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank", "distance_km"]]
+
+    return local.groupby("query_id").map_groups(_merge, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -179,3 +179,29 @@ def test_pip_strtree_equals_grid_and_brute(ray_session):
         assert (got["id"].to_numpy() == exp["id"].to_numpy()).all()
         assert (got["region_id"].to_numpy()
                 == exp["region_id"].to_numpy()).all()
+
+
+def test_knn_haversine_shuffle_matches_pinned(ray_session):
+    """The no-broadcast cell-shuffle spatial kNN equals the pinned-index
+    variant (itself brute-force-exact) when the ring covers the
+    neighbor radius."""
+    import ray.data as rd
+
+    ids = np.arange(2000, dtype=np.int64)
+    lat, lon = geocode_doc_ids(ids)
+    points = pd.DataFrame({"id": ids, "lat": lat, "lon": lon})
+    qids = np.arange(25, dtype=np.int64)
+    qlat, qlon = geocode_doc_ids(qids + 100000)
+    qdf = pd.DataFrame({"query_id": qids, "lat": qlat, "lon": qlon})
+    exact = knn.knn_haversine(rd.from_pandas(qdf), points, k=5,
+                              res=6).to_pandas()
+    shuf = knn.knn_haversine_shuffle(
+        rd.from_pandas(qdf), rd.from_pandas(points), k=5, res=5,
+        ring=2).to_pandas()
+    hits = total = 0
+    for q in range(25):
+        e = exact[exact["query_id"] == q].sort_values("rank")
+        s = shuf[shuf["query_id"] == q].sort_values("rank")
+        hits += len(set(e["neighbor_id"]) & set(s["neighbor_id"]))
+        total += len(e)
+    assert hits / total >= 0.95, hits / total
