@@ -12,6 +12,9 @@ holding pinned spatial indexes"; task brief "Similarity search"):
   cells: candidates come from the query's cell + 3x3 neighbor ring at a
   chosen resolution (expanding rings until k found), exact haversine
   distances decide, (distance, id) tie-break keeps output deterministic.
+  Pinned-index variant — right while the point table fits a worker
+  heap; ``knn_haversine_shuffle`` is the no-broadcast scale path (cell
+  co-partitioned shuffle, DuckDB-verified exact under ring coverage).
 """
 
 from __future__ import annotations
