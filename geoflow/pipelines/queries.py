@@ -1747,10 +1747,10 @@ GROUP BY r_name
 def revenue_by_region(sf_dir: str):
     """TPC-H Q5-style 5-table join: the two fixed-size dimension hops
     (nation -> region) collapse into a 25-entry driver dict; the O(SF)
-    customer build side is attached via _attach_dim (ray.put'd sorted
-    arrays + vectorized searchsorted under the broadcast limit, a
-    bucketed hash join above it — customer is NOT a dimension at
-    sf1000); the single large-large edge (lineitem-orders) is the
+    customer build side is attached via _attach_customer_dim (ray.put'd
+    sorted arrays + vectorized searchsorted under the broadcast limit;
+    above it the customer DATASET rides the bucketed hash join and
+    never touches the driver — customer is NOT a dimension at sf1000); the single large-large edge (lineitem-orders) is the
     bucketed one-shuffle hash join. Total data movement: one shuffle of
     slim (key, region, rev) rows."""
     from ..functions.joins import bucketed_hash_join
