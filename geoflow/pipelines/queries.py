@@ -2270,6 +2270,75 @@ def zonal_salted_docs(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+def _zonal_split_sql() -> str:
+    from ..stages.cells import _spread_bits
+
+    sp = ", ".join(
+        f"({v}, {int(_spread_bits(np.array([v], dtype=np.uint64))[0])})"
+        for v in range(32))
+    base = int(np.uint64(5) << np.uint64(58))
+    return _GEO_SQL_CTE + f"""
+, sp(v, s) AS (VALUES {sp}),
+pz AS (
+  SELECT CAST(floor((lon + 180.0) / 360.0 * 32.0) AS BIGINT) AS zx,
+         CAST(floor((90.0 - lat) / 180.0 * 32.0) AS BIGINT) AS zy,
+         n_chars
+  FROM geo
+)
+SELECT {base} + sx.s + 2 * sy.s AS zone, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+FROM pz JOIN sp sx ON sx.v = zx JOIN sp sy ON sy.v = zy
+GROUP BY 1
+"""
+
+
+@register("zonal_split_docs", lazy_sql=_zonal_split_sql)
+def zonal_split_docs(sf_dir: str):
+    """Zonal aggregation through SPLIT-CELL REBALANCING (the second
+    skew mechanism, geoflow.stages.skew): hot res-5 cells descend to
+    children until each effective group is under the cap, the aggregate
+    runs on the bounded effective cells, and partials roll back up to
+    the res-5 parents. In-query asserts prove the split actually
+    triggered (the 3 hot geocode clusters) AND that every effective
+    group respects ~cap; the DuckDB oracle is the plain res-5 zonal —
+    rebalancing must be invisible in the result."""
+    from ..stages import cells as cellmod
+    from ..stages.skew import rebalanced_cells_iterative
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def _enc(b: pa.Table) -> pa.Table:
+        g = _geocode_batch(b)
+        lat = g.column("lat").to_numpy()
+        lon = g.column("lon").to_numpy()
+        cell = cellmod.cell_id(lat, lon, 5).astype(np.int64)
+        return pa.table({"cell": pa.array(cell, pa.int64()),
+                         "lat": pa.array(lat), "lon": pa.array(lon),
+                         "n_chars": g.column("n_chars")})
+
+    cap = 40
+    eff, plan, rounds = rebalanced_cells_iterative(
+        ds.map_batches(_enc, batch_format="pyarrow"), cap=cap)
+    assert plan, "hot geocode clusters must trigger cell splits"
+
+    agg = grouped_count_sum(eff, ["effective_cell"], ["n_chars"],
+                            count_alias="n_docs").to_pandas()
+    # fixed-point contract: every effective group is under the cap
+    # (the 0.5-degree hot discs force MULTIPLE descent rounds — one
+    # level cannot spread a cluster smaller than the child cell)
+    assert agg["n_docs"].max() <= cap, int(agg["n_docs"].max())
+
+    parent = cellmod.cell_parent(
+        agg["effective_cell"].to_numpy().astype(np.uint64), 5)
+    rolled = (pd.DataFrame({"zone": parent.astype(np.int64),
+                            "n_docs": agg["n_docs"],
+                            "n_chars_sum": agg["n_chars_sum"]})
+              .groupby("zone", sort=True).sum().reset_index())
+    rolled["n_docs"] = rolled["n_docs"].astype(np.int64)
+    rolled["n_chars_sum"] = rolled["n_chars_sum"].astype(np.int64)
+    return rolled
+
+
 ORACLE_SQL["events_hourly_streaming"] = ORACLE_SQL["events_hourly"]
 ORACLE_SQL["knn_haversine_shuffle_docs"] = ORACLE_SQL["knn_haversine_docs"]
 

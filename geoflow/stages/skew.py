@@ -114,11 +114,13 @@ def apply_split_plan(batch: pa.Table, plan: dict[int, int],
 
 
 def rebalanced_cells(ds, cap: int, cell_col: str = "cell"):
-    """Full split-cell rebalance: count -> plan -> re-encode.
+    """One-round split-cell rebalance: count -> plan -> re-encode.
 
-    Returns (dataset with ``effective_cell``, plan). Groups on
-    ``effective_cell`` are bounded by ~cap (hot cells split to finer
-    resolutions; cold cells keep their id).
+    Returns (dataset with ``effective_cell``, plan). The descent depth
+    assumes children spread roughly uniformly; data concentrated BELOW
+    the split granularity (a point cluster smaller than the child cell)
+    stays hot after one round — use ``rebalanced_cells_iterative`` for
+    the guaranteed bound.
     """
     counts = cell_counts(ds, cell_col)
     plan = compute_split_plan(counts, cap, cell_col)
@@ -126,3 +128,51 @@ def rebalanced_cells(ds, cap: int, cell_col: str = "cell"):
         lambda b: apply_split_plan(b, plan, cell_col=cell_col),
         batch_format="pyarrow")
     return out, plan
+
+
+def rebalanced_cells_iterative(ds, cap: int, cell_col: str = "cell",
+                               max_rounds: int = 8):
+    """Split-cell rebalance iterated to a FIXED POINT: re-count, re-plan
+    and descend again until every effective cell holds <= cap rows (or
+    the resolution/round limit is reached). Handles point clusters
+    denser than any single split level — e.g. the geocoder's 0.5-degree
+    hot discs inside 11-degree res-5 cells, where one descent lands the
+    whole cluster in one child. Each round costs one combiner pass
+    (cell_counts) + one map; plans are driver-side dicts of HOT cells
+    only.
+
+    Returns (dataset with ``effective_cell``, merged plan dict,
+    rounds_used).
+    """
+    merged: dict[int, int] = {}
+    col = cell_col
+    rounds = 0
+    for _ in range(max_rounds):
+        counts = cell_counts(ds, col)
+        if counts.empty or counts["n"].max() <= cap:
+            break
+        plan = compute_split_plan(counts, cap, col)
+        if not plan:
+            break
+        rounds += 1
+        merged.update(plan)
+
+        def _apply(b: pa.Table, plan=plan, col=col) -> pa.Table:
+            out = apply_split_plan(b, plan, cell_col=col,
+                                   out_col="_eff_next")
+            if "effective_cell" in out.column_names:
+                out = out.drop_columns(["effective_cell"])
+            names = ["effective_cell" if c == "_eff_next" else c
+                     for c in out.column_names]
+            return out.rename_columns(names)
+
+        # materialize per round: cell_counts re-executes the lineage
+        # otherwise, turning round k into k full input passes
+        ds = ds.map_batches(_apply, batch_format="pyarrow").materialize()
+        col = "effective_cell"
+    if col == cell_col:      # no split needed: mirror the contract
+        ds = ds.map_batches(
+            lambda b: b.append_column(
+                "effective_cell", b.column(cell_col)),
+            batch_format="pyarrow")
+    return ds, merged, rounds

@@ -138,3 +138,36 @@ def test_lineage_resume(ray_session, tmp_path):
         recs = [json.loads(l) for l in f if l.strip()]
     assert all({"partition", "stage", "input_digest", "row_count",
                 "wall_ms"} <= set(r) for r in recs)
+
+
+def test_iterative_rebalance_bounds_concentrated_cluster(ray_session):
+    """A point cluster much smaller than the child cell defeats the
+    one-round split (everything lands in one child); the iterative
+    rebalance must still reach groups <= cap."""
+    import pyarrow as pa
+    import ray.data as rd
+    from geoflow.stages import cells as cellmod
+    from geoflow.stages.skew import rebalanced_cells, rebalanced_cells_iterative
+
+    rng = np.random.default_rng(6)
+    # 2000 points inside a 0.2-degree disc: a res-5 cell is ~11 degrees
+    lat = 40.0 + rng.uniform(-0.1, 0.1, 2000)
+    lon = -70.0 + rng.uniform(-0.1, 0.1, 2000)
+    cell = cellmod.cell_id(lat, lon, 5).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "cell": pa.array(cell, pa.int64()),
+        "lat": pa.array(lat), "lon": pa.array(lon)}))
+
+    one_round, plan1 = rebalanced_cells(ds, cap=50)
+    df1 = one_round.to_pandas()
+    assert df1.groupby("effective_cell").size().max() > 50  # defeated
+
+    eff, plan, rounds = rebalanced_cells_iterative(ds, cap=50)
+    df = eff.to_pandas()
+    sizes = df.groupby("effective_cell").size()
+    assert sizes.max() <= 50
+    assert rounds >= 2
+    assert len(df) == 2000                    # no rows lost
+    # every effective cell is a descendant of the original hot cell
+    res = cellmod.cell_res(df["effective_cell"].to_numpy().astype(np.uint64))
+    assert (res >= 5).all()
