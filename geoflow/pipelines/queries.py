@@ -133,7 +133,7 @@ def _attach_customer_dim(fact_ds, fact_key: str, sf_dir: str, out_col: str,
         nk = b.column("c_nationkey").to_numpy()
         vals = [value_of_nation[int(k)] for k in nk.tolist()]
         return pa.table({"_dimkey": pc.cast(b.column("c_custkey"), pa.int64()),
-                         out_col: pa.array(vals, pa.string())})
+                         out_col: pa.array(vals)})
 
     return _attach_dim(fact_ds, fact_key, None, None, out_col,
                        dim_ds=cust_ds.map_batches(_dim,
@@ -1757,15 +1757,21 @@ def revenue_by_region(sf_dir: str):
 
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
     reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    region_of_nation = dict(zip(
-        nat["n_nationkey"].astype(int),
-        nat["n_regionkey"].map(dict(zip(reg["r_regionkey"].astype(int),
-                                        reg["r_name"])))))
+    # dictionary-encode the region INSIDE the shuffle: int codes ride the
+    # join instead of repeated strings; names rebind on the 5-row result
+    code_to_name = list(reg["r_name"])
+    name_to_code = {n: i for i, n in enumerate(code_to_name)}
+    region_code_of_nation = {
+        int(nk): name_to_code[rn]
+        for nk, rn in zip(nat["n_nationkey"],
+                          nat["n_regionkey"].map(dict(zip(
+                              reg["r_regionkey"].astype(int),
+                              reg["r_name"]))))}
 
     orders = _attach_customer_dim(
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
-        "o_custkey", sf_dir, "r_name", region_of_nation).map_batches(
-        lambda b: b.select(["o_orderkey", "r_name"]), batch_format="pyarrow")
+        "o_custkey", sf_dir, "r_code", region_code_of_nation).map_batches(
+        lambda b: b.select(["o_orderkey", "r_code"]), batch_format="pyarrow")
 
     lineitem = _read(sf_dir, "lineitem",
                      ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -1781,12 +1787,14 @@ def revenue_by_region(sf_dir: str):
     joined = bucketed_hash_join(
         orders, lineitem.map_batches(_rev, batch_format="pyarrow"),
         "o_orderkey", "l_orderkey")
-    agg = grouped_count_sum(joined, ["r_name"], ["rev_e4"],
+    agg = grouped_count_sum(joined, ["r_code"], ["rev_e4"],
                             count_alias="n_items")
 
     def _final(b: pa.Table) -> pa.Table:
+        codes = b.column("r_code").to_numpy().astype(np.int64)
         return pa.table({
-            "r_name": b.column("r_name"),
+            "r_name": pa.array([code_to_name[c] for c in codes],
+                               pa.string()),
             "n_items": b.column("n_items"),
             "revenue_e4": b.column("rev_e4_sum"),
         })
