@@ -1092,6 +1092,26 @@ pairs AS (
 """
 
 
+@register("ngram_jaccard_pairs", sql="WITH " + _MINHASH_PAIRS_CTE + """
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM pairs
+""")
+def ngram_jaccard_pairs(sf_dir: str):
+    """EXACT n-gram (word-3-shingle) Jaccard near-dup pairs via the
+    distributed inverted-index plan — no LSH, no approximation. Shares
+    the brute-force CTE oracle with minhash_near_dup: both hash-matching
+    it proves the LSH path's candidate recall is exactly 1 here."""
+    from ..stages.dedup import jaccard_pairs_exact
+
+    pairs = jaccard_pairs_exact(_docs_with_near_dups(sf_dir), "doc_id",
+                                threshold=0.5)
+    return pairs.map_batches(
+        lambda b: pa.table({
+            "id_a": pc.cast(b.column("id_a"), pa.int64()),
+            "id_b": pc.cast(b.column("id_b"), pa.int64()),
+            "jaccard": pa.array(np.round(b.column("jaccard").to_numpy(), 6)),
+        }), batch_format="pyarrow")
+
+
 @register("minhash_near_dup", sql="WITH " + _MINHASH_PAIRS_CTE + """
 SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM pairs
 """)
