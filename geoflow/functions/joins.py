@@ -243,6 +243,11 @@ def grouped_asof_join(left_ds, right_ds, key: tuple[str, str],
     # legitimately null on a matched row)
     all_cols = lcols + rcols + ["_rhit"]
 
+    # normalize to Arrow blocks FIRST: pandas-block datasets report ext
+    # dtypes (e.g. nullable Int64) as None in schema().types, which
+    # would silently drop them from int_cols and fork _empty_out dtypes
+    left_ds = left_ds.map_batches(lambda b: b, batch_format="pyarrow")
+    right_ds = right_ds.map_batches(lambda b: b, batch_format="pyarrow")
     left_schema = left_ds.schema()
     right_schema = right_ds.schema()
     arrow_types = {}
@@ -273,8 +278,13 @@ def grouped_asof_join(left_ds, right_ds, key: tuple[str, str],
         data = {}
         for c in out_cols:
             t = arrow_types.get(c)
-            if c == "_key" or (t is not None and pa.types.is_integer(t)):
+            if c == "_key":
                 data[c] = pd.Series(dtype=np.int64)
+            elif t is not None and pa.types.is_integer(t):
+                # nullable Int64 everywhere: a bucket whose matched right
+                # rows carry a legitimately-null int must emit the SAME
+                # block dtype as fully-populated buckets
+                data[c] = pd.Series(dtype="Int64")
             elif t is not None and pa.types.is_timestamp(t):
                 data[c] = pd.Series(dtype="datetime64[us]")
             elif t is not None and pa.types.is_string(t):
@@ -298,9 +308,13 @@ def grouped_asof_join(left_ds, right_ds, key: tuple[str, str],
         if right_on in rcols:
             out = out.rename(columns={"_ron": right_on})
         out = out[out_cols]
+        # dtype decided ONCE from the Arrow schema, not per-bucket data:
+        # nullable Int64 keeps block schemas identical whether or not a
+        # bucket's matched rows contain a null integer (Arrow renders
+        # both as nullable int64)
         for c in int_cols:
-            if c in out.columns and out[c].notna().all():
-                out[c] = out[c].astype(np.int64)
+            if c in out.columns:
+                out[c] = out[c].astype("Int64")
         return out
 
     return unioned.groupby("_bucket").map_groups(

@@ -105,8 +105,11 @@ def frequent_items_exact(ds, item_fn, phi: float = 0.005,
                          capacity: int | None = None):
     """EXACT heavy hitters (count >= phi * N) in two passes.
 
-    Pass 1 runs a space-saving summary per batch (``capacity >= 1/phi``)
-    — by pigeonhole, any global phi-heavy item is phi-heavy in at least
+    Pass 1 runs a space-saving summary per batch (``capacity > 1/phi``,
+    STRICTLY: space-saving only guarantees presence of items with batch
+    count > n_batch / capacity, so capacity = floor(1/phi) + 1 makes
+    count >= phi * n_batch imply count > n_batch / capacity) — by
+    pigeonhole, any global phi-heavy item is phi-heavy in at least
     one batch, so the union of per-batch summaries is a SUPERSET of the
     true heavy hitters (bounded: capacity x batches rows, independent
     of N); the same pass carries each batch's item count, so the global
@@ -124,7 +127,7 @@ def frequent_items_exact(ds, item_fn, phi: float = 0.005,
 
     from ..functions.agg import grouped_count_sum
 
-    capacity = capacity or max(64, int(np.ceil(1.0 / phi)))
+    capacity = capacity or max(64, int(np.floor(1.0 / phi)) + 1)
     _SENT = "\x00__total__"
 
     def _pass1(b: pa.Table) -> pa.Table:

@@ -832,25 +832,35 @@ def embedding_close_pairs(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def _ann_recall_check(name: str, out_df, corpus, k: int = 5,
-                      floor: float = 0.8):
+                      floor: float = 0.8, query_ids=None):
     """In-query self-check for approximate NN: recall@k vs a brute-force
-    exact top-k over the same corpus (verification scale only)."""
+    exact top-k over the same corpus (verification scale only).
+
+    Iterates the FULL intended query set (``query_ids``), counting a
+    query absent from the output as 0/k hits — a pipeline bug that drops
+    a query entirely must fail the floor, not inflate the recall."""
     if len(corpus) > 100_000:
         return
     from ..stages.knn import normalized_matrix
 
     ids, mat = normalized_matrix(corpus, "vec_id", "embedding")
+    by_q = {qid: g for qid, g in out_df.groupby("query_id")}
+    if query_ids is None:
+        query_ids = list(by_q)
     hits = tot = 0
-    for qid, g in out_df.groupby("query_id"):
+    for qid in query_ids:
         qi = np.nonzero(ids == qid)[0]
         if not len(qi):
+            continue
+        tot += k
+        g = by_q.get(qid)
+        if g is None:
             continue
         sims = mat @ mat[qi[0]]
         sims[qi[0]] = -np.inf
         top = np.argpartition(-sims, k - 1)[:k]
         exact = set(ids[top].tolist())
         hits += len(exact & set(g["neighbor_id"].tolist()))
-        tot += k
     recall = hits / max(tot, 1)
     assert recall >= floor, f"{name}: recall@{k} {recall:.3f} < {floor}"
 
@@ -889,7 +899,8 @@ def ann_ivf_top5(sf_dir: str):
             "rank": pc.cast(b.column("rank"), pa.int64()),
             "cosine": pa.array(np.round(b.column("cosine").to_numpy(), 6)),
         }), batch_format="pyarrow").to_pandas()
-    _ann_recall_check("ann_ivf_top5", res, corpus)
+    _ann_recall_check("ann_ivf_top5", res, corpus,
+                      query_ids=corpus["vec_id"].head(10).tolist())
     return res
 
 
@@ -916,9 +927,10 @@ def ann_lsh_top5(sf_dir: str):
             "rank": pc.cast(b.column("rank"), pa.int64()),
             "cosine": pa.array(np.round(b.column("cosine").to_numpy(), 6)),
         }), batch_format="pyarrow").to_pandas()
-    _ann_recall_check("ann_lsh_top5", res,
-                      _read(sf_dir, "embeddings",
-                            ["vec_id", "embedding"]).to_pandas())
+    corpus_df = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    _ann_recall_check("ann_lsh_top5", res, corpus_df,
+                      query_ids=corpus_df.loc[corpus_df["vec_id"] < 10,
+                                              "vec_id"].tolist())
     return res
 
 

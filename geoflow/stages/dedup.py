@@ -115,11 +115,22 @@ def explode_bands(batch: pa.Table, id_col: str, num_bands: int = 16) -> pa.Table
     ids = batch.column(id_col).to_numpy()
     sig_col = batch.column("sig")
     chunks = sig_col.chunks if isinstance(sig_col, pa.ChunkedArray) else [sig_col]
+    # .flatten() (not .values) is slice-offset-aware: a sliced ListArray
+    # chunk's .values spans the WHOLE backing buffer and would misalign
+    # ids to signatures
     flat = np.concatenate(
-        [c.values.to_numpy(zero_copy_only=False) for c in chunks])
+        [c.flatten().to_numpy(zero_copy_only=False) for c in chunks])
     num_perm = len(flat) // max(len(ids), 1) if len(ids) else 0
     rows_per_band = num_perm // num_bands
     sig = flat.reshape(len(ids), num_perm)
+    # Zero-shingle docs all carry the identical all-_EMPTY_SIG signature
+    # (a sentinel no real signature can take: values are mod p31), so
+    # every band would co-bucket them and the candidate stage would emit
+    # O(m^2) pairs among empty docs — all later rejected at Jaccard 0.
+    # They can never pass a positive threshold; drop them here.
+    if len(ids):
+        nonempty = sig[:, 0] != _EMPTY_SIG
+        ids, sig = ids[nonempty], sig[nonempty]
     out_id, out_band, out_hash = [], [], []
     for band in range(num_bands):
         piece = sig[:, band * rows_per_band:(band + 1) * rows_per_band]
@@ -679,8 +690,10 @@ def vec_column_matrix(col) -> np.ndarray:
     for c in chunks:
         if len(c) == 0:
             continue
-        if hasattr(c, "values"):                       # list<float>
-            flat = c.values.to_numpy(zero_copy_only=False)
+        if hasattr(c, "flatten"):                      # list<float>
+            # offset-aware (sliced chunks): .values would ignore the
+            # ListArray slice offset and misalign rows to vectors
+            flat = c.flatten().to_numpy(zero_copy_only=False)
             mats.append(flat.reshape(len(c), -1).astype(np.float64))
         else:                                          # tensor extension
             arr = c.to_numpy(zero_copy_only=False)
@@ -705,7 +718,7 @@ def _unpack_block(t: pa.Table):
     ids = t.column("id").to_numpy()
     col = t.column("vec")
     chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
-    mat = np.vstack([c.values.to_numpy(zero_copy_only=False)
+    mat = np.vstack([c.flatten().to_numpy(zero_copy_only=False)
                      .reshape(len(c), -1) for c in chunks]) \
         if len(ids) else np.empty((0, 0))
     return ids, mat

@@ -54,10 +54,13 @@ def test_grouped_asof_join_matches_brute_force(ray_session):
     assert (gs["payload"].to_numpy().astype(np.int64)
             == es["payload"].to_numpy()).all()
     # right_on is preserved in the output (carried around merge_asof's
-    # on-column consumption) and int columns come back int64
+    # on-column consumption); int carry columns come back as integer
+    # (nullable Int64 uniformly, so per-bucket nulls can't fork the
+    # block schema) with no nulls in this fully-matched fixture
     assert "rts" in got.columns
-    assert gs["rid"].dtype == np.int64
-    assert gs["payload"].dtype == np.int64
+    assert pd.api.types.is_integer_dtype(gs["rid"].dtype)
+    assert pd.api.types.is_integer_dtype(gs["payload"].dtype)
+    assert gs["rid"].notna().all() and gs["payload"].notna().all()
 
 
 def test_grouped_asof_join_sparse_buckets_schema(ray_session):
@@ -80,8 +83,42 @@ def test_grouped_asof_join_sparse_buckets_schema(ray_session):
     got = got.sort_values("lid").reset_index(drop=True)
     assert got["lid"].tolist() == [0, 1]   # lid=2: rts 8 > ts 7? no — 8>7 drops
     assert got["rid"].tolist() == [10, 10]
-    assert got["rid"].dtype == np.int64
+    assert pd.api.types.is_integer_dtype(got["rid"].dtype)
     assert list(got.columns) == ["_key", "lid", "ts", "rid", "rts", "payload"]
+
+
+def test_grouped_asof_join_null_int_carry_schema(ray_session):
+    """A matched right row carrying a legitimately-NULL integer column
+    must not fork the block dtype across buckets (float64 in one bucket,
+    int64 in another): int carry columns are nullable Int64 uniformly."""
+    import pyarrow as pa
+    import ray.data as rd
+    base = np.datetime64("2024-01-01", "us")
+    left = pd.DataFrame({"k": [1, 2], "lid": [0, 1],
+                         "ts": base + np.array([5, 5]).astype(
+                             "timedelta64[us]")})
+    right = pd.DataFrame({"rk": [1, 2], "rid": [10, 11],
+                          "rts": base + np.array([4, 4]).astype(
+                              "timedelta64[us]"),
+                          "payload": pd.array([None, 200], dtype="Int64")})
+    ds = grouped_asof_join(
+        rd.from_pandas(left), rd.from_pandas(right),
+        key=("k", "rk"), on=("ts", "rts"),
+        left_cols=["lid", "ts"], right_cols=["rid", "rts", "payload"],
+        tiebreak="rid", num_buckets=8)
+    # schema must be a single integer type across all buckets: observe
+    # the Arrow-converted per-block type AS DATA (closures don't ship
+    # state back from workers) — a float64/int64 fork across buckets
+    # would surface as two distinct types here
+    types = (ds.map_batches(
+        lambda b: pa.table(
+            {"t": [str(b.schema.field("payload").type)] * max(len(b), 1)}),
+        batch_format="pyarrow").to_pandas()["t"].unique().tolist())
+    assert types == ["int64"], types
+    got = ds.to_pandas().sort_values("lid").reset_index(drop=True)
+    assert got["lid"].tolist() == [0, 1]
+    assert got["payload"].isna().tolist() == [True, False]
+    assert int(got["payload"].iloc[1]) == 200
 
 
 def test_quantile_from_counts_matches_numpy():

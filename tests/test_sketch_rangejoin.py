@@ -125,3 +125,37 @@ def test_frequent_items_exact_matches_counter(ray_session):
     assert n == sum(true.values())
     exp = {w: c for w, c in true.items() if c >= 0.01 * n}
     assert dict(zip(got["item"], got["n_occurrences"])) == exp
+
+
+def test_frequent_items_exact_boundary_phi(ray_session):
+    """Adversarial pigeonhole boundary: an item whose frequency is EXACTLY
+    phi * n in every batch. With capacity = ceil(1/phi) (the old, non-strict
+    bound) space-saving may evict it from every per-batch summary; the
+    strict capacity = floor(1/phi) + 1 guarantees it survives pass 1."""
+    import pyarrow as pa
+    import ray.data as rd
+    from geoflow.functions.sketch import frequent_items_exact
+
+    phi = 0.25                       # capacity must be > 4, i.e. 5
+    # batch of 8 tokens: target appears exactly 2x (= phi * 8); six
+    # distinct fillers rotate per batch so they can steal summary slots
+    batches = []
+    for i in range(6):
+        f = [f"f{i}_{j}" for j in range(6)]
+        # interleave so fillers are counted before the target's 2nd hit
+        batches.append({"text": " ".join(
+            [f[0], f[1], "hot", f[2], f[3], f[4], f[5], "hot"])})
+    ds = rd.from_items(batches).repartition(6)
+
+    def _tokens(b: pa.Table):
+        out = []
+        for t in b.column("text").to_pylist():
+            out.extend(t.split())
+        return out
+
+    # capacity=5 is exactly floor(1/phi) + 1 — the strict default formula
+    # without the 64-slot floor that would mask the boundary at this phi
+    got, n = frequent_items_exact(ds, _tokens, phi=phi, capacity=5)
+    assert n == 48
+    res = dict(zip(got["item"], got["n_occurrences"]))
+    assert res.get("hot") == 12      # 12 >= phi * 48 = 12: exactly on the bar
