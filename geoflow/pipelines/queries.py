@@ -1180,15 +1180,77 @@ def minhash_dup_clusters(sf_dir: str):
         }), batch_format="pyarrow")
 
 
-@register("simhash_near_dup")
+# Exact DuckDB replay of the SimHash chain: per-token dual polynomial
+# hash (list_reduce char folds mod two primes < 2^32, matching
+# geoflow.stages.dedup.dual_poly_token_hashes), per-bit +/-1 sums over
+# token occurrences, sign -> signature bits summed via a 2^j power
+# table in HUGEINT, two's-complement wrap to BIGINT, then brute-force
+# all-pairs bit_count(xor) <= 3. The banding pipeline must hash-match
+# this EXACTLY (pigeonhole: hamming <= 3 over 4x16-bit bands leaves at
+# least one clean band, so LSH recall is 1 by construction).
+_SIMHASH_SQL = ("WITH docs AS (\n"
+                "  SELECT doc_id, text FROM documents\n"
+                "  UNION ALL\n"
+                "  SELECT doc_id + 1000000, text || ' extra tail token'\n"
+                "  FROM documents WHERE doc_id % 7 = 0\n"
+                "),\n" + r"""
+tok AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM docs
+),
+th AS (
+  SELECT doc_id,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(toks[i], ''),
+                       c -> CAST(unicode(c) AS BIGINT))),
+        (a, c) -> (a * 31 + c) % 4294967291) AS h1,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(toks[i], ''),
+                       c -> CAST(unicode(c) AS BIGINT))),
+        (a, c) -> (a * 37 + c) % 4294967279) AS h2
+  FROM tok, unnest(range(1, len(toks) + 1)) AS u(i)
+),
+bits AS (SELECT unnest(range(0, 32)) AS j),
+bs AS (
+  SELECT doc_id, j,
+     sum(CASE WHEN ((h1 >> j) & 1) = 1 THEN 1 ELSE -1 END) AS s1,
+     sum(CASE WHEN ((h2 >> j) & 1) = 1 THEN 1 ELSE -1 END) AS s2
+  FROM th CROSS JOIN bits GROUP BY doc_id, j
+),
+pw2(j, lo, hi) AS (VALUES """ + ", ".join(
+                    f"({j}, {1 << j}::HUGEINT, {1 << (j + 32)}::HUGEINT)"
+                    for j in range(32)) + r"""),
+sigu AS (
+  SELECT doc_id,
+     sum(CASE WHEN s1 > 0 THEN pw2.lo ELSE 0::HUGEINT END
+       + CASE WHEN s2 > 0 THEN pw2.hi ELSE 0::HUGEINT END) AS s
+  FROM bs JOIN pw2 ON pw2.j = bs.j GROUP BY doc_id
+),
+sigs AS (
+  SELECT doc_id, CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                 THEN s - 18446744073709551616::HUGEINT ELSE s END
+                 AS BIGINT) AS sig
+  FROM sigu
+  UNION ALL
+  SELECT doc_id, CAST(0 AS BIGINT) FROM docs
+  WHERE len(regexp_extract_all(text, '\S+')) = 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+""")
+
+
+@register("simhash_near_dup", sql=_SIMHASH_SQL)
 def simhash_near_dup(sf_dir: str):
-    """SimHash near-dup pairs (4x16-bit pigeonhole banding). SELF-
-    CHECKING: at verification scale the distributed banding result is
-    asserted equal to a single-process brute-force all-pairs popcount
-    over the same corpus — the pigeonhole guarantee (hamming <= 3 =>
-    >= 1 clean band) makes the LSH path EXACT, so any divergence is a
-    real bug. blake2-based signatures have no SQL replay, hence
-    self-check instead of a DuckDB oracle."""
+    """SimHash near-dup pairs (4x16-bit pigeonhole banding), DuckDB-
+    verified END TO END: the dual-polynomial token hash is replayed
+    fold-by-fold in SQL (see _SIMHASH_SQL) and the oracle brute-forces
+    all-pairs popcount over the replayed signatures — the pigeonhole
+    guarantee (hamming <= 3 => >= 1 clean band) makes the banding path
+    EXACT, so the hash comparison is a hard equality, not a recall
+    floor. The in-query brute-force assert below is kept as a second,
+    SQL-independent check of the distributed banding."""
     from ..stages.dedup import popcount64, simhash_batch, simhash_pairs
 
     ds = _docs_with_near_dups(sf_dir)

@@ -433,12 +433,74 @@ def _dup_components_distributed(pairs_ds, max_iters: int = 10):
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_batch(batch: pa.Table, id_col: str, text_col: str = "text") -> pa.Table:
+# Dual polynomial token hash (SQL-replayable SimHash): two independent
+# char-polynomial folds mod primes just under 2^32 supply the low and
+# high 32 bits of the per-token 64-bit hash. Every fold step is exact
+# integer arithmetic DuckDB replays verbatim with list_reduce + bit ops
+# (same trick as textstats' winnowing fingerprint), which is what turns
+# the SimHash pair set into a hash-matchable oracle query.
+_SH_P1 = 4294967291   # largest prime < 2^32
+_SH_P2 = 4294967279   # second-largest prime < 2^32
+_SH_B1 = 31
+_SH_B2 = 37
+_POW_CACHE: dict = {}
+
+
+def _pow_mod_table(base: int, mod: int, n: int) -> np.ndarray:
+    """[base^0, ..., base^(n-1)] mod ``mod`` as int64 (cached, grown)."""
+    key = (base, mod)
+    tbl = _POW_CACHE.get(key)
+    if tbl is None or len(tbl) < n:
+        m = max(n, 256)
+        out = np.empty(m, dtype=np.int64)
+        acc = 1
+        for i in range(m):
+            out[i] = acc
+            acc = (acc * base) % mod
+        tbl = _POW_CACHE[key] = out
+    return tbl
+
+
+def dual_poly_token_hashes(toks: list[str]) -> np.ndarray:
+    """Per-token uint64 hash h1 | (h2 << 32) where
+    h = fold(acc * B + ord(ch)) % P over the token's code points —
+    vectorized over ALL tokens at once via exponent-weighted reduceat."""
+    lens = np.fromiter((len(w) for w in toks), dtype=np.int64,
+                       count=len(toks))
+    total = int(lens.sum())
+    if total == 0:     # all-empty tokens cannot occur via str.split()
+        return np.zeros(len(toks), dtype=np.uint64)
+    codes = np.fromiter((ord(c) for w in toks for c in w),
+                        dtype=np.int64, count=total)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    # exponent of char at position i within its token: len - 1 - i
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    e = np.repeat(lens, lens) - 1 - pos
+    maxlen = int(lens.max())
+    h = np.zeros(len(toks), dtype=np.uint64)
+    for base, p, shift in ((_SH_B1, _SH_P1, 0), (_SH_B2, _SH_P2, 32)):
+        pw = _pow_mod_table(base, p, maxlen)
+        # terms < 2^21 (code point) * 2^32 (power) < 2^53: exact in int64;
+        # per-token sums < len * 2^32: exact for any realistic token
+        terms = (codes % p) * pw[e] % p
+        hs = np.add.reduceat(terms, starts) % p
+        h |= hs.astype(np.uint64) << np.uint64(shift)
+    return h
+
+
+def simhash_batch(batch: pa.Table, id_col: str, text_col: str = "text",
+                  token_hash: str = "poly") -> pa.Table:
     """64-bit SimHash per row over token hashes (sign of weighted bit
     sums). Per-doc numpy kernels on purpose: the (tokens, 64) bit
     matrix stays cache-resident per doc, which measured 50x faster than
     a batch-wide ``np.add.reduceat(axis=0)`` formulation (reduceat's
-    non-contiguous 2-D inner loop dominates at this shape)."""
+    non-contiguous 2-D inner loop dominates at this shape).
+
+    ``token_hash="poly"`` (default) uses the SQL-replayable dual
+    polynomial hash so the whole near-dup pair set has an exact DuckDB
+    oracle; ``"blake2"`` keeps the stronger-mixing cryptographic
+    alternative (no SQL replay)."""
     ids = batch.column(id_col)
     out = np.empty(len(ids), dtype=np.uint64)
     bits = np.arange(64, dtype=np.uint64)
@@ -447,10 +509,14 @@ def simhash_batch(batch: pa.Table, id_col: str, text_col: str = "text") -> pa.Ta
         if not toks:
             out[i] = 0
             continue
-        hs = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(),
-                            "big") for w in toks),
-            dtype=np.uint64, count=len(toks))
+        if token_hash == "poly":
+            hs = dual_poly_token_hashes(toks)
+        else:
+            hs = np.fromiter(
+                (int.from_bytes(
+                    hashlib.blake2b(w.encode(), digest_size=8).digest(),
+                    "big") for w in toks),
+                dtype=np.uint64, count=len(toks))
         bitmat = ((hs[:, None] >> bits[None, :]) & np.uint64(1)).astype(np.int64)
         sums = (2 * bitmat - 1).sum(axis=0)
         out[i] = np.uint64(((sums > 0).astype(np.uint64) << bits).sum())

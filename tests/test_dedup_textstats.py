@@ -130,3 +130,20 @@ def test_fingerprint_poly_properties():
     assert fp[0] == fp[1] != fp[2]     # identical docs share fingerprints
     assert fp[4] == 0                  # empty -> 0
     assert all(0 <= v < 2**31 for v in fp)
+
+
+def test_dual_poly_token_hashes_match_naive_fold():
+    """Vectorized reduceat formulation == the naive per-char fold that the
+    DuckDB oracle replays with list_reduce (geoflow/pipelines/queries.py
+    _SIMHASH_SQL)."""
+    from geoflow.stages.dedup import (_SH_B1, _SH_B2, _SH_P1, _SH_P2,
+                                      dual_poly_token_hashes)
+
+    toks = ["a", "héllo", "xyz" * 50, "1", "é中文", "zz"]
+    got = dual_poly_token_hashes(toks)
+    for w, h in zip(toks, got):
+        h1 = h2 = 0
+        for c in w:
+            h1 = (h1 * _SH_B1 + ord(c)) % _SH_P1
+            h2 = (h2 * _SH_B2 + ord(c)) % _SH_P2
+        assert int(h) == h1 | (h2 << 32), w
