@@ -26,10 +26,13 @@ are independent of block layout and batch order.
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+_LOG = logging.getLogger(__name__)
 
 # 31-bit Mersenne prime: (a*h + b) with a, h < 2^31 stays under 2^62,
 # so the whole universal-hash family runs in native uint64 (the round-1
@@ -682,9 +685,39 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     return len(A & B) / max(len(A | B), 1)
 
 
+def bucket_pair_partials(g: pd.DataFrame, max_df: int | None = None
+                         ) -> pd.DataFrame:
+    """One shingle bucket's postings -> per-pair partial intersection
+    counts. Module-level so the DF-cap bound is directly testable.
+
+    ``max_df`` drops shingles whose document frequency (exact within the
+    bucket — ALL postings of a shingle co-locate here) exceeds the cap
+    BEFORE the O(df^2) self-merge, bounding the bucket's emitted pair
+    partials by sum(df^2) over KEPT shingles <= max_df * len(kept
+    postings). Dropped boilerplate shingles no longer contribute to
+    intersections (per-doc set sizes are untouched), so capped Jaccard
+    is a LOWER bound on the exact value — the standard web-dedup DF-cap
+    semantics. The count of dropped shingles is logged per bucket.
+    """
+    if max_df is not None:
+        df = g.groupby("sh")["doc"].transform("size")
+        over = df > max_df
+        n_over = int(over.sum())
+        if n_over:
+            _LOG.info("jaccard DF cap: dropped %d postings (%d shingles) "
+                      "with df > %d in one bucket", n_over,
+                      g.loc[over, "sh"].nunique(), max_df)
+            g = g[~over]
+    g = g.sort_values(["sh", "doc"], kind="mergesort")
+    m = g.merge(g, on="sh", suffixes=("_a", "_b"))
+    m = m[m["doc_a"] < m["doc_b"]]
+    return (m.groupby(["doc_a", "doc_b", "nsh_a", "nsh_b"], sort=False)
+            .size().rename("i").reset_index())
+
+
 def jaccard_pairs_exact(ds, id_col: str, text_col: str = "text",
                         threshold: float = 0.5, shingle_k: int = 3,
-                        num_buckets: int = 64):
+                        num_buckets: int = 64, max_df: int | None = None):
     """EXACT all-pairs shingle Jaccard >= threshold, distributed via an
     inverted index (the non-approximate twin of ``minhash_lsh_pairs`` —
     hash-matching the same oracle proves the LSH path's recall is 1).
@@ -695,10 +728,15 @@ def jaccard_pairs_exact(ds, id_col: str, text_col: str = "text",
     bucket, a vectorized self-merge emits per-pair partial intersection
     counts; a second bounded-key groupby sums them and the Jaccard
     closes from the carried per-doc set sizes. Shuffle volume is the
-    postings (16 B/shingle), never text. Cost is driven by shingle
-    document frequency — for web dedup, drop boilerplate shingles with
-    a DF cap upstream (changes semantics; not done here because the
-    oracle is exact).
+    postings (16 B/shingle), never text.
+
+    Cost is driven by shingle document frequency: one boilerplate
+    shingle shared by 10^5 docs would create 10^10 pair partials in a
+    single group. ``max_df`` is the web-scale guard — shingles with
+    df > max_df are dropped (and logged) before the self-merge, which
+    bounds per-bucket work at max_df * postings and turns the output
+    Jaccard into a lower bound (see ``bucket_pair_partials``). The
+    exact-oracle query keeps ``max_df=None`` at verification scale.
     """
     def _postings(b: pa.Table) -> pa.Table:
         ids = b.column(id_col).to_numpy().astype(np.int64)
@@ -720,12 +758,7 @@ def jaccard_pairs_exact(ds, id_col: str, text_col: str = "text",
                          "_gb": pa.array(gb)})
 
     def _pair_partials(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sh", "doc"], kind="mergesort")
-        m = g.merge(g, on="sh", suffixes=("_a", "_b"))
-        m = m[m["doc_a"] < m["doc_b"]]
-        out = (m.groupby(["doc_a", "doc_b", "nsh_a", "nsh_b"], sort=False)
-               .size().rename("i").reset_index())
-        return out
+        return bucket_pair_partials(g, max_df)
 
     def _tag_pair(b: pa.Table) -> pa.Table:
         pb = _mix_cols(b.column("doc_a").to_numpy(),
@@ -790,23 +823,141 @@ def _unpack_block(t: pa.Table):
     return ids, mat
 
 
-def embedding_dup_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
-                        threshold: float = 0.93):
-    """EXACT pairs with cosine similarity >= threshold, via a blocked
-    distributed cross-join — the default (scale) plan.
+def embedding_dup_pairs_lsh(ds, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.93,
+                            num_tables: int = 8, num_bits: int = 8,
+                            num_buckets: int = 64, seed: int = 29):
+    """Approximate cosine >= threshold pairs via random-hyperplane LSH
+    bucketing + WITHIN-BUCKET EXACT verification — the web-scale route
+    of ``embedding_dup_pairs`` (same output contract: id_a < id_b,
+    cosine rounded to 6; pair recall < 1 is the documented trade).
 
-    The normalized corpus is left in the OBJECT STORE as its Arrow
-    blocks (``to_arrow_refs`` — nothing corpus-sized on the driver); a
-    task per block pair (i <= j) fetches just those two blocks and
-    emits its exact above-threshold pairs. Memory per task = 2 blocks;
-    total network = O(N * num_blocks), the classic exact all-pairs
-    map-reduce bound. Exact all-pairs is inherently quadratic in
-    compute — for web-scale corpora use the approximate alternatives
-    (``cosine_topk_lsh`` random-hyperplane bucketing / MinHash) and
-    reserve this for within-bucket or per-partition verification.
+    Plan: rows explode to ``num_tables`` (table, sign-bucket) keys with
+    their unit vectors; ONE groupby on hash(table, bucket) co-locates
+    each bucket (vectorized segment sweep, no per-bucket pandas call);
+    each segment brute-forces its exact pairs; a second bounded groupby
+    on hash(id_a, id_b) dedups pairs surfacing from several tables.
+    Compute is sum(bucket^2) instead of N^2 — bucket size is bounded by
+    2^num_bits spreading, raise bits for denser corpora. A pair is
+    missed only if its sign bits differ in EVERY table: for cosine
+    >= 0.93 (theta <= 21.6 deg) per-bit agreement is 1 - theta/pi ~
+    0.88, so miss probability ~ (1 - 0.88^8)^8 ~ 2% at the defaults and
+    falls fast as threshold rises."""
+    rng = np.random.default_rng(seed)
+    norm0 = ds.map_batches(
+        lambda b: _unit_rows(b, id_col, vec_col), batch_format="pyarrow")
+    weights = (1 << np.arange(num_bits)).astype(np.int64)
+    planes_by_dim: dict = {}
+
+    def _planes(dim: int) -> np.ndarray:
+        # deterministic per dim: every task regenerates the same planes
+        # from the fixed seed (cheaper than shipping them)
+        r = np.random.default_rng(seed)
+        return r.standard_normal((num_tables, num_bits, dim))
+
+    def _explode(b: pa.Table) -> pa.Table:
+        ids, mat = _unpack_block(b)
+        if not len(ids):
+            return pa.table({
+                "_gb": pa.array([], pa.int32()),
+                "table": pa.array([], pa.int32()),
+                "bucket": pa.array([], pa.int64()),
+                "id": pa.array([], pa.int64()),
+                "vec": pa.array([], pa.list_(pa.float64()))})
+        planes = planes_by_dim.setdefault(mat.shape[1], _planes(mat.shape[1]))
+        out_t, out_b = [], []
+        for t in range(num_tables):
+            bits = (mat @ planes[t].T) > 0
+            out_b.append(bits.astype(np.int64) @ weights)
+            out_t.append(np.full(len(ids), t, dtype=np.int32))
+        tab = np.concatenate(out_t)
+        buc = np.concatenate(out_b)
+        gb = (_mix_cols(tab, buc) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({
+            "_gb": pa.array(gb),
+            "table": pa.array(tab),
+            "bucket": pa.array(buc),
+            "id": pa.array(np.tile(ids.astype(np.int64), num_tables)),
+            "vec": pa.array(list(np.tile(mat, (num_tables, 1))),
+                            pa.list_(pa.float64())),
+        })
+
+    def _segment_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["table", "bucket", "id"], kind="mergesort")
+        tab = g["table"].to_numpy()
+        buc = g["bucket"].to_numpy()
+        ids = g["id"].to_numpy().astype(np.int64)
+        change = np.nonzero((np.diff(tab) != 0) | (np.diff(buc) != 0))[0] + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(g)]))
+        vecs = g["vec"].to_numpy()
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(starts[ends - starts >= 2],
+                        ends[ends - starts >= 2]):
+            seg_ids = ids[s:e]
+            mat = np.vstack(vecs[s:e])
+            sims = mat @ mat.T
+            ri, ci = np.nonzero(np.triu(sims >= threshold, k=1))
+            keep = seg_ids[ri] != seg_ids[ci]   # same id via dup rows
+            out_a.append(np.minimum(seg_ids[ri], seg_ids[ci])[keep])
+            out_b.append(np.maximum(seg_ids[ri], seg_ids[ci])[keep])
+            out_c.append(np.round(sims[ri, ci], 6)[keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64),
+                                 "cosine": pd.Series(dtype=np.float64)})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "cosine": np.concatenate(out_c)})
+
+    cand = norm0.map_batches(_explode, batch_format="pyarrow") \
+        .groupby("_gb").map_groups(_segment_pairs, batch_format="pandas")
+
+    def _tag_pair(b: pa.Table) -> pa.Table:
+        pb = _mix_cols(b.column("id_a").to_numpy(),
+                       b.column("id_b").to_numpy()) % np.uint64(num_buckets)
+        return b.append_column("_pb", pa.array(pb.astype(np.int32)))
+
+    def _distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"])[["id_a", "id_b", "cosine"]]
+
+    return cand.map_batches(_tag_pair, batch_format="pyarrow") \
+        .groupby("_pb").map_groups(_distinct, batch_format="pandas")
+
+
+# Above this corpus size the exact blocked cross-join (O(N^2) compute)
+# auto-routes to the hyperplane-LSH plan. Tests monkeypatch it.
+EMBEDDING_EXACT_ROW_LIMIT = 1_000_000
+
+
+def embedding_dup_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
+                        threshold: float = 0.93,
+                        exact_limit: int | None = None):
+    """Pairs with cosine similarity >= threshold.
+
+    SIZE-GUARDED routing: corpora up to ``exact_limit`` rows (default
+    ``EMBEDDING_EXACT_ROW_LIMIT``; row count from plan metadata) run the
+    EXACT blocked distributed cross-join below; larger corpora
+    auto-route to ``embedding_dup_pairs_lsh`` (hyperplane bucketing +
+    within-bucket exact verify, same output contract) because exact
+    all-pairs is inherently O(N^2) compute no matter how it is
+    distributed.
+
+    Exact plan: the normalized corpus is left in the OBJECT STORE as
+    its Arrow blocks (``to_arrow_refs`` — nothing corpus-sized on the
+    driver); a task per block pair (i <= j) fetches just those two
+    blocks and emits its exact above-threshold pairs. Memory per task =
+    2 blocks; total network = O(N * num_blocks), the classic exact
+    all-pairs map-reduce bound.
     """
     import ray
     import ray.data as rd
+
+    if exact_limit is None:
+        exact_limit = EMBEDDING_EXACT_ROW_LIMIT
+    if ds.count() > exact_limit:
+        return embedding_dup_pairs_lsh(ds, id_col, vec_col, threshold)
 
     norm = ds.map_batches(
         lambda b: _unit_rows(b, id_col, vec_col), batch_format="pyarrow")

@@ -147,3 +147,37 @@ def test_dual_poly_token_hashes_match_naive_fold():
             h1 = (h1 * _SH_B1 + ord(c)) % _SH_P1
             h2 = (h2 * _SH_B2 + ord(c)) % _SH_P2
         assert int(h) == h1 | (h2 << 32), w
+
+
+def test_embedding_dup_pairs_lsh_guard_matches_exact(ray_session):
+    """Size-guarded routing: forcing the corpus over the exact-plan limit
+    (exact_limit=0) must route through the hyperplane-LSH plan and — on a
+    corpus of tight near-dup pairs (cosine ~0.999, per-table bit-match
+    ~0.92, 8 tables => miss prob ~1e-9) — return the SAME pair set with
+    the same cosines as the exact blocked cross-join."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from geoflow.stages.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(41)
+    base = rng.standard_normal((60, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows, vid = [], 0
+    for i in range(60):
+        rows.append({"vec_id": vid, "embedding": base[i].tolist()})
+        vid += 1
+        if i % 3 == 0:                      # tight near-dup copy
+            v = base[i] + 0.02 * rng.standard_normal(32)
+            rows.append({"vec_id": vid, "embedding": v.tolist()})
+            vid += 1
+    ds = rd.from_items(rows).repartition(4)
+
+    exact = embedding_dup_pairs(ds, threshold=0.95).to_pandas()
+    guarded = embedding_dup_pairs(ds, threshold=0.95,
+                                  exact_limit=0).to_pandas()
+    assert len(exact) >= 20                 # the injected near-dups
+    key = ["id_a", "id_b"]
+    e = exact.sort_values(key).reset_index(drop=True)
+    g = guarded.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(e, g[e.columns], check_dtype=False)

@@ -149,3 +149,71 @@ def test_wav_roundtrip_random(n, seed):
     sr, back = decode_wav(encode_wav(8000, x))
     assert sr == 8000 and len(back) == n
     assert np.abs(back - x).max() <= 2.0 / 32768
+
+
+def test_jaccard_df_cap_bounds_bucket_pairs():
+    """Adversarial common-shingle bucket: one boilerplate shingle shared
+    by ALL n docs. Uncapped, the self-merge emits O(n^2) pair partials;
+    with max_df the bucket's output is bounded by max_df * postings and
+    the boilerplate shingle contributes nothing."""
+    import pandas as pd
+    from geoflow.stages.dedup import bucket_pair_partials
+
+    n = 400
+    # boilerplate shingle 999 in every doc + one private shingle per doc
+    # + shingle shared by doc pairs (2i, 2i+1) so some pairs survive
+    rows = []
+    for d in range(n):
+        rows.append((999, d, 3))
+        rows.append((10_000 + d, d, 3))
+        rows.append((20_000 + d // 2, d, 3))
+    g = pd.DataFrame(rows, columns=["sh", "doc", "nsh"])
+    g["nsh_a"] = g["nsh"]
+
+    full = bucket_pair_partials(
+        g.rename(columns={"nsh": "nsh_"}).assign(nsh=3)[["sh", "doc", "nsh"]])
+    capped = bucket_pair_partials(
+        g[["sh", "doc", "nsh"]], max_df=10)
+    # uncapped: boilerplate alone emits n*(n-1)/2 partials
+    assert len(full) >= n * (n - 1) // 2
+    # capped: only the pair-shared shingles survive (df=2 <= 10) ->
+    # exactly n/2 partials, each with intersection count 1
+    assert len(capped) == n // 2
+    assert (capped["i"] == 1).all()
+    assert set(zip(capped["doc_a"], capped["doc_b"])) == {
+        (2 * i, 2 * i + 1) for i in range(n // 2)}
+    # bound: emitted partials <= max_df * kept postings (trivially holds)
+    assert len(capped) <= 10 * len(g)
+
+
+def test_jaccard_pairs_exact_df_cap_end_to_end(ray_session):
+    """Capped distributed run == uncapped with the boilerplate shingle's
+    intersection contribution removed (set sizes untouched: capped
+    Jaccard is a lower bound)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from geoflow.stages.dedup import jaccard_pairs_exact
+
+    boiler = "the same old boilerplate"
+    docs = []
+    for i in range(30):
+        # pairs (2i, 2i+1) share a long unique body -> high Jaccard
+        body = f"unique body {i // 2} with shared words alpha beta gamma"
+        docs.append({"doc_id": i, "text": f"{boiler} {body} tail{i % 2}"})
+    ds = rd.from_items(docs).repartition(4)
+    # threshold 0.1: capped Jaccard is a LOWER bound (dropped boilerplate
+    # shingles leave the union size untouched), so the true pairs land at
+    # 3/19 ~ 0.158 under the cap vs 0.85 exact
+    full = jaccard_pairs_exact(ds, "doc_id", threshold=0.1).to_pandas()
+    capped = jaccard_pairs_exact(ds, "doc_id", threshold=0.1,
+                                 max_df=8).to_pandas()
+    fk = {(a, b): j for a, b, j in
+          zip(full["id_a"], full["id_b"], full["jaccard"])}
+    ck = {(a, b): j for a, b, j in
+          zip(capped["id_a"], capped["id_b"], capped["jaccard"])}
+    # capped pair set is a subset, and every capped Jaccard <= exact
+    assert set(ck) <= set(fk)
+    for p, j in ck.items():
+        assert j <= fk[p] + 1e-12
+    # the true near-dup pairs (2i, 2i+1) still survive the cap
+    assert {(2 * i, 2 * i + 1) for i in range(15)} <= set(ck)
