@@ -868,26 +868,31 @@ def _ann_recall_check(name: str, out_df, corpus, k: int = 5,
 @register("ann_ivf_top5")
 def ann_ivf_top5(sf_dir: str):
     """IVF-bucketed approximate nearest neighbors (the scale path for
-    similarity search; brute-force twin is knn_cosine_top5).
-    SELF-CHECKING: recall@5 vs an exact in-query brute force must be
-    >= 0.8 (approximate results have no SQL oracle by nature)."""
+    similarity search; brute-force twin is knn_cosine_top5). The index
+    is built DISTRIBUTED (map_batches k-means partials, driver holds
+    nlist x dim centroids; corpus blocks stay in the object store —
+    see build_ivf_index_distributed). SELF-CHECKING: recall@5 vs an
+    exact in-query brute force must be >= 0.8 (approximate results
+    have no SQL oracle by nature)."""
     import ray
     import ray.data as rd
-    from ..stages.knn import CosineTopKIVF, build_ivf_index
+    from ..stages.knn import CosineTopKIVF, build_ivf_index_distributed
 
-    corpus = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).to_pandas()
+    corpus_ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n = corpus_ds.count()                      # parquet metadata only
     # near-uniform synthetic embeddings have no cluster structure, so
     # recall needs a wide probe fraction (real embedding corpora cluster,
     # letting nprobe/nlist shrink); 5/8 buckets -> recall ~0.88 here
-    index = build_ivf_index(corpus, "vec_id", "embedding", nlist=8)
+    index = build_ivf_index_distributed(corpus_ds, "vec_id", "embedding",
+                                        nlist=8)
     ref = ray.put(index)
-    queries = rd.from_pandas(
-        corpus.head(10).rename(columns={"vec_id": "query_id"}))
+    qdf = corpus_ds.limit(10).to_pandas()      # 10 query rows, not corpus
+    queries = rd.from_pandas(qdf.rename(columns={"vec_id": "query_id"}))
     # small corpora (sf0.001 smoke: 500 vectors over 8 buckets) spread
     # each query's true neighbors across most buckets, so partial
     # probing can't hold the recall floor — IVF legitimately
     # degenerates to probing every bucket below ~10^3 vectors
-    nprobe = 8 if len(corpus) < 1000 else 5
+    nprobe = 8 if n < 1000 else 5
     out = queries.map_batches(
         CosineTopKIVF, batch_format="pyarrow",
         fn_constructor_kwargs=dict(index_ref=ref, k=5, nprobe=nprobe),
@@ -899,8 +904,10 @@ def ann_ivf_top5(sf_dir: str):
             "rank": pc.cast(b.column("rank"), pa.int64()),
             "cosine": pa.array(np.round(b.column("cosine").to_numpy(), 6)),
         }), batch_format="pyarrow").to_pandas()
-    _ann_recall_check("ann_ivf_top5", res, corpus,
-                      query_ids=corpus["vec_id"].head(10).tolist())
+    if n <= 100_000:                           # verification scale only
+        _ann_recall_check("ann_ivf_top5", res,
+                          corpus_ds.to_pandas(),
+                          query_ids=qdf["vec_id"].tolist())
     return res
 
 

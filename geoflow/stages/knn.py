@@ -44,6 +44,41 @@ def normalized_matrix(df: pd.DataFrame, id_col: str, vec_col: str):
     return ids, mat
 
 
+def _empty_topk_table() -> pa.Table:
+    return pa.table({
+        "query_id": pa.array([], pa.int64()),
+        "neighbor_id": pa.array([], pa.int64()),
+        "cosine": pa.array([], pa.float64()),
+        "rank": pa.array([], pa.int32()),
+    })
+
+
+def _topk_rows(qids: np.ndarray, sims: np.ndarray, cand_ids: np.ndarray,
+               k: int) -> pa.Table:
+    """Fully vectorized per-row top-k over a (B, N) sims matrix:
+    argpartition along axis 1, then ONE global lexsort orders every
+    row's k hits (similarity desc, id asc) — no per-query Python loop.
+    Semantics match the former loop exactly, including -inf self-masked
+    entries surfacing when k reaches N."""
+    B = sims.shape[0]
+    if k <= 0 or B == 0:
+        return _empty_topk_table()
+    top = np.argpartition(-sims, k - 1, axis=1)[:, :k]      # (B, k)
+    vals = np.take_along_axis(sims, top, axis=1)
+    nbr = cand_ids[top]
+    rows = np.repeat(np.arange(B), k)
+    # lexsort: primary row, then sim desc, then neighbor id asc
+    order = np.lexsort((nbr.ravel(), -vals.ravel(), rows))
+    return pa.table({
+        "query_id": pa.array(np.asarray(qids, dtype=np.int64)[rows],
+                             pa.int64()),
+        "neighbor_id": pa.array(nbr.ravel()[order], pa.int64()),
+        "cosine": pa.array(vals.ravel()[order], pa.float64()),
+        "rank": pa.array(np.tile(np.arange(1, k + 1, dtype=np.int32), B),
+                         pa.int32()),
+    })
+
+
 class CosineTopK:
     """Actor-pool callable: top-k cosine neighbors per query row.
 
@@ -60,33 +95,15 @@ class CosineTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch.column("query_id").to_numpy()
+        if not len(qids):
+            return _empty_topk_table()
         vecs = np.vstack([np.asarray(v, dtype=np.float64)
                           for v in batch.column("embedding").to_pylist()])
         vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         sims = vecs @ self.mat.T                      # (B, N)
-        out_q, out_n, out_s, out_r = [], [], [], []
-        for i, qid in enumerate(qids):
-            row = sims[i]
-            if self.exclude_self:
-                self_idx = np.nonzero(self.ids == qid)[0]
-                if len(self_idx):
-                    row = row.copy()
-                    row[self_idx] = -np.inf
-            k = min(self.k, len(row))
-            top = np.argpartition(-row, k - 1)[:k]
-            # deterministic order: similarity desc, id asc
-            order = np.lexsort((self.ids[top], -row[top]))
-            top = top[order]
-            out_q.extend([qid] * k)
-            out_n.extend(self.ids[top].tolist())
-            out_s.extend(row[top].tolist())
-            out_r.extend(range(1, k + 1))
-        return pa.table({
-            "query_id": pa.array(out_q, pa.int64()),
-            "neighbor_id": pa.array(out_n, pa.int64()),
-            "cosine": pa.array(out_s, pa.float64()),
-            "rank": pa.array(out_r, pa.int32()),
-        })
+        if self.exclude_self:
+            sims[self.ids[None, :] == qids[:, None]] = -np.inf
+        return _topk_rows(qids, sims, self.ids, min(self.k, sims.shape[1]))
 
 
 def cosine_topk(queries_ds, corpus_ds, k: int = 5,
@@ -122,39 +139,148 @@ class CosineTopKIVF:
     def __init__(self, index_ref, k: int = 5, nprobe: int = 4,
                  exclude_self: bool = True):
         import ray
-        self.centroids, self.bucket_ids, self.bucket_mats = ray.get(index_ref)
+        index = ray.get(index_ref)
+        if len(index) == 3:                    # legacy driver-built form
+            self.centroids, self.bucket_ids, self.bucket_mats = index
+        else:
+            # distributed form: (centroids, [Arrow block refs]) — the
+            # corpus blocks live in the OBJECT STORE; each actor
+            # assembles its pinned buckets here, once, worker-side
+            # (nothing corpus-sized ever touched the driver)
+            self.centroids, block_refs = index
+            ids_parts, mat_parts, asg_parts = [], [], []
+            for t in ray.get(list(block_refs)):
+                if not len(t):
+                    continue
+                ids_parts.append(t.column("id").to_numpy().astype(np.int64))
+                mat_parts.append(_flat_matrix(t.column("vec")))
+                asg_parts.append(
+                    t.column("bucket").to_numpy().astype(np.int64))
+            ids = np.concatenate(ids_parts) if ids_parts \
+                else np.empty(0, dtype=np.int64)
+            mat = np.vstack(mat_parts) if mat_parts else np.empty((0, 0))
+            asg = np.concatenate(asg_parts) if asg_parts \
+                else np.empty(0, dtype=np.int64)
+            self.bucket_ids = [ids[asg == c]
+                               for c in range(len(self.centroids))]
+            self.bucket_mats = [mat[asg == c]
+                                for c in range(len(self.centroids))]
         self.k = k
         self.nprobe = nprobe
         self.exclude_self = exclude_self
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch.column("query_id").to_numpy()
+        if not len(qids):
+            return _empty_topk_table()
         vecs = np.vstack([np.asarray(v, dtype=np.float64)
                           for v in batch.column("embedding").to_pylist()])
         vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
         cent_sims = vecs @ self.centroids.T
-        out_q, out_n, out_s, out_r = [], [], [], []
-        for i, qid in enumerate(qids):
-            probes = np.argsort(-cent_sims[i])[:self.nprobe]
-            cand_ids = np.concatenate([self.bucket_ids[p] for p in probes])
-            cand_mat = np.vstack([self.bucket_mats[p] for p in probes])
-            sims = cand_mat @ vecs[i]
+        # queries sharing a probe set run ONE blocked matmul + the
+        # vectorized top-k (clustered query workloads collapse to a
+        # handful of groups; worst case = former per-query behavior)
+        probes = np.sort(np.argpartition(-cent_sims, self.nprobe - 1,
+                                         axis=1)[:, :self.nprobe], axis=1) \
+            if self.nprobe < cent_sims.shape[1] \
+            else np.tile(np.arange(cent_sims.shape[1]), (len(qids), 1))
+        uniq, inv = np.unique(probes, axis=0, return_inverse=True)
+        parts = []
+        for u, pr in enumerate(uniq):
+            qsel = np.nonzero(inv == u)[0]
+            cand_ids = np.concatenate([self.bucket_ids[p] for p in pr])
+            cand_mat = np.vstack([self.bucket_mats[p] for p in pr])
+            sims = vecs[qsel] @ cand_mat.T
             if self.exclude_self:
-                sims = np.where(cand_ids == qid, -np.inf, sims)
-            k = min(self.k, len(sims))
-            top = np.argpartition(-sims, k - 1)[:k]
-            order = np.lexsort((cand_ids[top], -sims[top]))
-            top = top[order]
-            out_q.extend([qid] * k)
-            out_n.extend(cand_ids[top].tolist())
-            out_s.extend(sims[top].tolist())
-            out_r.extend(range(1, k + 1))
-        return pa.table({
-            "query_id": pa.array(out_q, pa.int64()),
-            "neighbor_id": pa.array(out_n, pa.int64()),
-            "cosine": pa.array(out_s, pa.float64()),
-            "rank": pa.array(out_r, pa.int32()),
-        })
+                sims[cand_ids[None, :] == qids[qsel][:, None]] = -np.inf
+            parts.append(_topk_rows(qids[qsel], sims, cand_ids,
+                                    min(self.k, sims.shape[1])))
+        return pa.concat_tables(parts)
+
+
+def _flat_matrix(col) -> np.ndarray:
+    """list<float> / tensor column -> (n, d) float64 (offset-aware)."""
+    from .dedup import vec_column_matrix
+    return vec_column_matrix(col)
+
+
+def kmeans_fit_distributed(norm_ds, nlist: int = 16, iters: int = 8):
+    """Distributed spherical k-means over a materialized Dataset of
+    (id, vec UNIT rows): each iteration is one map_batches pass emitting
+    per-centroid partial sums + counts (nlist x dim floats per BATCH,
+    independent of N), reduced on the driver into new centroids. The
+    driver holds only the (nlist, dim) centroid matrix — never the
+    corpus (the round-2 IVF build's ``to_pandas()`` is gone).
+
+    Init: first ``nlist`` rows (deterministic; ``limit`` reads one
+    block, not the corpus)."""
+    import ray
+
+    seed_df = norm_ds.limit(nlist).to_pandas()
+    cent = np.vstack(seed_df["vec"].to_numpy()).astype(np.float64)
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def _partial(b: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref)
+            mat = _flat_matrix(b.column("vec"))
+            if not len(mat):
+                return pa.table({"c": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.list_(pa.float64()))})
+            a = np.argmax(mat @ c.T, axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, mat)
+            counts = np.bincount(a, minlength=len(c)).astype(np.int64)
+            return pa.table({
+                "c": pa.array(np.arange(len(c), dtype=np.int64)),
+                "n": pa.array(counts),
+                "s": pa.array(list(sums), pa.list_(pa.float64())),
+            })
+
+        # partials are nlist rows per batch — bounded, driver-safe
+        p = norm_ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+        counts = np.zeros(len(cent), dtype=np.int64)
+        sums = np.zeros_like(cent)
+        np.add.at(counts, p["c"].to_numpy(), p["n"].to_numpy())
+        np.add.at(sums, p["c"].to_numpy(), np.vstack(p["s"].to_numpy()))
+        nz = counts > 0
+        cent[nz] = sums[nz] / np.maximum(
+            np.linalg.norm(sums[nz], axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def build_ivf_index_distributed(corpus_ds, id_col: str, vec_col: str,
+                                nlist: int = 16, iters: int = 8):
+    """IVF index without driver-side corpus materialization: distributed
+    k-means fit, then one assignment pass whose (bucket, id, vec) Arrow
+    blocks STAY in the object store (``to_arrow_refs``). Returns
+    (centroids, block_refs) — pass through ``ray.put`` to
+    ``CosineTopKIVF``, whose actors assemble their pinned buckets
+    worker-side. The driver touches only (nlist x dim) centroids and a
+    list of refs."""
+    def _norm(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b.column(id_col), pa.int64()).to_numpy()
+        mat = _flat_matrix(b.column(vec_col))
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pa.table({"id": pa.array(ids, pa.int64()),
+                         "vec": pa.array(list(mat), pa.list_(pa.float64()))})
+
+    norm = corpus_ds.map_batches(_norm, batch_format="pyarrow").materialize()
+    cent = kmeans_fit_distributed(norm, nlist=nlist, iters=iters)
+
+    import ray
+    cent_ref = ray.put(cent)
+
+    def _assign(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        mat = _flat_matrix(b.column("vec"))
+        a = np.argmax(mat @ c.T, axis=1) if len(mat) \
+            else np.empty(0, dtype=np.int64)
+        return b.append_column("bucket", pa.array(a.astype(np.int64)))
+
+    assigned = norm.map_batches(_assign, batch_format="pyarrow").materialize()
+    return cent, assigned.to_arrow_refs()
 
 
 def build_ivf_index(corpus_df: pd.DataFrame, id_col: str, vec_col: str,

@@ -205,3 +205,32 @@ def test_knn_haversine_shuffle_matches_pinned(ray_session):
         hits += len(set(e["neighbor_id"]) & set(s["neighbor_id"]))
         total += len(e)
     assert hits / total >= 0.95, hits / total
+
+
+def test_ivf_distributed_build_full_probe_is_exact(ray_session):
+    """Distributed IVF build (map_batches k-means partials + object-store
+    block refs, no driver corpus materialization): probing ALL buckets
+    must reproduce the exact brute-force top-k — bucketing is then a
+    pure partition of the corpus, so any divergence is an
+    assembly/assignment bug, not an approximation."""
+    import ray
+    import ray.data as rd
+    df = _embeddings(300)
+    ds = rd.from_pandas(df).repartition(4)
+    index = knn.build_ivf_index_distributed(ds, "vec_id", "embedding",
+                                            nlist=6)
+    cent, refs = index
+    assert cent.shape == (6, len(df["embedding"].iloc[0]))
+    ref = ray.put(index)
+    q = rd.from_pandas(df.head(15).rename(columns={"vec_id": "query_id"}))
+    out = q.map_batches(
+        knn.CosineTopKIVF, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(index_ref=ref, k=5, nprobe=6),
+        concurrency=2).to_pandas()
+    ids, mat = knn.normalized_matrix(df, "vec_id", "embedding")
+    for qid in range(15):
+        sims = mat @ mat[qid]
+        sims[qid] = -np.inf
+        exact = set(ids[np.argsort(-sims)[:5]].tolist())
+        got = set(out[out["query_id"] == qid]["neighbor_id"].tolist())
+        assert got == exact, qid
