@@ -1851,10 +1851,15 @@ def revenue_by_region(sf_dir: str):
     customer build side is attached via _attach_customer_dim (ray.put'd
     sorted arrays + vectorized searchsorted under the broadcast limit;
     above it the customer DATASET rides the bucketed hash join and
-    never touches the driver — customer is NOT a dimension at sf1000); the single large-large edge (lineitem-orders) is the
-    bucketed one-shuffle hash join. Total data movement: one shuffle of
-    slim (key, region, rev) rows."""
-    from ..functions.joins import bucketed_hash_join
+    never touches the driver — customer is NOT a dimension at sf1000).
+    The lineitem-orders edge follows the SAME size guard: orders rows
+    (known from parquet metadata, no execution) under
+    BROADCAST_ROW_LIMIT make (o_orderkey -> r_code) a broadcast lookup
+    into the lineitem stream — zero shuffles end to end (the r2 bench
+    regression was this join's shuffle barrier dominating at small
+    data); above the limit it is the bucketed one-shuffle hash join of
+    slim (key, int8-coded region, int64 rev) rows."""
+    from ..functions.joins import broadcast_lookup, bucketed_hash_join
 
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
     reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
@@ -1869,8 +1874,10 @@ def revenue_by_region(sf_dir: str):
                               reg["r_regionkey"].astype(int),
                               reg["r_name"]))))}
 
+    orders_raw = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    n_orders = orders_raw.count()              # parquet metadata only
     orders = _attach_customer_dim(
-        _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]),
+        orders_raw,
         "o_custkey", sf_dir, "r_code", region_code_of_nation).map_batches(
         lambda b: b.select(["o_orderkey", "r_code"]), batch_format="pyarrow")
 
@@ -1885,9 +1892,16 @@ def revenue_by_region(sf_dir: str):
             "rev_e4": np.round(price * (1 - disc) * 10000).astype(np.int64),
         })
 
-    joined = bucketed_hash_join(
-        orders, lineitem.map_batches(_rev, batch_format="pyarrow"),
-        "o_orderkey", "l_orderkey")
+    li_rev = lineitem.map_batches(_rev, batch_format="pyarrow")
+    if n_orders <= BROADCAST_ROW_LIMIT:
+        odf = orders.to_pandas()               # bounded by the guard
+        joined = broadcast_lookup(
+            li_rev, "l_orderkey",
+            odf["o_orderkey"].to_numpy(dtype=np.int64),
+            odf["r_code"].to_numpy(), "r_code")
+    else:
+        joined = bucketed_hash_join(orders, li_rev,
+                                    "o_orderkey", "l_orderkey")
     agg = grouped_count_sum(joined, ["r_code"], ["rev_e4"],
                             count_alias="n_items")
 

@@ -87,6 +87,23 @@ def render_correlation_png(hist: np.ndarray, path: str) -> str:
     return path
 
 
+def write_histogram_geotiff(hist: np.ndarray, path: str) -> str:
+    """2-D histogram -> single-band float32 GeoTIFF, vertically flipped
+    exactly like the reference's correlation export
+    (correlation_eval.py:56-70: ``band.WriteArray(histogram[::-1, :])``
+    — the comment there says "rotate 180°" but the code flips rows
+    only; the flip, not the comment, is what we reproduce). Pairs with
+    ``render_correlation_png`` as the reference's native raster target
+    for the correlation evaluation."""
+    from ..sources.geotiff import write_geotiff
+
+    h = np.asarray(hist, dtype=np.float64)
+    if h.ndim == 1:
+        n = int(round(math.sqrt(h.size)))
+        h = h.reshape(n, n)
+    return write_geotiff(path, h[::-1, :].astype(np.float32))
+
+
 def write_xlsx(path: str, sheets: dict[str, pd.DataFrame]) -> str:
     """Minimal OOXML workbook (inline strings; one worksheet per entry) —
     the reference's metric export target (multi_criteria_eval.py:231-265)
@@ -184,9 +201,12 @@ def render_full_report(out_dir: str, rose_df: pd.DataFrame,
     for band in sorted(rose_df["band"].unique()):
         out["rose_svg"].append(render_rose_svg(
             rose_df, int(band), f"{out_dir}/rose_band{band}.svg"))
+    out["correlation_tif"] = []
     for r in corr_df.itertuples(index=False):
         out["correlation_png"].append(render_correlation_png(
             np.asarray(r.hist), f"{out_dir}/correlation_band{r.band}.png"))
+        out["correlation_tif"].append(write_histogram_geotiff(
+            np.asarray(r.hist), f"{out_dir}/correlation_band{r.band}.tif"))
     out["xlsx"].append(write_xlsx(f"{out_dir}/rank.xlsx",
                                   {"scores": rank_df}))
     return out

@@ -74,3 +74,19 @@ def test_full_report(tmp_path):
     assert len(out["rose_svg"]) == 2
     assert len(out["correlation_png"]) == 1
     assert len(out["xlsx"]) == 1
+
+
+def test_correlation_geotiff_roundtrip(tmp_path):
+    """Histogram -> GeoTIFF export matches the reference's raster write
+    (correlation_eval.py:56-70 writes histogram[::-1, :]); reading the
+    file back through the engine's own GeoTIFF reader recovers the
+    flipped matrix exactly."""
+    from geoflow.pipelines.report import write_histogram_geotiff
+    from geoflow.sources.geotiff import read_geotiff
+
+    rng = np.random.default_rng(6)
+    hist = rng.integers(0, 500, size=(100, 100)).astype(np.int64)
+    p = write_histogram_geotiff(hist, str(tmp_path / "corr.tif"))
+    bands, meta = read_geotiff(p)
+    assert bands.shape == (1, 100, 100)
+    assert np.array_equal(bands[0], hist[::-1, :].astype(np.float32))
