@@ -31,20 +31,25 @@ def partial_group_sums(key_cols: list[str], sum_cols: list[str],
     max_cols = max_cols or []
 
     def _combine(batch: pa.Table) -> pa.Table:
-        df = batch.select(
-            key_cols + sorted(set(sum_cols + min_cols + max_cols))
-        ).to_pandas()
-        g = df.groupby(key_cols, sort=False, observed=True)
-        pieces = {}
+        t = batch.select(key_cols + sorted(set(sum_cols + min_cols
+                                               + max_cols)))
+        # Arrow C++ hash aggregate (same swap as flagship dedup's local
+        # combine: order-of-magnitude faster than pandas groupby-agg at
+        # typical block sizes, no pandas round-trip)
+        specs = ([(c, "sum") for c in sum_cols]
+                 + [(c, "min") for c in min_cols]
+                 + [(c, "max") for c in max_cols]
+                 + [([], "count_all")])
+        out = pa.TableGroupBy(t, key_cols).aggregate(specs)
+        cols = {k: out.column(k) for k in key_cols}
         for c in sum_cols:
-            pieces[f"{c}_sum"] = g[c].sum()
+            cols[f"{c}_sum"] = out.column(f"{c}_sum")
         for c in min_cols:
-            pieces[f"{c}_min"] = g[c].min()
+            cols[f"{c}_min"] = out.column(f"{c}_min")
         for c in max_cols:
-            pieces[f"{c}_max"] = g[c].max()
-        pieces[count_col] = g.size()
-        out = pd.DataFrame(pieces).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+            cols[f"{c}_max"] = out.column(f"{c}_max")
+        cols[count_col] = out.column("count_all")
+        return pa.table(cols)
 
     return _combine
 

