@@ -2508,21 +2508,164 @@ def sampled_docs(sf_dir: str):
     return ds.map_batches(_sample, batch_format="pyarrow")
 
 
+@register("tfidf_top_terms", sql=r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+sc AS (SELECT t.doc_id, t.term,
+              CAST(t.tf * 1000000000000 // d.df AS BIGINT) AS score_e12,
+              row_number() OVER (PARTITION BY t.doc_id
+                                 ORDER BY t.tf * 1000000000000 // d.df DESC,
+                                          t.term ASC) AS rk
+       FROM tf t JOIN df d USING (term))
+SELECT doc_id, term, score_e12, CAST(rk AS BIGINT) AS rk
+FROM sc WHERE rk <= 3
+""")
+def tfidf_top_terms(sf_dir: str):
+    """Per-document top-3 salient terms by EXACT integer tf-idf
+    (tf * 10^12 // df, reciprocal-df idf — same ranking as tf/df with
+    no float-tie hazard). Distributed: Arrow-aggregated (doc, term, tf)
+    rows, combiner-pattern DF count, broadcast DF dictionary under the
+    vocab guard, per-doc top-k inside hash buckets
+    (geoflow.stages.curation.tfidf_top_terms)."""
+    from ..stages.curation import tfidf_top_terms as _tfidf
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = _tfidf(ds, "doc_id", "text", k=3)
+    return out.map_batches(
+        lambda b: pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "term": b.column("term"),
+            "score_e12": pc.cast(b.column("score_e12"), pa.int64()),
+            "rk": pc.cast(b.column("rk"), pa.int64()),
+        }), batch_format="pyarrow")
+
+
+@register("decontaminated_docs", sql=r"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) < 5
+       THEN CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                 ELSE [array_to_string(toks, ' ')] END
+       ELSE list_transform(range(1, len(toks) - 3),
+            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                 || toks[i+3] || ' ' || toks[i+4])
+       END) AS s
+  FROM tok
+),
+shd AS (SELECT DISTINCT doc_id, s FROM sh),
+bench AS (SELECT DISTINCT s FROM shd WHERE doc_id % 23 = 0)
+SELECT a.doc_id, count(*) AS n_contaminated
+FROM shd a JOIN bench b ON a.s = b.s
+WHERE a.doc_id % 23 <> 0
+GROUP BY a.doc_id
+""")
+def decontaminated_docs(sf_dir: str):
+    """Benchmark decontamination: every corpus doc sharing >= 1 distinct
+    word-5-shingle with the pseudo-benchmark slice (doc_id % 23 = 0) is
+    flagged with its contaminated-shingle count. The benchmark shingle
+    set broadcasts (eval sets are small by nature); the corpus streams
+    once with zero shuffles (geoflow.stages.curation.decontaminate)."""
+    from ..stages.curation import benchmark_shingle_set, decontaminate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = docs.map_batches(
+        lambda b: b.filter(pa.array(b.column("doc_id").to_numpy() % 23 == 0)),
+        batch_format="pyarrow")
+    shingles = benchmark_shingle_set(bench, "text", k=5)
+    corpus = docs.map_batches(
+        lambda b: b.filter(pa.array(b.column("doc_id").to_numpy() % 23 != 0)),
+        batch_format="pyarrow")
+    return decontaminate(corpus, shingles, "doc_id", "text", k=5)
+
+
+_PII_DOCS_CTE = """
+docs AS (
+  SELECT doc_id,
+    text || CASE WHEN doc_id % 5 = 0
+       THEN ' contact user' || CAST(doc_id AS VARCHAR)
+            || '@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+       THEN ' call +1 (555) 010-' || CAST(doc_id % 10000 AS VARCHAR)
+            || ' asap' ELSE '' END AS text
+  FROM documents
+)
+"""
+
+
+@register("pii_scrub_docs", sql="WITH " + _PII_DOCS_CTE + r"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+'))
+       AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(regexp_replace(text,
+       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+       '[EMAIL]', 'g'), '\+[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT)
+       AS n_phones,
+  CAST(length(regexp_replace(regexp_replace(text,
+       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+       '[EMAIL]', 'g'), '\+[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g'))
+       AS BIGINT) AS scrubbed_len
+FROM docs
+""")
+def pii_scrub_docs(sf_dir: str):
+    """PII scrub over a corpus with deterministically injected emails
+    (doc_id % 5) and phone numbers (doc_id % 7): redact emails then
+    phones, count each, report the scrubbed length. Patterns are
+    restricted to constructs where Python re and DuckDB RE2 match
+    identically (verified pairwise in tests), so the whole scrub chain
+    is SQL-replayed (geoflow.stages.curation.pii_scrub_batch)."""
+    from ..stages.curation import pii_scrub_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _inject(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        texts = b.column("text").to_pylist()
+        out = []
+        for i, t in zip(ids.tolist(), texts):
+            t = t or ""
+            if i % 5 == 0:
+                t += f" contact user{i}@example.com now"
+            if i % 7 == 0:
+                t += f" call +1 (555) 010-{i % 10000} asap"
+            out.append(t)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(out, pa.string())})
+
+    scrubbed = ds.map_batches(_inject, batch_format="pyarrow") \
+        .map_batches(pii_scrub_batch, batch_format="pyarrow")
+    return scrubbed.map_batches(
+        lambda b: b.select(["doc_id", "n_emails", "n_phones",
+                            "scrubbed_len"]),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver check order. The correctness driver hash-
 # verifies the FIRST 50 registered queries, so every window slot should
 # carry a DuckDB oracle: the 5 self-checking no-oracle entries (ANN
 # recall floors, HLL error bound, twins of *_verified queries) and the
-# 3 oracle-bearing queries whose semantics a STRONGER in-window twin
+# oracle-bearing queries whose semantics a STRONGER in-window twin
 # already covers (pinned-index kNN vs the shuffle variant; streaming
 # sessions vs batch sessions + streaming hourly; plain Bernoulli sample
-# vs the stratified sampler) move past the window.
+# vs the stratified sampler; char ratios vs quality scores + token
+# stats; bbox join vs the polygon PIP join; lang-source rollup vs
+# langid + corpus curation) move past the window, which frees slots for
+# one hash-checked representative of EVERY operator family (incl. the
+# curation trio: tf-idf, decontamination, PII scrub).
 # tools/validate_queries.py still validates the full oracle-bearing set
 # at sf0.001/0.01/0.1 — see BASELINE.md.
 # ---------------------------------------------------------------------------
 _PAST_WINDOW = [
     # oracle-bearing, locally validated, covered by in-window twins
     "knn_haversine_docs", "user_sessions_streaming", "sampled_docs",
+    "doc_char_ratios", "bbox_join_docs", "lang_source_stats",
     # self-checking no-oracle entries
     "ann_ivf_top5", "ann_lsh_top5", "flagship_zonal",
     "raster_pages_cell_join", "approx_distinct_orderkeys",

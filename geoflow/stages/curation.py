@@ -1,0 +1,250 @@
+"""Training-data curation operators: TF-IDF term scoring, benchmark
+decontamination, PII scrubbing.
+
+These extend the LLM-pipeline family (dedup / quality / langid /
+fingerprints in geoflow.stages.dedup and .textstats) with the other
+three curation passes a web-scale corpus build runs before training:
+
+- ``tfidf_top_terms``: per-document top-k salient terms. Distributed
+  shape: one pass builds exact (doc, term, tf) rows (Arrow hash
+  aggregate per batch), DF comes from a combiner-style grouped count
+  (shuffle moves one row per distinct (batch, term)), and the doc-level
+  top-k runs inside bucket groups. Scores are EXACT integers
+  (tf * 10^12 // df — reciprocal-df idf; monotone in tf and 1/df) so
+  the DuckDB oracle replays them bit-for-bit with no float-tie risk.
+- ``benchmark_shingle_set`` / ``decontaminate``: flag corpus documents
+  sharing any word-k-shingle with a benchmark/eval set — the standard
+  contamination filter before training. The benchmark side is small BY
+  NATURE (eval sets), so its distinct shingles broadcast via
+  ``ray.put`` and the corpus streams once; no shuffle at all.
+- ``pii_scrub_batch``: count + redact email/phone spans with pinned
+  regexes chosen to behave identically in Python ``re`` and DuckDB's
+  RE2 (character-class bodies only, no backtracking constructs), so
+  the scrub is SQL-replayable.
+
+No reference counterpart (the reference is a raster-correction plugin);
+these follow the task brief's training-data operator list.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .dedup import _mix_cols
+
+# score scale: tf * SCORE_NUM // df stays far inside int64 for any real
+# document (tf <= doc tokens ~ 10^6) and any corpus (df >= 1)
+_SCORE_NUM = 10 ** 12
+
+# Terms-dictionary broadcast guard: DF tables are vocab-sized (compact
+# even for web corpora), but above this row count the join falls back to
+# the bucketed hash join on a 64-bit term hash.
+DF_BROADCAST_LIMIT = 5_000_000
+
+
+def tf_rows(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """(doc, term, tf) rows for one batch — exact term frequencies via
+    token explode + Arrow hash aggregate (no per-doc Python counting)."""
+    ids = batch.column(id_col).to_numpy().astype(np.int64)
+    texts = batch.column(text_col).to_pylist()
+    toks_per_doc = [(t or "").split() for t in texts]
+    lens = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64,
+                       count=len(toks_per_doc))
+    if lens.sum() == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "term": pa.array([], pa.string()),
+                         "tf": pa.array([], pa.int64())})
+    flat_terms = [w for toks in toks_per_doc for w in toks]
+    doc = np.repeat(ids, lens)
+    t = pa.table({id_col: pa.array(doc, pa.int64()),
+                  "term": pa.array(flat_terms, pa.string())})
+    out = pa.TableGroupBy(t, [id_col, "term"]).aggregate([([], "count_all")])
+    return pa.table({id_col: out.column(id_col),
+                     "term": out.column("term"),
+                     "tf": out.column("count_all")})
+
+
+def tfidf_top_terms(ds, id_col: str = "doc_id", text_col: str = "text",
+                    k: int = 3, num_buckets: int = 64):
+    """Top-k terms per document by exact integer tf-idf score.
+
+    score_e12 = tf * 10^12 // df (reciprocal-df idf: equivalent ranking
+    to tf/df; integer-exact on both engine and oracle sides). Ties
+    break on term ascending; output (id, term, score_e12, rk 1..k).
+
+    Plan: tf rows from one streaming pass; DF = grouped count over the
+    distinct (batch, term) partials (combiner pattern — the shuffle is
+    vocab x batches rows, never corpus-sized); the DF dictionary
+    broadcasts under ``DF_BROADCAST_LIMIT`` (vocabularies are compact)
+    or joins by 64-bit term hash above it; per-doc top-k runs inside
+    hash(doc) bucket groups, vectorized.
+    """
+    import ray
+
+    from ..functions.agg import grouped_count_sum
+    from ..functions.joins import bucketed_hash_join
+
+    tf = ds.map_batches(lambda b: tf_rows(b, id_col, text_col),
+                        batch_format="pyarrow")
+    df_ds = grouped_count_sum(tf, ["term"], [], count_alias="df") \
+        .materialize()
+
+    if df_ds.count() <= DF_BROADCAST_LIMIT:
+        df_tbl = df_ds.to_pandas()
+        lookup = ray.put(dict(zip(df_tbl["term"], df_tbl["df"])))
+
+        def _score(b: pa.Table) -> pa.Table:
+            d = ray.get(lookup)
+            terms = b.column("term").to_pylist()
+            dfv = np.fromiter((d[t] for t in terms), dtype=np.int64,
+                              count=len(terms))
+            tfv = b.column("tf").to_numpy().astype(np.int64)
+            sc = tfv * _SCORE_NUM // dfv
+            return pa.table({
+                id_col: b.column(id_col), "term": b.column("term"),
+                "score_e12": pa.array(sc, pa.int64())})
+
+        scored = tf.map_batches(_score, batch_format="pyarrow")
+    else:
+        # both sides large: join on a 64-bit term hash (collision odds
+        # are ~n^2/2^64 — negligible and deterministic; the broadcast
+        # path above is exact and is the one the oracle verifies)
+        from .dedup import dual_poly_token_hashes
+
+        def _h(col_name):
+            def _f(b: pa.Table) -> pa.Table:
+                h = dual_poly_token_hashes(b.column("term").to_pylist())
+                return b.append_column(col_name,
+                                       pa.array(h.view(np.int64)))
+            return _f
+
+        j = bucketed_hash_join(
+            tf.map_batches(_h("_th"), batch_format="pyarrow"),
+            df_ds.map_batches(_h("_dh"), batch_format="pyarrow")
+                 .map_batches(lambda b: b.select(["_dh", "df"]),
+                              batch_format="pyarrow"),
+            "_th", "_dh", num_buckets=num_buckets)
+
+        def _score_j(b: pa.Table) -> pa.Table:
+            tfv = b.column("tf").to_numpy().astype(np.int64)
+            dfv = b.column("df").to_numpy().astype(np.int64)
+            sc = tfv * _SCORE_NUM // dfv
+            return pa.table({
+                id_col: b.column(id_col), "term": b.column("term"),
+                "score_e12": pa.array(sc, pa.int64())})
+
+        scored = j.map_batches(_score_j, batch_format="pyarrow")
+
+    def _tag(b: pa.Table) -> pa.Table:
+        gb = (_mix_cols(b.column(id_col).to_numpy())
+              % np.uint64(num_buckets)).astype(np.int32)
+        return b.append_column("_gb", pa.array(gb))
+
+    def _topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "score_e12", "term"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        g["rk"] = g.groupby(id_col, sort=False).cumcount() + 1
+        out = g[g["rk"] <= k]
+        return out[[id_col, "term", "score_e12", "rk"]]
+
+    return scored.map_batches(_tag, batch_format="pyarrow") \
+        .groupby("_gb").map_groups(_topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def word_shingles(text: str, k: int = 5) -> list[str]:
+    """Distinct word-k-shingles (space-joined); docs shorter than k
+    tokens form one whole-text shingle; empty docs none — the same
+    convention as the MinHash family (geoflow.stages.dedup)."""
+    toks = (text or "").split()
+    if not toks:
+        return []
+    if len(toks) < k:
+        return [" ".join(toks)]
+    return list({" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)})
+
+
+def benchmark_shingle_set(bench_ds, text_col: str = "text",
+                          k: int = 5) -> set[str]:
+    """Distinct shingles of the benchmark side, collected to the driver.
+    Benchmarks/eval sets are small by nature — this is the documented
+    broadcast-side bound (the corpus side never materializes)."""
+    def _sh(b: pa.Table) -> pa.Table:
+        out = []
+        for t in b.column(text_col).to_pylist():
+            out.extend(word_shingles(t, k))
+        return pa.table({"s": pa.array(sorted(set(out)), pa.string())})
+
+    rows = bench_ds.map_batches(_sh, batch_format="pyarrow").unique("s")
+    return set(rows or [])
+
+
+def decontaminate(corpus_ds, bench_shingles: set[str],
+                  id_col: str = "doc_id", text_col: str = "text",
+                  k: int = 5):
+    """(id, n_contaminated) for every corpus doc sharing >= 1 distinct
+    word-k-shingle with the benchmark set. The set rides the object
+    store (``ray.put``); the corpus streams through one map pass."""
+    import ray
+
+    ref = ray.put(frozenset(bench_shingles))
+
+    def _flag(b: pa.Table) -> pa.Table:
+        bs = ray.get(ref)
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        out_id, out_n = [], []
+        for i, t in zip(ids.tolist(), b.column(text_col).to_pylist()):
+            n = sum(1 for s in word_shingles(t, k) if s in bs)
+            if n:
+                out_id.append(i)
+                out_n.append(n)
+        return pa.table({id_col: pa.array(out_id, pa.int64()),
+                         "n_contaminated": pa.array(out_n, pa.int64())})
+
+    return corpus_ds.map_batches(_flag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to character-class bodies + bounded repeats: the
+# constructs where Python re (backtracking) and DuckDB RE2 (automaton)
+# produce identical matches, making the scrub SQL-replayable.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+PII_PHONE = r"\+[0-9][0-9()\- ]{6,}[0-9]"
+_RE_EMAIL = re.compile(PII_EMAIL)
+_RE_PHONE = re.compile(PII_PHONE)
+
+
+def pii_scrub_batch(batch: pa.Table, id_col: str = "doc_id",
+                    text_col: str = "text") -> pa.Table:
+    """Redact emails then phones ([EMAIL]/[PHONE]), counting each.
+    Output: (id, n_emails, n_phones, scrubbed_len, scrubbed_text)."""
+    ids = batch.column(id_col)
+    n_e = np.empty(len(ids), dtype=np.int64)
+    n_p = np.empty(len(ids), dtype=np.int64)
+    out_t = []
+    for i, t in enumerate(batch.column(text_col).to_pylist()):
+        t = t or ""
+        t1, ne = _RE_EMAIL.subn("[EMAIL]", t)
+        t2, np_ = _RE_PHONE.subn("[PHONE]", t1)
+        n_e[i], n_p[i] = ne, np_
+        out_t.append(t2)
+    return pa.table({
+        id_col: ids,
+        "n_emails": pa.array(n_e, pa.int64()),
+        "n_phones": pa.array(n_p, pa.int64()),
+        "scrubbed_len": pa.array(
+            np.fromiter((len(t) for t in out_t), dtype=np.int64,
+                        count=len(out_t)), pa.int64()),
+        "scrubbed_text": pa.array(out_t, pa.string()),
+    })

@@ -1,0 +1,128 @@
+"""Curation operators: tf-idf, decontamination, PII scrub."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from geoflow.stages import curation
+
+
+def test_word_shingles_conventions():
+    assert curation.word_shingles("", 5) == []
+    assert curation.word_shingles("a b c", 5) == ["a b c"]   # short: whole
+    got = set(curation.word_shingles("a b c d e f", 5))
+    assert got == {"a b c d e", "b c d e f"}
+    # distinct: repeated shingles collapse
+    assert len(curation.word_shingles("x x x x x x x", 5)) == 1
+
+
+def test_pii_patterns_match_duckdb_re2():
+    """The engine's scrub chain must be replayable in DuckDB RE2 —
+    pairwise-identical counts AND replacement strings on adversarial
+    inputs (nested classes, boundary repeats, adjacent spans)."""
+    import duckdb
+
+    tests = [
+        "contact user123@example.com now",
+        "a.b-c_d%e+f@sub.domain.co.uk trailing",
+        "call +1 (555) 010-1234 ok",
+        "multi +44 20-7946 0958 and user@x.io and +1 5550102 end",
+        "edge@x.y, @nope, no@tld., x@y.zz",
+        "++12345678, +1234567890123456789012345",
+        "paren +1 ((55)) -- 22 done",
+        "email-in-phone +1 555 a@b.cc 0102",
+        "", "no pii here at all 123",
+        "a@b.cc+1 5550102 glued",
+    ]
+    con = duckdb.connect()
+    for t in tests:
+        t1, ne = curation._RE_EMAIL.subn("[EMAIL]", t)
+        t2, npn = curation._RE_PHONE.subn("[PHONE]", t1)
+        sne, st1 = con.execute(
+            "SELECT len(regexp_extract_all(?, ?)),"
+            " regexp_replace(?, ?, '[EMAIL]', 'g')",
+            [t, curation.PII_EMAIL, t, curation.PII_EMAIL]).fetchone()
+        snp, st2 = con.execute(
+            "SELECT len(regexp_extract_all(?, ?)),"
+            " regexp_replace(?, ?, '[PHONE]', 'g')",
+            [st1, curation.PII_PHONE, st1, curation.PII_PHONE]).fetchone()
+        assert (ne, t1, npn, t2) == (sne, st1, snp, st2), t
+
+
+def test_pii_scrub_batch():
+    b = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["mail a@b.cc and c@d.ee end", "call +1 5550102 x"]),
+    })
+    out = curation.pii_scrub_batch(b)
+    assert out.column("n_emails").to_pylist() == [2, 0]
+    assert out.column("n_phones").to_pylist() == [0, 1]
+    assert out.column("scrubbed_text").to_pylist() == [
+        "mail [EMAIL] and [EMAIL] end", "call [PHONE] x"]
+    assert out.column("scrubbed_len").to_pylist() == [
+        len("mail [EMAIL] and [EMAIL] end"), len("call [PHONE] x")]
+
+
+def test_tf_rows_exact_counts():
+    b = pa.table({
+        "doc_id": pa.array([7, 8], pa.int64()),
+        "text": pa.array(["a b a a c", ""]),
+    })
+    out = curation.tf_rows(b, "doc_id", "text").to_pandas()
+    got = {(r.doc_id, r.term): r.tf for r in out.itertuples()}
+    assert got == {(7, "a"): 3, (7, "b"): 1, (7, "c"): 1}
+
+
+def test_tfidf_top_terms_matches_bruteforce(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i:02d}" for i in range(12)]
+    docs = [" ".join(rng.choice(vocab, 20)) for _ in range(40)]
+    df_in = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64),
+                          "text": docs})
+    out = curation.tfidf_top_terms(
+        rd.from_pandas(df_in).repartition(4), k=3).to_pandas()
+
+    # brute force
+    tf = collections.Counter()
+    dfc = collections.Counter()
+    for i, t in enumerate(docs):
+        toks = t.split()
+        for w, c in collections.Counter(toks).items():
+            tf[(i, w)] = c
+        for w in set(toks):
+            dfc[w] += 1
+    exp = {}
+    for i in range(40):
+        scored = sorted(
+            ((-(tf[(i, w)] * 10**12 // dfc[w]), w)
+             for w in {x for x in docs[i].split()}))[:3]
+        exp[i] = [(w, -s, r + 1) for r, (s, w) in enumerate(scored)]
+    got = {}
+    for r in out.itertuples():
+        got.setdefault(r.doc_id, []).append((r.term, r.score_e12, r.rk))
+    for i in range(40):
+        assert sorted(got[i], key=lambda x: x[2]) == exp[i], i
+
+
+def test_decontaminate_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    docs = {
+        0: "alpha beta gamma delta epsilon zeta",       # benchmark
+        1: "alpha beta gamma delta epsilon other",      # shares 1 shingle
+        2: "totally different words here now end",      # clean
+        3: "x beta gamma delta epsilon zeta y alpha beta gamma delta epsilon q",  # shares both benchmark shingles
+        4: "short one",                                  # short, clean
+    }
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in docs.items()])
+    bench = ds.filter(lambda r: r["doc_id"] == 0)
+    shingles = curation.benchmark_shingle_set(bench, k=5)
+    assert len(shingles) == 2
+    flagged = curation.decontaminate(
+        ds.filter(lambda r: r["doc_id"] != 0), shingles, k=5).to_pandas()
+    got = dict(zip(flagged["doc_id"], flagged["n_contaminated"]))
+    assert got == {1: 1, 3: 2}
