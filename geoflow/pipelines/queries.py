@@ -2646,6 +2646,71 @@ def pii_scrub_docs(sf_dir: str):
         batch_format="pyarrow")
 
 
+@register("events_lag_delta", sql="""
+WITH t AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS v_e2,
+         lag(CAST(round(value * 100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT event_id, user_id, v_e2 - prev AS delta_e2
+FROM t WHERE prev IS NOT NULL
+""")
+def events_lag_delta(sf_dir: str):
+    """Analytic window function (LAG) distributed via the one-shuffle
+    bucket pattern: per user, ordered by (ts, event_id), the exact
+    integer delta of value*100 vs the previous event
+    (geoflow.stages.windows.lag_delta)."""
+    from ..stages.windows import lag_delta
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    return lag_delta(ds)
+
+
+@register("label_centroids", sql="""
+SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+       round(avg(embedding[1]), 6) AS c0,
+       round(avg(embedding[2]), 6) AS c1,
+       round(avg(embedding[3]), 6) AS c2,
+       round(avg(embedding[4]), 6) AS c3
+FROM embeddings GROUP BY label
+""")
+def label_centroids(sf_dir: str):
+    """Per-label embedding centroid (first 4 dims reported): the
+    distributed vector-mean every clustering / domain-mixing audit
+    needs. Combiner pattern — each batch collapses to one partial-sum
+    row per label (grouped_count_sum), the groupby moves labels x
+    batches rows, means close on the tiny result."""
+    from ..functions.agg import grouped_count_sum
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def _dims(b: pa.Table) -> pa.Table:
+        from ..stages.dedup import vec_column_matrix
+        mat = vec_column_matrix(b.column("embedding"))
+        return pa.table({
+            "label": pc.cast(b.column("label"), pa.int64()),
+            "c0": pa.array(mat[:, 0]), "c1": pa.array(mat[:, 1]),
+            "c2": pa.array(mat[:, 2]), "c3": pa.array(mat[:, 3]),
+        })
+
+    agg = grouped_count_sum(ds.map_batches(_dims, batch_format="pyarrow"),
+                            ["label"], ["c0", "c1", "c2", "c3"],
+                            count_alias="n_vecs")
+
+    def _final(b: pa.Table) -> pa.Table:
+        n = b.column("n_vecs").to_numpy().astype(np.float64)
+        cols = {"label": b.column("label"),
+                "n_vecs": pc.cast(b.column("n_vecs"), pa.int64())}
+        for i in range(4):
+            cols[f"c{i}"] = pa.array(
+                np.round(b.column(f"c{i}_sum").to_numpy() / n, 6))
+        return pa.table(cols)
+
+    return agg.map_batches(_final, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver check order. The correctness driver hash-
 # verifies the FIRST 50 registered queries, so every window slot should
@@ -2666,6 +2731,7 @@ _PAST_WINDOW = [
     # oracle-bearing, locally validated, covered by in-window twins
     "knn_haversine_docs", "user_sessions_streaming", "sampled_docs",
     "doc_char_ratios", "bbox_join_docs", "lang_source_stats",
+    "events_sliding_window", "top_users_by_value",
     # self-checking no-oracle entries
     "ann_ivf_top5", "ann_lsh_top5", "flagship_zonal",
     "raster_pages_cell_join", "approx_distinct_orderkeys",

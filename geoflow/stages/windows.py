@@ -75,3 +75,48 @@ def session_windows(events_ds, gap_s: int = 1800,
 
     return events_ds.groupby(key_col).map_groups(
         _sessions, batch_format="pandas")
+
+
+def lag_delta(events_ds, key_col: str = "user_id", ts_col: str = "ts",
+              id_col: str = "event_id", value_col: str = "value",
+              num_buckets: int = 64):
+    """Analytic window function LAG: per key, ordered by (ts, id), the
+    delta of the scaled-integer value vs the previous row — rows with no
+    predecessor are dropped (SQL ``WHERE lag(...) IS NOT NULL``).
+
+    Distributed with the engine's one-shuffle bucket pattern: keys hash
+    into ``num_buckets`` groups (ALL rows of one key co-locate), each
+    group sorts once and computes every key's diffs in two vectorized
+    passes (mergesort + groupby.diff). Values ride as exact integers
+    (round(value * 100)) so the oracle replay has no float-tie risk.
+
+    Output: (event_id, user_id/key, delta_e2:int64).
+    """
+    from ..stages.dedup import _mix_cols
+
+    def _prep(b: pa.Table) -> pa.Table:
+        v = np.round(b.column(value_col).to_numpy() * 100).astype(np.int64)
+        keys = b.column(key_col).to_numpy().astype(np.int64)
+        gb = (_mix_cols(keys) % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({
+            id_col: pa.array(b.column(id_col).to_numpy().astype(np.int64),
+                             pa.int64()),
+            key_col: pa.array(keys, pa.int64()),
+            "_ts": pa.array(_ts_us(b.column(ts_col)), pa.int64()),
+            "_v_e2": pa.array(v, pa.int64()),
+            "_gb": pa.array(gb),
+        })
+
+    def _delta(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "_ts", id_col], kind="mergesort")
+        prev = g.groupby(key_col, sort=False)["_v_e2"].shift(1)
+        keep = prev.notna()
+        return pd.DataFrame({
+            id_col: g.loc[keep, id_col].to_numpy(),
+            key_col: g.loc[keep, key_col].to_numpy(),
+            "delta_e2": (g.loc[keep, "_v_e2"]
+                         - prev[keep]).astype(np.int64).to_numpy(),
+        })
+
+    return events_ds.map_batches(_prep, batch_format="pyarrow") \
+        .groupby("_gb").map_groups(_delta, batch_format="pandas")
