@@ -207,6 +207,61 @@ def broadcast_semi_join(ds, key_col: str, keys: np.ndarray,
     return ds.map_batches(_filter, batch_format="pyarrow")
 
 
+def broadcast_asof_lookup(left_ds, right_df: "pd.DataFrame",
+                          key: tuple[str, str], on: tuple[str, str],
+                          right_cols: list[str], tiebreak: str):
+    """Backward as-of against a BROADCAST right side — the size-guarded
+    fast path of ``grouped_asof_join`` (same semantics: per left row the
+    right row with max (right_on, tiebreak) s.t. key matches and
+    right_on <= left_on; inner — misses drop).
+
+    Zero shuffle: the right side is sorted ONCE by (key, on, tiebreak),
+    encoded as ``key * (distinct_ts + 1) + ts_rank`` (order-preserving
+    within the sort, so ONE vectorized ``searchsorted`` with
+    side='right' lands on each probe's winning row — the tie group's
+    last row IS the max-tiebreak match), and shipped via ``ray.put``.
+    Every left batch probes it with two searchsorted calls and no
+    per-row Python. Falls back is the caller's job (use
+    ``grouped_asof_join`` above the broadcast limit or if the encode
+    would overflow int64 — asserted here).
+    """
+    import ray
+
+    left_key, right_key = key
+    left_on, right_on = on
+    r = right_df.sort_values([right_key, right_on, tiebreak],
+                             kind="mergesort")
+    rk = r[right_key].to_numpy(dtype=np.int64)
+    rts = r[right_on].to_numpy(dtype="datetime64[us]").view("int64")
+    uts = np.unique(rts)
+    m = len(uts) + 1
+    if len(rk) and int(rk.max()) >= (2 ** 63 - 1) // max(m, 1):
+        raise OverflowError(
+            "key * ts-rank encode exceeds int64 — use grouped_asof_join")
+    enc_r = rk * m + (np.searchsorted(uts, rts) + 1)
+    carried = {c: r[c].to_numpy() for c in right_cols}
+    ref = ray.put((rk, enc_r, uts, carried))
+
+    def _probe(b: pa.Table) -> pa.Table:
+        rk_, enc_r_, uts_, carried_ = ray.get(ref)
+        k = b.column(left_key).to_numpy().astype(np.int64)
+        t = b.column(left_on).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view("int64")
+        t_rank = np.searchsorted(uts_, t, side="right")
+        enc_l = k * (len(uts_) + 1) + t_rank
+        idx = np.searchsorted(enc_r_, enc_l, side="right") - 1
+        idx_c = np.clip(idx, 0, max(len(rk_) - 1, 0))
+        hit = (idx >= 0) & (rk_[idx_c] == k) if len(rk_) \
+            else np.zeros(len(k), dtype=bool)
+        out = b.filter(pa.array(hit))
+        sel = idx_c[hit]
+        for c in right_cols:
+            out = out.append_column(c, pa.array(carried_[c][sel]))
+        return out
+
+    return left_ds.map_batches(_probe, batch_format="pyarrow")
+
+
 def grouped_asof_join(left_ds, right_ds, key: tuple[str, str],
                       on: tuple[str, str], left_cols: list[str],
                       right_cols: list[str], tiebreak: str,

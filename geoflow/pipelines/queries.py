@@ -2014,14 +2014,18 @@ WHERE rn = 1
 """)
 def events_asof_orders(sf_dir: str):
     """Backward as-of join (Ray Data lacks one): for each event, the
-    latest order of that user at event time — distributed via
-    geoflow.functions.joins.grouped_asof_join (one key-hash shuffle,
-    vectorized pandas.merge_asof inside each bucket group)."""
-    from ..functions.joins import grouped_asof_join
+    latest order of that user at event time. SIZE-GUARDED like every
+    build side in this suite: under BROADCAST_ROW_LIMIT orders rows
+    (parquet metadata) the join is a zero-shuffle broadcast probe
+    (joins.broadcast_asof_lookup — one encoded searchsorted per batch);
+    above it, the one-shuffle grouped_asof_join (bucketed
+    pandas.merge_asof)."""
+    from ..functions.joins import broadcast_asof_lookup, grouped_asof_join
 
     events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    n_orders = orders.count()                   # parquet metadata only
 
     def _cents(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -2032,12 +2036,20 @@ def events_asof_orders(sf_dir: str):
                 b.column("o_totalprice").to_numpy() * 100).astype(np.int64),
         })
 
-    joined = grouped_asof_join(
-        events, orders.map_batches(_cents, batch_format="pyarrow"),
-        key=("user_id", "o_custkey"), on=("ts", "o_orderdate"),
-        left_cols=["event_id", "ts"],
-        right_cols=["o_orderkey", "o_orderdate", "order_cents"],
-        tiebreak="o_orderkey")
+    cents = orders.map_batches(_cents, batch_format="pyarrow")
+    if n_orders <= BROADCAST_ROW_LIMIT:
+        joined = broadcast_asof_lookup(
+            events, cents.to_pandas(),
+            key=("user_id", "o_custkey"), on=("ts", "o_orderdate"),
+            right_cols=["o_orderkey", "order_cents"],
+            tiebreak="o_orderkey")
+    else:
+        joined = grouped_asof_join(
+            events, cents,
+            key=("user_id", "o_custkey"), on=("ts", "o_orderdate"),
+            left_cols=["event_id", "ts"],
+            right_cols=["o_orderkey", "o_orderdate", "order_cents"],
+            tiebreak="o_orderkey")
 
     def _final(b: pa.Table) -> pa.Table:
         return pa.table({

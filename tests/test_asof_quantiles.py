@@ -147,3 +147,39 @@ def test_grouped_exact_quantiles_matches_numpy(ray_session):
         assert abs(row["median"] - np.percentile(sub, 50)) < 1e-12
         assert abs(row["q25"] - np.percentile(sub, 25)) < 1e-12
         assert abs(row["p99"] - np.percentile(sub, 99)) < 1e-12
+
+
+def test_broadcast_asof_lookup_matches_grouped(ray_session):
+    """The zero-shuffle broadcast as-of (encoded searchsorted probe) must
+    equal grouped_asof_join (itself brute-force-verified above) row for
+    row, including (key, ts) ties resolved by max tiebreak."""
+    import ray.data as rd
+    from geoflow.functions.joins import broadcast_asof_lookup
+
+    rng = np.random.default_rng(17)
+    n_l, n_r = 400, 250
+    base = np.datetime64("2024-01-01", "us")
+    left = pd.DataFrame({
+        "k": rng.integers(0, 15, n_l),
+        "lid": np.arange(n_l),
+        "ts": base + rng.integers(0, 10**9, n_l).astype("timedelta64[us]"),
+    })
+    right = pd.DataFrame({
+        "rk": rng.integers(0, 20, n_r),
+        "rid": np.arange(n_r),
+        # coarse ts grid forces (key, rts) ties -> tiebreak exercised
+        "rts": base + (rng.integers(0, 12, n_r) * 10**8
+                       ).astype("timedelta64[us]"),
+        "payload": rng.integers(0, 1000, n_r),
+    })
+    exp = _brute_asof(left, right)
+    got = broadcast_asof_lookup(
+        rd.from_pandas(left).repartition(4), right,
+        key=("k", "rk"), on=("ts", "rts"),
+        right_cols=["rid", "payload"], tiebreak="rid").to_pandas()
+    assert len(got) == len(exp)
+    gs = got.sort_values("lid").reset_index(drop=True)
+    es = exp.sort_values("lid").reset_index(drop=True)
+    assert gs["lid"].tolist() == es["lid"].tolist()
+    assert gs["rid"].tolist() == es["rid"].tolist()
+    assert gs["payload"].tolist() == es["payload"].tolist()
