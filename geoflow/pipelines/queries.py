@@ -2723,6 +2723,34 @@ def label_centroids(sf_dir: str):
     return agg.map_batches(_final, batch_format="pyarrow")
 
 
+@register("video_frame_embeddings")
+def video_frame_embeddings(sf_dir: str):
+    """Video frame-sampling through the actor-pool stage (the brief's
+    multimodal frame-sample op): deterministic synthetic videos (real
+    PNG frames in a length-prefixed container), every 3rd frame decoded
+    FROM ITS BYTE SPAN ONLY and embedded. Rows-only (binary media has
+    no SQL form); SELF-CHECKING: per-video sampled frame indices must
+    equal the header metadata's expectation exactly."""
+    import json as _json
+
+    import ray.data as rd
+
+    from ..stages.multimodal import make_video_table, video_frame_samples
+
+    tbl = make_video_table(n_videos=8, seed=11)
+    out = video_frame_samples(rd.from_arrow(tbl), stride=3,
+                              max_frames=4).to_pandas()
+    metas = {int(m): _json.loads(s) for m, s in
+             zip(tbl.column("media_id").to_pylist(),
+                 tbl.column("meta").to_pylist())}
+    for mid, g in out.groupby("media_id"):
+        exp = list(range(0, metas[mid]["n_frames"], 3))[:4]
+        assert sorted(g["frame_idx"].tolist()) == exp, mid
+    assert set(out["media_id"]) == set(metas)
+    return (out[["media_id", "frame_idx", "ts_s"]]
+            .sort_values(["media_id", "frame_idx"]).reset_index(drop=True))
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver check order. The correctness driver hash-
 # verifies the FIRST 50 registered queries, so every window slot should

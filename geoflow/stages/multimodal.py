@@ -324,3 +324,122 @@ def audio_features(media_ds, concurrency: int = 4, batch_size: int = 16):
     return media_ds.map_batches(AudioFeatures, batch_format="pyarrow",
                                 concurrency=(1, concurrency),
                                 batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# Video: frame container + frame-sampling actor stage
+# ---------------------------------------------------------------------------
+
+MAGIC_VIDEO = b"GFVD"
+
+
+def encode_video(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(T, H, W, C) uint8 -> length-prefixed container of PNG frames.
+
+    Header: magic, fps, n_frames (uint32 LE); then per frame a uint32
+    length + the engine's own PNG encoding. No video codec libraries
+    exist in this environment, so the container is the engine's — but
+    every byte of the frame payload is a REAL PNG (zlib/filters), and
+    the frame-sampling stage below is the genuine Ray-side plumbing a
+    heavyweight codec would slot into (swap decode_png for the codec
+    call; nothing else changes)."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim != 4:
+        raise ValueError("frames must be (T, H, W, C)")
+    parts = [MAGIC_VIDEO, struct.pack("<II", fps, frames.shape[0])]
+    for f in frames:
+        png = encode_png(np.ascontiguousarray(f))
+        parts.append(struct.pack("<I", len(png)))
+        parts.append(png)
+    return b"".join(parts)
+
+
+def decode_video_header(payload: bytes) -> tuple[int, int, list[tuple[int, int]]]:
+    """-> (fps, n_frames, [(offset, length)] per frame) WITHOUT decoding
+    any pixels — frame sampling seeks straight to the chosen frames."""
+    if payload[:4] != MAGIC_VIDEO:
+        raise NotImplementedError(
+            "unsupported video format (the engine container is decodable "
+            "here; real containers need external codec libraries)")
+    fps, n = struct.unpack("<II", payload[4:12])
+    off = 12
+    spans = []
+    for _ in range(n):
+        (ln,) = struct.unpack("<I", payload[off:off + 4])
+        spans.append((off + 4, ln))
+        off += 4 + ln
+    return fps, n, spans
+
+
+class VideoFrameSample:
+    """Actor: sample every ``stride``-th frame (bounded by
+    ``max_frames``), decode ONLY those frames (the header indexes frame
+    byte spans, so unsampled frames are never even touched), and emit
+    one row per sampled frame with the same thumbnail embedding as
+    ImageFeatures — ready for the ANN / embedding-dedup stages."""
+
+    def __init__(self, stride: int = 4, max_frames: int = 8, thumb: int = 8):
+        self.codec = Codec()
+        self.stride = stride
+        self.max_frames = max_frames
+        self.thumb = thumb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pa.compute.equal(batch.column("kind"), "video"))
+        ids, fidx, ts, embs = [], [], [], []
+        for mid, payload in zip(keep.column("media_id").to_pylist(),
+                                keep.column("payload").to_pylist()):
+            fps, n, spans = decode_video_header(payload)
+            sel = list(range(0, n, self.stride))[:self.max_frames]
+            for i in sel:
+                o, ln = spans[i]
+                img = decode_png(payload[o:o + ln])
+                gray = img.astype(np.float32).mean(axis=2)
+                emb = ImageFeatures._resize_nn(gray, self.thumb,
+                                               self.thumb).ravel()
+                norm = np.linalg.norm(emb)
+                emb = (emb / norm if norm > 0 else emb).astype(np.float32)
+                ids.append(mid)
+                fidx.append(i)
+                ts.append(i / fps)
+                embs.append(emb)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(fidx, pa.int32()),
+            "ts_s": pa.array(ts, pa.float64()),
+            "embedding": pa.array([e.tolist() for e in embs],
+                                  pa.list_(pa.float32())),
+        })
+
+
+def video_frame_samples(media_ds, stride: int = 4, max_frames: int = 8,
+                        concurrency: int = 4, batch_size: int = 8):
+    """Frame-sample stage: small batches (video payloads are the widest
+    rows in the table), actor pool with per-actor codec state."""
+    return media_ds.map_batches(VideoFrameSample, batch_format="pyarrow",
+                                fn_constructor_kwargs=dict(
+                                    stride=stride, max_frames=max_frames),
+                                concurrency=(1, concurrency),
+                                batch_size=batch_size)
+
+
+def make_video_table(n_videos: int = 6, seed: int = 7) -> pa.Table:
+    """Deterministic synthetic video table (fixture)."""
+    rng = np.random.default_rng(seed)
+    ids, kinds, payloads, metas = [], [], [], []
+    for i in range(n_videos):
+        t = int(rng.integers(8, 20))
+        h = int(rng.integers(16, 33))
+        w = int(rng.integers(16, 33))
+        frames = rng.integers(0, 256, size=(t, h, w, 3), dtype=np.uint8)
+        ids.append(i)
+        kinds.append("video")
+        payloads.append(encode_video(frames, fps=10))
+        metas.append(json.dumps({"n_frames": t, "height": h, "width": w,
+                                 "fps": 10}))
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "kind": pa.array(kinds, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+        "meta": pa.array(metas, pa.string()),
+    })

@@ -155,3 +155,50 @@ def test_real_codecs_through_actor_stages(ray_session):
     assert np.allclose(auds["duration_s"], [(8000 + 500 * j) / 8000
                                             for j in range(4)], atol=1e-6)
     assert (auds["rms"] > 0.1).all()
+
+
+def test_video_container_header_spans():
+    from geoflow.stages.multimodal import (decode_png, decode_video_header,
+                                           encode_video)
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, size=(5, 12, 9, 3), dtype=np.uint8)
+    payload = encode_video(frames, fps=10)
+    fps, n, spans = decode_video_header(payload)
+    assert (fps, n) == (10, 5)
+    # every indexed span decodes back to its exact frame
+    for i, (o, ln) in enumerate(spans):
+        assert np.array_equal(decode_png(payload[o:o + ln]), frames[i])
+
+
+def test_video_frame_sample_stage(ray_session):
+    import ray.data as rd
+    from geoflow.stages.multimodal import (ImageFeatures, decode_png,
+                                           decode_video_header,
+                                           make_video_table,
+                                           video_frame_samples)
+
+    tbl = make_video_table(n_videos=6, seed=7)
+    out = video_frame_samples(rd.from_arrow(tbl), stride=3,
+                              max_frames=4).to_pandas()
+    # per video: frames 0, 3, 6, ... capped at 4 samples
+    metas = {int(m): __import__("json").loads(s) for m, s in
+             zip(tbl.column("media_id").to_pylist(),
+                 tbl.column("meta").to_pylist())}
+    for mid, g in out.groupby("media_id"):
+        n = metas[mid]["n_frames"]
+        exp = list(range(0, n, 3))[:4]
+        assert sorted(g["frame_idx"].tolist()) == exp, mid
+        assert np.allclose(g["ts_s"], np.array(sorted(g["frame_idx"])) / 10)
+    # embeddings match a direct decode of the same frames
+    payload = tbl.column("payload").to_pylist()[0]
+    _, _, spans = decode_video_header(payload)
+    o, ln = spans[3]
+    img = decode_png(payload[o:o + ln])
+    gray = img.astype(np.float32).mean(axis=2)
+    emb = ImageFeatures._resize_nn(gray, 8, 8).ravel()
+    emb = emb / np.linalg.norm(emb)
+    got = out[(out["media_id"] == 0) & (out["frame_idx"] == 3)
+              ]["embedding"].iloc[0]
+    assert np.allclose(np.asarray(got, dtype=np.float32),
+                       emb.astype(np.float32), atol=1e-6)
