@@ -777,8 +777,18 @@ def jaccard_pairs_exact(ds, id_col: str, text_col: str = "text",
     postings = ds.map_batches(_postings, batch_format="pyarrow")
     partials = postings.groupby("_gb").map_groups(
         _pair_partials, batch_format="pandas")
-    return partials.map_batches(_tag_pair, batch_format="pyarrow") \
+    out = partials.map_batches(_tag_pair, batch_format="pyarrow") \
         .groupby("_pb").map_groups(_finalize, batch_format="pandas")
+    # schema seed: with zero surviving pairs (e.g. an aggressive max_df
+    # dropping every posting) map_groups emits NO blocks and the result
+    # would have no schema at all — union an empty typed block so
+    # downstream consumers always see (id_a, id_b, jaccard)
+    import ray.data as rd
+    seed = rd.from_arrow(pa.table({
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64())}))
+    return seed.union(out)
 
 
 def vec_column_matrix(col) -> np.ndarray:

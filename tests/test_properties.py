@@ -217,3 +217,20 @@ def test_jaccard_pairs_exact_df_cap_end_to_end(ray_session):
         assert j <= fk[p] + 1e-12
     # the true near-dup pairs (2i, 2i+1) still survive the cap
     assert {(2 * i, 2 * i + 1) for i in range(15)} <= set(ck)
+
+
+def test_jaccard_df_cap_empty_result_schema(ray_session):
+    """An aggressive cap that drops EVERY posting must still yield a
+    typed (id_a, id_b, jaccard) result, not a schemaless empty set."""
+    import ray.data as rd
+    from geoflow.stages.dedup import jaccard_pairs_exact
+
+    docs = [{"doc_id": i, "text": "same boilerplate everywhere forever"}
+            for i in range(20)]
+    ds = jaccard_pairs_exact(rd.from_items(docs), "doc_id",
+                             threshold=0.1, max_df=1)
+    # Ray's to_pandas() drops columns entirely on fully-empty datasets;
+    # the operator's contract is the DATASET schema, which the typed
+    # seed block guarantees even when every pair is capped away
+    assert ds.schema().names == ["id_a", "id_b", "jaccard"]
+    assert ds.count() == 0
