@@ -90,8 +90,17 @@ def fit_moments_batch(batch: pa.Table,
 
 
 def _closed_form_ols(n, sx, sy, sxx, sxy) -> tuple[float, float]:
-    """(intercept, slope) from float64 moments — matches polyfit analytically."""
+    """(intercept, slope) from float64 moments — matches polyfit analytically.
+
+    Degenerate regressor (constant x — e.g. flat terrain giving constant
+    luminance, as on the reference's own 10x10 test grid): the normal
+    equations are rank-deficient; the minimum-norm least-squares solution
+    is slope 0, intercept mean(y) (what lstsq returns where polyfit
+    warns). Corrections built on these coefficients reduce to identity
+    on such rasters, which is the physically right answer."""
     denom = n * sxx - sx * sx
+    if denom == 0:
+        return (float(sy / n) if n else 0.0), 0.0
     slope = (n * sxy - sx * sy) / denom
     intercept = (sy - slope * sx) / n
     return float(intercept), float(slope)
@@ -115,10 +124,14 @@ def fit_corrections(terrain_ds, ctx: CorrectionContext = DEFAULT_CONTEXT) -> dic
             coeffs["bands"][b] = {
                 "ols_intercept": intercept,
                 "ols_slope": slope,
-                "c": intercept / slope,
+                # degenerate fits (slope/intercept 0 on flat terrain —
+                # see _closed_form_ols): c / pbc_c are arbitrary there
+                # because the correction factor is identically 1 when
+                # luminance is constant; pin 0.0 to keep kernels finite
+                "c": intercept / slope if slope != 0 else 0.0,
                 "minnaert_intercept": m_int,
                 "minnaert_k": m_slope,
-                "pbc_c": m_slope / m_int,
+                "pbc_c": m_slope / m_int if m_int != 0 else 0.0,
                 "band_mean": float(row.sum_I / row.n),
                 "zero_noise": ok.deterministic_zero_noise(b),
             }

@@ -63,3 +63,22 @@ def test_tenbytenraster_parity(ray_session):
     # pinned analytic goldens: uniform eastward ramp 0..9 at 10m pixels
     assert np.allclose(slope, math.atan(0.1), atol=1e-6)
     assert np.allclose(np.rad2deg(aspect), 270.0, atol=1e-4)
+
+
+def test_correct_cli_on_reference_degenerate_raster(ray_session, tmp_path):
+    """The reference's own 10x10 .asc grid has flat terrain -> constant
+    luminance -> a rank-deficient OLS fit. The fit must fall back to the
+    minimum-norm solution (slope 0, intercept mean) instead of dividing
+    by zero, and the correction must complete end to end."""
+    import ray.data as rd
+    from geoflow.pipelines.correction import run_correction
+    from geoflow.sources.tiles import asc_to_tile_table
+
+    tbl, _meta = asc_to_tile_table("/root/reference/test/tenbytenraster.asc")
+    corrected, coeffs = run_correction(rd.from_arrow(tbl), "C-correction")
+    out = corrected.to_pandas()
+    assert len(out) >= 1
+    band0 = next(iter(coeffs.values()))["bands"][0]
+    assert band0["ols_slope"] == 0.0
+    assert band0["c"] == 0.0
+    assert np.isfinite(band0["ols_intercept"])
