@@ -2752,6 +2752,229 @@ def video_frame_embeddings(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Round-3 web-corpus quality / curation family (geoflow.stages.webquality)
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+)"""
+
+
+@register("doc_repetition_stats", sql=_TOKS_CTE + """,
+big AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks
+),
+tri AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+                        i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+  FROM toks
+),
+bc AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2),
+bstat AS (SELECT doc_id, max(c) AS top_bigram_n FROM bc GROUP BY 1),
+tc AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+tstat AS (SELECT doc_id,
+                 sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_trigram_n
+          FROM tc GROUP BY 1),
+base AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(greatest(b.n_tokens - 1, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(bs.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+       CAST(greatest(b.n_tokens - 2, 0) AS BIGINT) AS n_trigrams,
+       CAST(coalesce(ts.dup_trigram_n, 0) AS BIGINT) AS dup_trigram_n
+FROM base b LEFT JOIN bstat bs USING (doc_id)
+            LEFT JOIN tstat ts USING (doc_id)
+""")
+def doc_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals per document: most-
+    frequent-bigram coverage and duplicated-trigram coverage, as EXACT
+    integer numerator/denominator pairs (the standard 'repetitive
+    document' filters before LLM training). Batch-local map_batches —
+    per-doc metrics never shuffle (geoflow.stages.webquality
+    .repetition_stats_batch)."""
+    from ..stages.webquality import repetition_stats_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(repetition_stats_batch, batch_format="pyarrow")
+
+
+@register("url_dedup_pages", sql="""
+WITH d AS (SELECT doc_id, doc_id - doc_id % 3 AS gid FROM documents)
+SELECT 'https://site' || (gid % 999) || '.example/s' || ((gid // 999) % 37)
+         || '/page' || gid AS canon_url,
+       min(doc_id) AS doc_id, count(*) AS n_variants
+FROM d GROUP BY gid
+""")
+def url_dedup_pages(sf_dir: str):
+    """URL canonicalization + keep-first URL-level dedup. Dirty crawl
+    URLs are derived deterministically per doc (three docs share one
+    canonical target; variants add uppercase scheme+host + #fragment,
+    or utm_* tracking params + trailing slash). The ENGINE canonicalizes
+    with its real pyarrow regex kernels (webquality
+    .canonicalize_urls_batch) and dedups via the bucket-keyed
+    one-shuffle plan; the oracle computes the expected canonical form
+    from doc_id arithmetic alone — so the hash match proves the
+    canonicalizer exactly undoes every injected variation."""
+    from ..stages.webquality import url_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def _dirty(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        urls = []
+        for i in ids.tolist():
+            gid = i - i % 3
+            base = (f"https://site{gid % 999}.example/"
+                    f"s{(gid // 999) % 37}/page{gid}")
+            m = i % 3
+            if m == 1:
+                sep = base.index("/s")
+                urls.append(base[:sep].upper() + base[sep:] + f"#sec{i}")
+            elif m == 2:
+                urls.append(base + f"/?utm_source=feed&utm_campaign=c{i}")
+            else:
+                urls.append(base)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "url": pa.array(urls, pa.string())})
+
+    dirty = ds.map_batches(_dirty, batch_format="pyarrow")
+    out = url_dedup(dirty, id_col="doc_id", url_col="url")
+    return out.map_batches(
+        lambda b: pa.table({
+            "canon_url": b.column("canon_url"),
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "n_variants": pc.cast(b.column("n_variants"), pa.int64()),
+        }), batch_format="pyarrow")
+
+
+@register("domain_stats", sql="""
+SELECT 'site' || (doc_id % 999) || '.example' AS host,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_sum,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents GROUP BY 1
+""")
+def domain_stats(sf_dir: str):
+    """Per-host corpus rollup (pages, chars, distinct languages) — the
+    domain-level view curation pipelines use for blocklists and
+    per-site caps. Combiner pattern: Arrow hash-aggregate partials
+    keyed (host, lang) per batch, ONE groupby on host over the
+    vocabulary-sized partials (webquality.domain_stats)."""
+    from ..sources.pages import page_url
+    from ..stages.webquality import domain_stats as _dstats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def _url(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "url": pa.array([page_url(int(i)) for i in ids.tolist()],
+                            pa.string()),
+            "lang": b.column("lang"),
+            "n_chars": b.column("n_chars"),
+        })
+
+    out = _dstats(ds.map_batches(_url, batch_format="pyarrow"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "host": b.column("host"),
+            "n_pages": pc.cast(b.column("n_pages"), pa.int64()),
+            "n_chars_sum": pc.cast(b.column("n_chars_sum"), pa.int64()),
+            "n_langs": pc.cast(b.column("n_langs"), pa.int64()),
+        }), batch_format="pyarrow")
+
+
+@register("train_split_counts", sql="""
+WITH u AS (
+  SELECT doc_id, lang, n_chars,
+         'https://site' || (doc_id % 999) || '.example/s'
+           || ((doc_id // 999) % 37) || '/page' || doc_id AS url
+  FROM documents
+),
+h AS (
+  SELECT lang, n_chars,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(url, ''),
+                       c -> CAST(unicode(c) AS BIGINT))),
+        (a, c) -> (a * 31 + c) % 2147483647) % 1000 AS pm
+  FROM u
+)
+SELECT CASE WHEN pm < 800 THEN 'train'
+            WHEN pm < 900 THEN 'val' ELSE 'test' END AS split,
+       lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+FROM h GROUP BY 1, 2
+""")
+def train_split_counts(sf_dir: str):
+    """Deterministic train/val/test assignment by a SQL-replayable
+    polynomial hash of the URL (80/10/10 permille), rolled up per
+    (split, lang). The assignment is a pure function of the key — any
+    partitioning, any cluster size, any re-run lands every document in
+    the same split (webquality.split_assign_batch); the oracle replays
+    the char-fold hash exactly via list_reduce."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.pages import page_url
+    from ..stages.webquality import split_assign_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def _assign(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        t = pa.table({
+            "url": pa.array([page_url(int(i)) for i in ids.tolist()],
+                            pa.string()),
+            "lang": b.column("lang"),
+            "n_chars": pc.cast(b.column("n_chars"), pa.int64()),
+        })
+        t = split_assign_batch(t, key_col="url")
+        g = pa.TableGroupBy(t, ["split", "lang"]).aggregate(
+            [([], "count_all"), ("n_chars", "sum")])
+        return pa.table({"split": g.column("split"),
+                         "lang": g.column("lang"),
+                         "n_docs": pc.cast(g.column("count_all"), pa.int64()),
+                         "n_chars_sum": g.column("n_chars_sum")})
+
+    agg = (ds.map_batches(_assign, batch_format="pyarrow")
+           .groupby(["split", "lang"])
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("n_chars_sum", alias_name="n_chars_sum")))
+    return agg.map_batches(
+        lambda b: b.select(["split", "lang", "n_docs", "n_chars_sum"]),
+        batch_format="pyarrow")
+
+
+@register("lm_bigram_scores", sql=_TOKS_CTE + """,
+big AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks
+),
+cnt AS (SELECT g, count(*) AS c FROM big GROUP BY 1),
+sc AS (SELECT b.doc_id, CAST(sum(c.c) AS BIGINT) AS lm_hits,
+              CAST(count(*) AS BIGINT) AS n_bigrams
+       FROM big b JOIN cnt c USING (g) GROUP BY 1)
+SELECT d.doc_id, coalesce(s.lm_hits, 0) AS lm_hits,
+       coalesce(s.n_bigrams, 0) AS n_bigrams
+FROM documents d LEFT JOIN sc s USING (doc_id)
+""")
+def lm_bigram_scores(sf_dir: str):
+    """Count-based bigram LM quality score: train corpus bigram counts
+    in one combiner-pattern pass (vocabulary-sized model), broadcast
+    via ray.put, score each document as the exact-integer sum of
+    corpus counts over its bigram positions — the canonical
+    train -> broadcast -> score shape for model-based quality filters
+    (webquality.bigram_counts / lm_score)."""
+    from ..stages.webquality import bigram_counts, lm_score
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    model = bigram_counts(ds)
+    return lm_score(ds, model)
+
+
+# ---------------------------------------------------------------------------
 # Registration order = driver check order. The correctness driver hash-
 # verifies the FIRST 50 registered queries, so every window slot should
 # carry a DuckDB oracle: the 5 self-checking no-oracle entries (ANN
@@ -2772,9 +2995,14 @@ _PAST_WINDOW = [
     "knn_haversine_docs", "user_sessions_streaming", "sampled_docs",
     "doc_char_ratios", "bbox_join_docs", "lang_source_stats",
     "events_sliding_window", "top_users_by_value",
+    # relational shapes with in-window representatives (q1, filtered_
+    # revenue, order_lineitem_revenue, revenue_by_region, events_hourly)
+    "orders_by_nation", "brand_part_stats", "supplier_by_nation",
+    "customers_without_big_orders", "distinct_langs",
     # self-checking no-oracle entries
-    "ann_ivf_top5", "ann_lsh_top5", "flagship_zonal",
-    "raster_pages_cell_join", "approx_distinct_orderkeys",
+    "video_frame_embeddings", "ann_ivf_top5", "ann_lsh_top5",
+    "flagship_zonal", "raster_pages_cell_join",
+    "approx_distinct_orderkeys",
 ]
 for _n in _PAST_WINDOW:
     QUERIES[_n] = QUERIES.pop(_n)

@@ -1,0 +1,345 @@
+"""Web-corpus quality / curation operators, round 3 additions.
+
+These extend the training-data family (dedup / textstats / curation)
+with the remaining passes a Common-Crawl-scale corpus build runs:
+
+- ``repetition_stats_batch``: Gopher-style repetition signals — the
+  fraction of a document covered by its most frequent bigram and the
+  fraction of duplicated trigrams. Emitted as EXACT integer
+  numerator/denominator pairs (no float-tie hazard in the oracle);
+  callers derive the float fractions. Entirely batch-local (the
+  metric is per-document), so the stage is stateless ``map_batches``
+  with zero shuffle at any corpus size.
+- ``canonicalize_urls_batch`` + ``url_dedup``: URL canonicalization
+  (scheme/host lowercase, tracking-param strip, trailing-slash and
+  fragment strip) followed by a keep-first-crawl dedup grouped on the
+  canonical URL. The dedup is the same bucket-keyed one-shuffle plan
+  as the flagship exact dedup: batch-local pre-dedup, then ONE
+  groupby on ``hash(url_hash) % num_buckets`` with a vectorized
+  per-bucket combine — shuffle volume is slim (url_hash, doc_id,
+  ts) rows, never page bodies.
+- ``domain_stats``: per-registered-host aggregate (pages, chars,
+  distinct languages). Hosts are vocabulary-sized (<< row count), so
+  the plan is the combiner pattern: Arrow hash-aggregate partials per
+  batch keyed (host, lang), ONE groupby over partials, and a final
+  per-host fold — shuffle volume O(batches x hosts), not rows.
+- ``split_assign_batch``: deterministic train/val/test assignment by
+  a SQL-replayable polynomial hash of the URL (same fold arithmetic
+  the document fingerprint oracle already replays in DuckDB). Pure
+  map-side; the split is reproducible from the key alone on any
+  cluster size, which is what makes hash-splits the standard at scale.
+- ``bigram_counts`` + ``lm_score``: a count-based bigram "language
+  model" trained on the corpus in one combiner-pattern pass, then
+  broadcast (``ray.put`` of two sorted numpy arrays) and applied as a
+  vectorized ``searchsorted`` scoring pass — the canonical
+  train -> broadcast -> score shape for model-based quality filters.
+  Scores are exact integers (sum of corpus-level bigram counts over
+  the document's bigram positions).
+
+No reference counterpart (the reference is a raster-correction QGIS
+plugin); these follow the task brief's training-data operator list.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .textstats import _FP_B_CHAR, _FP_P
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals
+# ---------------------------------------------------------------------------
+
+
+def _gram_rows(ids: np.ndarray, toks_per_doc: list[list[str]],
+               n: int) -> tuple[np.ndarray, list[str]]:
+    """(doc_id, n-gram) rows for one batch, position-expanded."""
+    out_ids: list[int] = []
+    out_grams: list[str] = []
+    for i, toks in zip(ids.tolist(), toks_per_doc):
+        m = len(toks) - n + 1
+        if m <= 0:
+            continue
+        out_ids.extend([i] * m)
+        out_grams.extend(" ".join(toks[j:j + n]) for j in range(m))
+    return np.asarray(out_ids, dtype=np.int64), out_grams
+
+
+def _per_doc_gram_stats(ids: np.ndarray, grams: list[str]):
+    """(doc_id, max gram count, duplicated-position count, total) via
+    two Arrow C++ hash aggregates — no per-doc Python loops."""
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "g": pa.array(grams, pa.string())})
+    per_gram = pa.TableGroupBy(t, ["doc_id", "g"]).aggregate(
+        [([], "count_all")])
+    c = per_gram.column("count_all")
+    dup_pos = pc.if_else(pc.greater(c, 1), c, pa.scalar(0, c.type))
+    per_gram = per_gram.append_column("dup_pos", dup_pos)
+    per_doc = pa.TableGroupBy(per_gram, ["doc_id"]).aggregate(
+        [("count_all", "max"), ("count_all", "sum"), ("dup_pos", "sum")])
+    return per_doc  # doc_id, count_all_max, count_all_sum, dup_pos_sum
+
+
+def repetition_stats_batch(batch: pa.Table, id_col: str = "doc_id",
+                           text_col: str = "text") -> pa.Table:
+    """Per-document repetition signals (exact integers):
+
+    - ``top_bigram_n`` / ``n_bigrams``: positions covered by the most
+      frequent bigram (Gopher's "top n-gram fraction", n=2);
+    - ``dup_trigram_n`` / ``n_trigrams``: positions whose trigram
+      occurs more than once (Gopher's "duplicated n-gram fraction").
+
+    Documents too short for an n-gram get 0/0. Batch-local by
+    construction — per-document metrics never cross blocks.
+    """
+    ids = batch.column(id_col).to_numpy().astype(np.int64)
+    toks_per_doc = [(t or "").split()
+                    for t in batch.column(text_col).to_pylist()]
+    n_tokens = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64,
+                           count=len(toks_per_doc))
+
+    top_big = np.zeros(len(ids), dtype=np.int64)
+    n_big = np.maximum(n_tokens - 1, 0)
+    dup_tri = np.zeros(len(ids), dtype=np.int64)
+    n_tri = np.maximum(n_tokens - 2, 0)
+
+    pos_of = {int(i): k for k, i in enumerate(ids.tolist())}
+    bid, bgrams = _gram_rows(ids, toks_per_doc, 2)
+    if len(bid):
+        st = _per_doc_gram_stats(bid, bgrams)
+        rows = pos_of
+        idx = np.fromiter((rows[int(d)] for d in
+                           st.column("doc_id").to_numpy().tolist()),
+                          dtype=np.int64, count=len(st))
+        top_big[idx] = st.column("count_all_max").to_numpy()
+    tid, tgrams = _gram_rows(ids, toks_per_doc, 3)
+    if len(tid):
+        st = _per_doc_gram_stats(tid, tgrams)
+        idx = np.fromiter((pos_of[int(d)] for d in
+                           st.column("doc_id").to_numpy().tolist()),
+                          dtype=np.int64, count=len(st))
+        dup_tri[idx] = st.column("dup_pos_sum").to_numpy()
+
+    return pa.table({
+        id_col: pa.array(ids, pa.int64()),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "n_bigrams": pa.array(n_big, pa.int64()),
+        "top_bigram_n": pa.array(top_big, pa.int64()),
+        "n_trigrams": pa.array(n_tri, pa.int64()),
+        "dup_trigram_n": pa.array(dup_tri, pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup
+# ---------------------------------------------------------------------------
+
+# Tracking params stripped by the canonicalizer (the usual suspects).
+_TRACKING_RE = r"(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
+
+
+def canonicalize_urls_batch(batch: pa.Table,
+                            url_col: str = "url") -> pa.Table:
+    """Append ``canon_url``: scheme+host lowercased, ``#fragment``
+    dropped, tracking params removed (with their separators), empty
+    ``?`` remnants and trailing slashes stripped. All pyarrow.compute
+    regex kernels — no per-row Python."""
+    u = pc.cast(batch.column(url_col), pa.string())
+    # drop fragment
+    u = pc.replace_substring_regex(u, r"#.*$", "")
+    # strip tracking params (param + optional following &)
+    u = pc.replace_substring_regex(u, _TRACKING_RE + r"&?", "")
+    # dangling '?' or '&' left after param removal
+    u = pc.replace_substring_regex(u, r"[?&]$", "")
+    # lowercase scheme://host
+    pref = pc.extract_regex(u, r"^(?P<p>[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)")
+    pref_s = pc.struct_field(pref, "p")
+    low = pc.utf8_lower(pref_s)
+    rest = pc.replace_substring_regex(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    u = pc.binary_join_element_wise(
+        pc.if_else(pc.is_valid(low), low, pa.scalar("", pa.string())),
+        rest, "")
+    # trailing slash (path only, keep the bare host form intact)
+    u = pc.replace_substring_regex(u, r"(?P<keep>[^/])/$", r"\1")
+    return batch.append_column("canon_url", u)
+
+
+def url_dedup(ds, id_col: str = "doc_id", url_col: str = "url",
+              num_buckets: int = 64):
+    """Keep-first (min id) per canonical URL: canonicalize, batch-local
+    pre-dedup, ONE bucket-keyed shuffle, vectorized per-bucket combine.
+    Output: (canon_url, doc_id winner, n_variants)."""
+    def _local(b: pa.Table) -> pa.Table:
+        b = canonicalize_urls_batch(b, url_col)
+        t = pa.table({"canon_url": b.column("canon_url"),
+                      id_col: pc.cast(b.column(id_col), pa.int64())})
+        g = pa.TableGroupBy(t, ["canon_url"]).aggregate(
+            [(id_col, "min"), ([], "count_all")])
+        # deterministic bucket key (NEVER builtins.hash — it is
+        # PYTHONHASHSEED-randomized per worker process)
+        uh = poly_string_hash_vec(g.column("canon_url").to_pylist())
+        return pa.table({
+            "bucket": pa.array(uh % num_buckets, pa.int64()),
+            "canon_url": g.column("canon_url"),
+            id_col: g.column(f"{id_col}_min"),
+            "n_variants": g.column("count_all"),
+        })
+
+    def _combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("canon_url", sort=False)
+               .agg(**{id_col: (id_col, "min"),
+                       "n_variants": ("n_variants", "sum")})
+               .reset_index())
+        return out[["canon_url", id_col, "n_variants"]]
+
+    pre = ds.map_batches(_local, batch_format="pyarrow")
+    return (pre.groupby("bucket")
+            .map_groups(_combine, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Domain-level aggregation
+# ---------------------------------------------------------------------------
+
+
+def domain_stats(ds, url_col: str = "url", lang_col: str = "lang",
+                 chars_col: str = "n_chars"):
+    """Per-host (registered domain) stats: page count, char sum,
+    distinct languages. Combiner pattern: Arrow hash-aggregate partials
+    keyed (host, lang) per batch, ONE groupby on host, per-host fold of
+    the (already tiny) partials."""
+
+    def _partial(b: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(pc.cast(b.column(url_col), pa.string()),
+                             r"^[a-z]+://(?P<h>[^/]+)"), "h")
+        t = pa.table({"host": host,
+                      "lang": b.column(lang_col),
+                      "n_chars": pc.cast(b.column(chars_col), pa.int64())})
+        return pa.TableGroupBy(t, ["host", "lang"]).aggregate(
+            [([], "count_all"), ("n_chars", "sum")])
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "host": [g["host"].iloc[0]],
+            "n_pages": [int(g["count_all"].sum())],
+            "n_chars_sum": [int(g["n_chars_sum"].sum())],
+            "n_langs": [int(g["lang"].nunique())],
+        })
+
+    return (ds.map_batches(_partial, batch_format="pyarrow")
+            .groupby("host").map_groups(_final, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash split
+# ---------------------------------------------------------------------------
+
+
+def poly_string_hash_vec(strings: list[str]) -> np.ndarray:
+    """Vectorized char-polynomial hash (same fold arithmetic as
+    textstats.poly_token_hash: acc = acc*31 + ord(ch) mod 2^31-1),
+    replayable fold-by-fold in DuckDB — see the split oracle SQL."""
+    if not strings:
+        return np.zeros(0, dtype=np.int64)
+    maxlen = max(len(s) for s in strings)
+    buf = np.zeros((len(strings), maxlen), dtype=np.int64)
+    mask = np.zeros((len(strings), maxlen), dtype=bool)
+    for r, s in enumerate(strings):
+        b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+        buf[r, :len(b)] = b
+        mask[r, :len(b)] = True
+    acc = np.zeros(len(strings), dtype=np.int64)
+    for k in range(maxlen):
+        live = mask[:, k]
+        acc[live] = (acc[live] * _FP_B_CHAR + buf[live, k]) % _FP_P
+    return acc
+
+
+def split_assign_batch(batch: pa.Table, key_col: str = "url",
+                       train_pm: int = 800, val_pm: int = 900) -> pa.Table:
+    """Append ``split`` (train/val/test) by polynomial-hash permille of
+    the key column. Deterministic in the key alone: any re-run, any
+    partitioning, any cluster size assigns identically."""
+    keys = pc.cast(batch.column(key_col), pa.string()).to_pylist()
+    pm = poly_string_hash_vec([k or "" for k in keys]) % 1000
+    split = np.where(pm < train_pm, "train",
+                     np.where(pm < val_pm, "val", "test"))
+    return batch.append_column("split", pa.array(split.tolist(), pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# Count-based bigram LM: train (combiner pass) -> broadcast -> score
+# ---------------------------------------------------------------------------
+
+
+def bigram_counts(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus bigram-count model: one streaming pass emitting per-batch
+    (gram, n) partials (Arrow hash aggregate), ONE groupby over the
+    vocabulary-sized partials. Keys are the exact bigram STRINGS —
+    vocabulary-sized by construction, never row-count-sized — so the
+    model is hash-collision-free and bit-replayable in SQL."""
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        toks = [(t or "").split() for t in b.column(text_col).to_pylist()]
+        _, grams = _gram_rows(ids, toks, 2)
+        t = pa.table({"gram": pa.array(grams, pa.string())})
+        g = pa.TableGroupBy(t, ["gram"]).aggregate([([], "count_all")])
+        return pa.table({"gram": g.column("gram"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    return (ds.map_batches(_partial, batch_format="pyarrow")
+            .groupby("gram").aggregate(Sum("n", alias_name="n")))
+
+
+def lm_score(ds, model_ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Score each document against the broadcast bigram-count model:
+    lm_hits = sum over the doc's bigram POSITIONS of the corpus count
+    of that bigram (exact integer). The model broadcasts once via
+    ray.put (a sorted string array + counts); scoring is vectorized
+    searchsorted + np.add.at per batch.
+
+    At 100 TB the model stays vocabulary-sized (bounded by distinct
+    bigrams, not rows); above a broadcast budget the same scoring runs
+    as a bucketed hash join on a gram hash — the plan
+    curation.tfidf_top_terms already uses for its DF attach."""
+    import ray
+
+    model = model_ds.to_pandas()  # vocabulary-sized by construction
+    grams_arr = model["gram"].to_numpy()
+    order = np.argsort(grams_arr)
+    keys_ref = ray.put(grams_arr[order])
+    vals_ref = ray.put(model["n"].to_numpy().astype(np.int64)[order])
+
+    def _score(b: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        vals = ray.get(vals_ref)
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        toks = [(t or "").split() for t in b.column(text_col).to_pylist()]
+        gid, grams = _gram_rows(ids, toks, 2)
+        hits = np.zeros(len(ids), dtype=np.int64)
+        nbig = np.maximum(np.fromiter((len(t) for t in toks),
+                                      dtype=np.int64,
+                                      count=len(toks)) - 1, 0)
+        if len(gid):
+            garr = np.asarray(grams, dtype=object)
+            pos = np.searchsorted(keys, garr)
+            pos = np.clip(pos, 0, len(keys) - 1)
+            cnt = np.where(keys[pos] == garr, vals[pos], 0)
+            pos_of = {int(i): k for k, i in enumerate(ids.tolist())}
+            idx = np.fromiter((pos_of[int(d)] for d in gid.tolist()),
+                              dtype=np.int64, count=len(gid))
+            np.add.at(hits, idx, cnt)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "lm_hits": pa.array(hits, pa.int64()),
+            "n_bigrams": pa.array(nbig, pa.int64()),
+        })
+
+    return ds.map_batches(_score, batch_format="pyarrow")

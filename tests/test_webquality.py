@@ -1,0 +1,158 @@
+"""Web-corpus quality operators: repetition signals, URL
+canonicalization + dedup, domain rollup, hash split, bigram-LM score."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geoflow.stages.webquality import (
+    bigram_counts,
+    canonicalize_urls_batch,
+    domain_stats,
+    lm_score,
+    poly_string_hash_vec,
+    repetition_stats_batch,
+    split_assign_batch,
+    url_dedup,
+)
+
+
+def _tbl(**cols):
+    return pa.table({k: pa.array(v) for k, v in cols.items()})
+
+
+# --- repetition -----------------------------------------------------------
+
+def test_repetition_stats_handwritten():
+    b = _tbl(doc_id=np.array([1, 2, 3, 4], np.int64),
+             text=["a b a b c",      # top bigram 'a b' x2 of 4; tris unique
+                   "x x x x",        # bigrams all 'x x' (3); tris dup (2)
+                   "w",              # too short for any gram
+                   ""])
+    out = repetition_stats_batch(b).to_pandas().set_index("doc_id")
+    assert out.loc[1].tolist() == [5, 4, 2, 3, 0]
+    assert out.loc[2].tolist() == [4, 3, 3, 2, 2]
+    assert out.loc[3].tolist() == [1, 0, 0, 0, 0]
+    assert out.loc[4].tolist() == [0, 0, 0, 0, 0]
+
+
+def test_repetition_stats_matches_bruteforce():
+    rng = np.random.default_rng(7)
+    words = list("abcdefgh")
+    texts = [" ".join(rng.choice(words, size=rng.integers(0, 30)))
+             for _ in range(50)]
+    b = _tbl(doc_id=np.arange(50, dtype=np.int64), text=texts)
+    out = repetition_stats_batch(b).to_pandas().set_index("doc_id")
+    for i, t in enumerate(texts):
+        toks = t.split()
+        bigs = [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
+        tris = [" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)]
+        bc = collections.Counter(bigs)
+        tc = collections.Counter(tris)
+        r = out.loc[i]
+        assert r["top_bigram_n"] == (max(bc.values()) if bc else 0)
+        assert r["dup_trigram_n"] == sum(c for c in tc.values() if c > 1)
+        assert r["n_bigrams"] == len(bigs) and r["n_trigrams"] == len(tris)
+
+
+# --- URL canonicalization + dedup ----------------------------------------
+
+def test_canonicalize_urls_cases():
+    cases = {
+        "HTTPS://Ex.COM/A/b?utm_source=x#f": "https://ex.com/A/b",
+        "https://ex.com/a/": "https://ex.com/a",
+        "https://ex.com/?utm_campaign=z": "https://ex.com",
+        "https://ex.com/p?a=1&utm_medium=m&b=2": "https://ex.com/p?a=1&b=2",
+        "https://ex.com/p?utm_a=1&utm_b=2": "https://ex.com/p",
+        "https://ex.com/p?gclid=123&x=2": "https://ex.com/p?x=2",
+        "https://ex.com/keep?x=2": "https://ex.com/keep?x=2",
+    }
+    b = _tbl(url=list(cases))
+    got = canonicalize_urls_batch(b).column("canon_url").to_pylist()
+    assert got == list(cases.values())
+
+
+def test_url_dedup_winners(ray_session):
+    import ray.data as rd
+    urls = ["https://A.ex/p1#z", "https://a.ex/p1/", "https://a.ex/p1",
+            "https://b.ex/q?utm_source=s", "https://b.ex/q"]
+    ds = rd.from_arrow(_tbl(doc_id=np.arange(5, dtype=np.int64), url=urls))
+    out = url_dedup(ds).to_pandas().set_index("canon_url")
+    assert out.loc["https://a.ex/p1", "doc_id"] == 0
+    assert out.loc["https://a.ex/p1", "n_variants"] == 3
+    assert out.loc["https://b.ex/q", "n_variants"] == 2
+
+
+# --- hash split -----------------------------------------------------------
+
+def test_split_deterministic_and_balanced():
+    urls = [f"https://site{i % 97}.ex/p{i}" for i in range(5000)]
+    a = split_assign_batch(_tbl(url=urls)).column("split").to_pylist()
+    # same keys in a different batch partitioning -> identical assignment
+    b1 = split_assign_batch(_tbl(url=urls[:2000])).column("split").to_pylist()
+    b2 = split_assign_batch(_tbl(url=urls[2000:])).column("split").to_pylist()
+    assert a == b1 + b2
+    frac = collections.Counter(a)
+    assert 0.75 < frac["train"] / 5000 < 0.85
+    assert 0.07 < frac["val"] / 5000 < 0.13
+    assert 0.07 < frac["test"] / 5000 < 0.13
+
+
+def test_poly_hash_matches_scalar_fold():
+    from geoflow.stages.textstats import _FP_B_CHAR, _FP_P
+    strs = ["", "a", "https://x.ex/p?q=1", "é-unicode"]
+    vec = poly_string_hash_vec(strs)
+    for s, v in zip(strs, vec):
+        acc = 0
+        for byte in s.encode("utf-8"):
+            acc = (acc * _FP_B_CHAR + byte) % _FP_P
+        assert acc == v
+
+
+# --- domain stats ---------------------------------------------------------
+
+def test_domain_stats_bruteforce(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    rng = np.random.default_rng(3)
+    hosts = [f"h{i % 7}.ex" for i in range(200)]
+    df = pd.DataFrame({
+        "url": [f"https://{h}/p{i}" for i, h in enumerate(hosts)],
+        "lang": rng.choice(["en", "de", "fr"], size=200),
+        "n_chars": rng.integers(1, 100, size=200),
+    })
+    out = (domain_stats(rd.from_pandas(df)).to_pandas()
+           .set_index("host").sort_index())
+    exp = (df.assign(host=[h for h in hosts])
+           .groupby("host")
+           .agg(n_pages=("url", "size"), n_chars_sum=("n_chars", "sum"),
+                n_langs=("lang", "nunique")).sort_index())
+    assert (out["n_pages"] == exp["n_pages"]).all()
+    assert (out["n_chars_sum"] == exp["n_chars_sum"]).all()
+    assert (out["n_langs"] == exp["n_langs"]).all()
+
+
+# --- bigram LM ------------------------------------------------------------
+
+def test_lm_score_bruteforce(ray_session):
+    import ray.data as rd
+    rng = np.random.default_rng(11)
+    words = list("pqrs")
+    texts = [" ".join(rng.choice(words, size=rng.integers(0, 12)))
+             for _ in range(60)]
+    ds = rd.from_arrow(_tbl(doc_id=np.arange(60, dtype=np.int64),
+                            text=texts))
+    model = bigram_counts(ds)
+    out = lm_score(ds, model).to_pandas().set_index("doc_id")
+
+    corpus = collections.Counter()
+    for t in texts:
+        toks = t.split()
+        corpus.update(" ".join(toks[j:j + 2]) for j in range(len(toks) - 1))
+    for i, t in enumerate(texts):
+        toks = t.split()
+        bigs = [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
+        assert out.loc[i, "lm_hits"] == sum(corpus[g] for g in bigs)
+        assert out.loc[i, "n_bigrams"] == len(bigs)
