@@ -2974,6 +2974,83 @@ def lm_bigram_scores(sf_dir: str):
     return lm_score(ds, model)
 
 
+@register("image_ahash_dup_groups", sql="""
+WITH e AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 7 = 3 THEN vec_id - 3 ELSE vec_id END AS seed
+  FROM embeddings
+),
+px AS (
+  SELECT vec_id, k,
+         (x * x) % 4294967296 // 16777216 AS p
+  FROM (
+    SELECT vec_id, k,
+           (seed * 2654435761 + k * 40503 + 97) % 2147483647 AS x
+    FROM e, unnest(generate_series(0, 63)) AS u(k)
+  )
+),
+tot AS (SELECT vec_id, sum(p) AS s, count(*) AS n FROM px GROUP BY 1),
+bits AS (
+  SELECT px.vec_id,
+         string_agg(CASE WHEN px.p * t.n > t.s THEN '1' ELSE '0' END,
+                    '' ORDER BY px.k) AS ah
+  FROM px JOIN tot t USING (vec_id) GROUP BY px.vec_id
+)
+SELECT min(vec_id) AS rep_id, CAST(count(*) AS BIGINT) AS n_images
+FROM bits GROUP BY ah HAVING count(*) > 1
+""")
+def image_ahash_dup_groups(sf_dir: str):
+    """Perceptual image dedup through the REAL PNG codec: deterministic
+    8x8 grayscale images (integer LCG pixels; every 7th image clones an
+    earlier one) are PNG-ENCODED, shipped as binary payloads, decoded
+    in an actor-pool stage, average-hashed (bit = pixel > mean,
+    integer-exact), and grouped by the 8-byte hash — image bytes never
+    cross the shuffle. The oracle re-derives every pixel and the
+    threshold in SQL, so the hash match proves the full
+    encode -> decode -> hash -> group chain
+    (geoflow.stages.multimodal.image_ahash_dup_groups)."""
+    from ..stages.multimodal import encode_png, render_lcg_image
+    from ..stages.multimodal import image_ahash_dup_groups as _groups
+
+    ds = _read(sf_dir, "embeddings", ["vec_id"])
+
+    def _render(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy().astype(np.int64)
+        payloads = []
+        for i in ids.tolist():
+            seed = i - 3 if i % 7 == 3 else i
+            payloads.append(encode_png(render_lcg_image(seed)))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    media = ds.map_batches(_render, batch_format="pyarrow")
+    out = _groups(media)
+    return out.map_batches(
+        lambda b: pa.table({
+            "rep_id": pc.cast(b.column("rep_id"), pa.int64()),
+            "n_images": pc.cast(b.column("n_images"), pa.int64()),
+        }), batch_format="pyarrow")
+
+
+@register("global_sorted_docs", sql="""
+SELECT CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+         AS rank,
+       doc_id, n_chars
+FROM documents ORDER BY n_chars DESC, doc_id LIMIT 100
+""")
+def global_sorted_docs(sf_dir: str):
+    """Distributed global sort (range-partitioned all-to-all) on
+    (n_chars DESC, doc_id) with an explicit rank column — the rank
+    makes result ORDER part of the verified contract, which the
+    driver's order-insensitive hash would otherwise not see. Only the
+    100-row head reaches the driver."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    head = (ds.sort(["n_chars", "doc_id"], descending=[True, False])
+            .limit(100).to_pandas())
+    head.insert(0, "rank", np.arange(1, len(head) + 1, dtype=np.int64))
+    return head[["rank", "doc_id", "n_chars"]]
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver check order. The correctness driver hash-
 # verifies the FIRST 50 registered queries, so every window slot should
@@ -2998,7 +3075,9 @@ _PAST_WINDOW = [
     # relational shapes with in-window representatives (q1, filtered_
     # revenue, order_lineitem_revenue, revenue_by_region, events_hourly)
     "orders_by_nation", "brand_part_stats", "supplier_by_nation",
-    "customers_without_big_orders", "distinct_langs",
+    "customers_without_big_orders", "distinct_langs", "filtered_revenue",
+    # events_hourly_streaming stays in-window on the SAME oracle
+    "events_hourly",
     # self-checking no-oracle entries
     "video_frame_embeddings", "ann_ivf_top5", "ann_lsh_top5",
     "flagship_zonal", "raster_pages_cell_join",

@@ -443,3 +443,70 @@ def make_video_table(n_videos: int = 6, seed: int = 7) -> pa.Table:
         "payload": pa.array(payloads, pa.binary()),
         "meta": pa.array(metas, pa.string()),
     })
+
+
+# --- perceptual (average-hash) image dedup --------------------------------
+
+def render_lcg_image(seed: int, side: int = 8) -> np.ndarray:
+    """Deterministic grayscale test image: with
+    x = (seed * 2654435761 + k * 40503 + 97) mod (2^31 - 1),
+    pixel k (row-major) = ((x * x) mod 2^32) // 2^24 — the squaring
+    mixes the seed into the high bits (a plain linear form collapses
+    to one 8-bit-shifted ramp shared by all seeds). Every step stays
+    below 2^62, so a BIGINT SQL oracle re-derives each pixel exactly."""
+    k = np.arange(side * side, dtype=np.int64)
+    x = (seed * 2654435761 + k * 40503 + 97) % 2147483647
+    p = (x * x) % 4294967296 // 16777216
+    return p.astype(np.uint8).reshape(side, side)
+
+
+def ahash64(gray: np.ndarray) -> int:
+    """Average-hash of a grayscale image: bit k = 1 iff pixel k (row-
+    major) exceeds the mean. Integer-exact compare (p * n > sum) so
+    engine and oracle agree bit for bit; packed big-endian into int64
+    (wrapping, order-preserving per group identity)."""
+    flat = gray.astype(np.int64).ravel()
+    bits = (flat * flat.size > flat.sum()).astype(np.uint8)
+    return int(np.packbits(bits).view(">u8")[0].astype(np.int64))
+
+
+class PerceptualHash:
+    """Actor stage: decode PNG payloads (real codec, once-per-actor
+    state) and emit (id, ahash) rows. The hash is 8 bytes per image —
+    the groupby that follows never moves image bytes."""
+
+    def __init__(self):
+        self.codec = Codec()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy().astype(np.int64)
+        hashes = np.empty(len(ids), dtype=np.int64)
+        for j, payload in enumerate(batch.column("payload").to_pylist()):
+            img = self.codec.decode_image(payload)
+            hashes[j] = ahash64(img.mean(axis=2).astype(np.uint8)
+                                if img.ndim == 3 and img.shape[2] > 1
+                                else img.reshape(img.shape[0], -1))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "ahash": pa.array(hashes, pa.int64())})
+
+
+def image_ahash_dup_groups(media_ds, concurrency: int = 4,
+                           batch_size: int = 64):
+    """Exact perceptual-duplicate groups by average-hash equality:
+    actor-pool decode+hash (image bytes die in the stage), ONE groupby
+    on the 8-byte hash, keep groups with >1 image. At 100 TB this is
+    the same plan as the flagship exact dedup — the shuffle payload is
+    (hash, id) rows only; near-duplicate (Hamming <= d) variants would
+    band the 64 bits like simhash_near_dup does."""
+    from ray.data.aggregate import Count, Min
+
+    hashed = media_ds.map_batches(PerceptualHash, batch_format="pyarrow",
+                                  concurrency=(1, concurrency),
+                                  batch_size=batch_size)
+    g = (hashed.groupby("ahash")
+         .aggregate(Min("media_id", alias_name="rep_id"),
+                    Count(alias_name="n_images")))
+    return g.map_batches(
+        lambda b: b.filter(pa.compute.greater(b.column("n_images"), 1))
+                   .select(["rep_id", "n_images"]),
+        batch_format="pyarrow")

@@ -202,3 +202,41 @@ def test_video_frame_sample_stage(ray_session):
               ]["embedding"].iloc[0]
     assert np.allclose(np.asarray(got, dtype=np.float32),
                        emb.astype(np.float32), atol=1e-6)
+
+
+def test_ahash_bits_and_roundtrip():
+    from geoflow.stages.multimodal import (ahash64, decode_png, encode_png,
+                                           render_lcg_image)
+    img = render_lcg_image(123)
+    # real-codec roundtrip preserves the hash input exactly
+    assert np.array_equal(decode_png(encode_png(img)).reshape(8, 8), img)
+    # bit semantics: bit k set iff pixel k (row-major) * 64 > sum
+    flat = img.astype(np.int64).ravel()
+    expect = 0
+    for k, p in enumerate(flat.tolist()):
+        if p * 64 > flat.sum():
+            expect |= 1 << (63 - k)
+    expect = expect - (1 << 64) if expect >= (1 << 63) else expect
+    assert ahash64(img) == expect
+
+
+def test_image_ahash_dup_groups(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from geoflow.stages.multimodal import (encode_png,
+                                           image_ahash_dup_groups,
+                                           render_lcg_image)
+    # 40 images; ids 10..13 clone image 0, id 25 clones 24
+    seeds = list(range(40))
+    for i in (10, 11, 12, 13):
+        seeds[i] = 0
+    seeds[25] = 24
+    tbl = pa.table({
+        "media_id": pa.array(np.arange(40, dtype=np.int64)),
+        "payload": pa.array([encode_png(render_lcg_image(s))
+                             for s in seeds], pa.binary()),
+    })
+    out = (image_ahash_dup_groups(rd.from_arrow(tbl), concurrency=2)
+           .to_pandas().sort_values("rep_id").reset_index(drop=True))
+    assert out["rep_id"].tolist() == [0, 24]
+    assert out["n_images"].tolist() == [5, 2]
