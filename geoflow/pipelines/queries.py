@@ -2914,7 +2914,7 @@ def train_split_counts(sf_dir: str):
     partitioning, any cluster size, any re-run lands every document in
     the same split (webquality.split_assign_batch); the oracle replays
     the char-fold hash exactly via list_reduce."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from ..sources.pages import page_url
     from ..stages.webquality import split_assign_batch

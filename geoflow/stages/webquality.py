@@ -138,7 +138,9 @@ def repetition_stats_batch(batch: pa.Table, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 # Tracking params stripped by the canonicalizer (the usual suspects).
-_TRACKING_RE = r"(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
+# The separator is CAPTURED (not lookbehind — RE2 has none) so a
+# non-tracking param like href=... can never match via its ref= suffix.
+_TRACKING_RE = r"(?P<sep>[?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
 
 
 def canonicalize_urls_batch(batch: pa.Table,
@@ -150,10 +152,13 @@ def canonicalize_urls_batch(batch: pa.Table,
     u = pc.cast(batch.column(url_col), pa.string())
     # drop fragment
     u = pc.replace_substring_regex(u, r"#.*$", "")
-    # strip tracking params (param + optional following &)
-    u = pc.replace_substring_regex(u, _TRACKING_RE + r"&?", "")
+    # strip tracking params, keeping their leading separator
+    u = pc.replace_substring_regex(u, _TRACKING_RE, r"\1")
+    # collapse separator runs the removals left behind: '?&&a' -> '?a'
+    u = pc.replace_substring_regex(u, r"(?P<kp>[?&])&+", r"\1")
+    u = pc.replace_substring_regex(u, r"\?&", "?")
     # dangling '?' or '&' left after param removal
-    u = pc.replace_substring_regex(u, r"[?&]$", "")
+    u = pc.replace_substring_regex(u, r"[?&]+$", "")
     # lowercase scheme://host
     pref = pc.extract_regex(u, r"^(?P<p>[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)")
     pref_s = pc.struct_field(pref, "p")

@@ -68,10 +68,18 @@ def test_canonicalize_urls_cases():
         "https://ex.com/p?utm_a=1&utm_b=2": "https://ex.com/p",
         "https://ex.com/p?gclid=123&x=2": "https://ex.com/p?x=2",
         "https://ex.com/keep?x=2": "https://ex.com/keep?x=2",
+        # href must NOT match via its ref= suffix (separator-anchored)
+        "https://ex.com/p?href=1": "https://ex.com/p?href=1",
+        "https://ex.com/p?a=1&utm_x=2&utm_y=3&b=4":
+            "https://ex.com/p?a=1&b=4",
+        "https://ex.com/p?ref=r&a=1": "https://ex.com/p?a=1",
     }
     b = _tbl(url=list(cases))
     got = canonicalize_urls_batch(b).column("canon_url").to_pylist()
     assert got == list(cases.values())
+    # idempotence: canonical form is a fixed point
+    again = canonicalize_urls_batch(_tbl(url=got))
+    assert again.column("canon_url").to_pylist() == got
 
 
 def test_url_dedup_winners(ray_session):
