@@ -215,8 +215,11 @@ def domain_stats(ds, url_col: str = "url", lang_col: str = "lang",
                  chars_col: str = "n_chars"):
     """Per-host (registered domain) stats: page count, char sum,
     distinct languages. Combiner pattern: Arrow hash-aggregate partials
-    keyed (host, lang) per batch, ONE groupby on host, per-host fold of
-    the (already tiny) partials."""
+    keyed (host, lang) per batch, then TWO chained vectorized
+    aggregates — (host, lang) totals first, whose per-host row count IS
+    the distinct-language count — so no per-group Python runs even with
+    millions of hosts."""
+    from ray.data.aggregate import Count, Sum
 
     def _partial(b: pa.Table) -> pa.Table:
         host = pc.struct_field(
@@ -225,19 +228,21 @@ def domain_stats(ds, url_col: str = "url", lang_col: str = "lang",
         t = pa.table({"host": host,
                       "lang": b.column(lang_col),
                       "n_chars": pc.cast(b.column(chars_col), pa.int64())})
-        return pa.TableGroupBy(t, ["host", "lang"]).aggregate(
+        g = pa.TableGroupBy(t, ["host", "lang"]).aggregate(
             [([], "count_all"), ("n_chars", "sum")])
+        return pa.table({"host": g.column("host"), "lang": g.column("lang"),
+                         "n_pages": pc.cast(g.column("count_all"),
+                                            pa.int64()),
+                         "n_chars_sum": g.column("n_chars_sum")})
 
-    def _final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "host": [g["host"].iloc[0]],
-            "n_pages": [int(g["count_all"].sum())],
-            "n_chars_sum": [int(g["n_chars_sum"].sum())],
-            "n_langs": [int(g["lang"].nunique())],
-        })
-
-    return (ds.map_batches(_partial, batch_format="pyarrow")
-            .groupby("host").map_groups(_final, batch_format="pandas"))
+    per_lang = (ds.map_batches(_partial, batch_format="pyarrow")
+                .groupby(["host", "lang"])
+                .aggregate(Sum("n_pages", alias_name="n_pages"),
+                           Sum("n_chars_sum", alias_name="n_chars_sum")))
+    return (per_lang.groupby("host")
+            .aggregate(Sum("n_pages", alias_name="n_pages"),
+                       Sum("n_chars_sum", alias_name="n_chars_sum"),
+                       Count(alias_name="n_langs")))
 
 
 # ---------------------------------------------------------------------------
