@@ -3032,6 +3032,64 @@ def image_ahash_dup_groups(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+@register("image_ahash_near_dup", sql="""
+WITH e AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 7 = 3 THEN vec_id - 3 ELSE vec_id END AS seed
+  FROM embeddings
+),
+px AS (
+  SELECT vec_id, k,
+         (x * x) % 4294967296 // 16777216 AS p
+  FROM (
+    SELECT vec_id, k,
+           (seed * 2654435761 + k * 40503 + 97) % 2147483647 AS x
+    FROM e, unnest(generate_series(0, 63)) AS u(k)
+  )
+),
+tot AS (SELECT vec_id, sum(p) AS s, count(*) AS n FROM px GROUP BY 1),
+bits AS (
+  SELECT px.vec_id, px.k,
+         CASE WHEN px.p * t.n > t.s THEN 1 ELSE 0 END AS b
+  FROM px JOIN tot t USING (vec_id)
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(sum(CASE WHEN a.b != b.b THEN 1 ELSE 0 END) AS BIGINT)
+         AS hamming
+FROM bits a JOIN bits b ON a.k = b.k AND a.vec_id < b.vec_id
+GROUP BY 1, 2 HAVING hamming <= 3
+""")
+def image_ahash_near_dup(sf_dir: str):
+    """Near-duplicate image pairs at Hamming distance <= 3 over the
+    PNG-decoded average-hash, found by simhash-style banding of the 64
+    bits into 4 bands — EXACT by pigeonhole (3 differing bits cannot
+    touch all 4 bands), verified in-group with a vectorized popcount.
+    The oracle replays pixels, threshold bits and pairwise Hamming
+    entirely in SQL (multimodal.image_ahash_near_dup)."""
+    from ..stages.multimodal import encode_png, render_lcg_image
+    from ..stages.multimodal import image_ahash_near_dup as _pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id"])
+
+    def _render(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy().astype(np.int64)
+        payloads = []
+        for i in ids.tolist():
+            seed = i - 3 if i % 7 == 3 else i
+            payloads.append(encode_png(render_lcg_image(seed)))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    media = ds.map_batches(_render, batch_format="pyarrow")
+    out = _pairs(media, max_hamming=3, num_bands=4)
+    return out.map_batches(
+        lambda b: pa.table({
+            "id_a": pc.cast(b.column("id_a"), pa.int64()),
+            "id_b": pc.cast(b.column("id_b"), pa.int64()),
+            "hamming": pc.cast(b.column("hamming"), pa.int64()),
+        }), batch_format="pyarrow")
+
+
 @register("global_sorted_docs", sql="""
 SELECT CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
          AS rank,
@@ -3076,8 +3134,9 @@ _PAST_WINDOW = [
     # revenue, order_lineitem_revenue, revenue_by_region, events_hourly)
     "orders_by_nation", "brand_part_stats", "supplier_by_nation",
     "customers_without_big_orders", "distinct_langs", "filtered_revenue",
-    # events_hourly_streaming stays in-window on the SAME oracle
-    "events_hourly",
+    # events_hourly_streaming stays in-window on the SAME oracle;
+    # tfidf_top_terms keeps a per-group top-k in-window
+    "events_hourly", "top_parts_per_brand",
     # self-checking no-oracle entries
     "video_frame_embeddings", "ann_ivf_top5", "ann_lsh_top5",
     "flagship_zonal", "raster_pages_cell_join",

@@ -510,3 +510,99 @@ def image_ahash_dup_groups(media_ds, concurrency: int = 4,
         lambda b: b.filter(pa.compute.greater(b.column("n_images"), 1))
                    .select(["rep_id", "n_images"]),
         batch_format="pyarrow")
+
+
+_POPCOUNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                           axis=1).sum(axis=1).astype(np.int64)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for int64/uint64 arrays (8-bit LUT)."""
+    b = np.ascontiguousarray(x).view(np.uint8).reshape(*x.shape, 8)
+    return _POPCOUNT8[b].sum(axis=-1)
+
+
+def image_ahash_near_dup(media_ds, max_hamming: int = 3,
+                         num_bands: int = 4, concurrency: int = 4,
+                         batch_size: int = 64):
+    """Near-duplicate image pairs by average-hash Hamming distance,
+    via simhash-style banding: the 64-bit hash splits into
+    ``num_bands`` equal bands, pairs collide on a band groupby, and a
+    vectorized popcount verifies ``hamming <= max_hamming`` in-group.
+    For ``max_hamming <= num_bands - 1`` the plan is EXACT by
+    pigeonhole (d differing bits cannot touch all bands), so this is
+    the scale path for perceptual near-dup — shuffle volume is
+    (band_key, id, hash) rows, 24 B/image/band, never image bytes.
+    Output: (id_a < id_b, hamming), distinct across bands."""
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    if max_hamming > num_bands - 1:
+        raise ValueError("banding is exact only for d <= num_bands - 1")
+    band_bits = 64 // num_bands
+    mask = np.int64((1 << band_bits) - 1)
+
+    hashed = media_ds.map_batches(PerceptualHash, batch_format="pyarrow",
+                                  concurrency=(1, concurrency),
+                                  batch_size=batch_size)
+
+    def _bands(b: pa.Table) -> pa.Table:
+        ids = b.column("media_id").to_numpy().astype(np.int64)
+        h = b.column("ahash").to_numpy().astype(np.int64)
+        hu = h.view(np.uint64)
+        out_ids = np.tile(ids, num_bands)
+        out_h = np.tile(h, num_bands)
+        keys = np.concatenate([
+            (j << band_bits)
+            | ((hu >> np.uint64(j * band_bits)).astype(np.int64) & mask)
+            for j in range(num_bands)])
+        return pa.table({"band_key": pa.array(keys, pa.int64()),
+                         "media_id": pa.array(out_ids, pa.int64()),
+                         "ahash": pa.array(out_h, pa.int64())})
+
+    # Band groups are tiny and numerous — grouping Ray-side per band_key
+    # would pay per-group scheduling for every one. Instead ONE groupby
+    # on hash(band_key) % 64 buckets co-locates whole bucket segments
+    # and a sorted run-sweep emits each band group's pairs vectorized
+    # (the same segment trick as the MinHash candidate emission).
+    def _bucket(b: pa.Table) -> pa.Table:
+        k = b.column("band_key").to_numpy()
+        mixed = ((k ^ (k >> 17)) * 2654435761) % 64
+        return b.append_column(
+            "bucket", pa.array(mixed.astype(np.int64), pa.int64()))
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["band_key"].to_numpy(), kind="stable")
+        keys = g["band_key"].to_numpy()[order]
+        ids = g["media_id"].to_numpy()[order]
+        h = g["ahash"].to_numpy().astype(np.int64)[order]
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        ends = np.r_[starts[1:], len(keys)]
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            n = e - s
+            if n < 2:
+                continue
+            hh, ii = h[s:e], ids[s:e]
+            ham = popcount64(hh[:, None] ^ hh[None, :])
+            ia, ib = np.triu_indices(n, k=1)
+            keep = ham[ia, ib] <= max_hamming
+            a, b_ = ii[ia[keep]], ii[ib[keep]]
+            out_a.append(np.minimum(a, b_))
+            out_b.append(np.maximum(a, b_))
+            out_h.append(ham[ia, ib][keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": np.array([], np.int64),
+                                 "id_b": np.array([], np.int64),
+                                 "hamming": np.array([], np.int64)})
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a).astype(np.int64),
+            "id_b": np.concatenate(out_b).astype(np.int64),
+            "hamming": np.concatenate(out_h).astype(np.int64)})
+
+    pairs = (hashed.map_batches(_bands, batch_format="pyarrow")
+             .map_batches(_bucket, batch_format="pyarrow")
+             .groupby("bucket").map_groups(_pairs, batch_format="pandas"))
+    # a pair can collide in several bands -> distinct via groupby
+    return (pairs.groupby(["id_a", "id_b"])
+            .aggregate(Min("hamming", alias_name="hamming")))

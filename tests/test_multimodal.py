@@ -240,3 +240,40 @@ def test_image_ahash_dup_groups(ray_session):
            .to_pandas().sort_values("rep_id").reset_index(drop=True))
     assert out["rep_id"].tolist() == [0, 24]
     assert out["n_images"].tolist() == [5, 2]
+
+
+def test_image_ahash_near_dup_bruteforce(ray_session):
+    import itertools
+    import pyarrow as pa
+    import ray.data as rd
+    from geoflow.stages.multimodal import (ahash64, decode_png, encode_png,
+                                           image_ahash_near_dup, popcount64,
+                                           render_lcg_image)
+    # base images + hand-flipped near variants (1-3 pixel sign flips)
+    imgs = {i: render_lcg_image(i) for i in range(30)}
+    for src, dst, nflip in [(0, 30, 1), (5, 31, 3), (9, 32, 2)]:
+        v = imgs[src].copy().astype(np.int64)
+        flat = v.ravel()
+        mean_ok = flat.sum()
+        for k in range(nflip):           # push pixel across the threshold
+            flat[k * 7] = 255 if flat[k * 7] * 64 <= mean_ok else 0
+        imgs[dst] = np.clip(flat.reshape(8, 8), 0, 255).astype(np.uint8)
+    tbl = pa.table({
+        "media_id": pa.array(sorted(imgs), pa.int64()),
+        "payload": pa.array([encode_png(imgs[i]) for i in sorted(imgs)],
+                            pa.binary()),
+    })
+    out = (image_ahash_near_dup(rd.from_arrow(tbl), max_hamming=3,
+                                num_bands=4, concurrency=2)
+           .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    # brute force over decoded hashes
+    hashes = {i: ahash64(decode_png(encode_png(imgs[i])).reshape(8, 8))
+              for i in sorted(imgs)}
+    exp = []
+    for a, b in itertools.combinations(sorted(imgs), 2):
+        d = int(popcount64(np.array([hashes[a] ^ hashes[b]], np.int64))[0])
+        if d <= 3:
+            exp.append((a, b, d))
+    got = list(out.itertuples(index=False, name=None))
+    assert got == sorted(exp)
+    assert any(d > 0 for _, _, d in exp)      # some true NEAR (not exact) dups
