@@ -3032,6 +3032,50 @@ def image_ahash_dup_groups(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+@register("packed_sequences", sql="""
+WITH RECURSIVE r AS (
+  SELECT doc_id, lang, doc_id // 256 AS shard, n_chars,
+         row_number() OVER (PARTITION BY lang, doc_id // 256
+                            ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack AS (
+  SELECT lang, shard, rn, doc_id, n_chars, 0 AS bin, n_chars AS fill
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.lang, r.shard, r.rn, r.doc_id, r.n_chars,
+         CASE WHEN p.fill + r.n_chars <= 1500
+              THEN p.bin ELSE p.bin + 1 END,
+         CASE WHEN p.fill + r.n_chars <= 1500
+              THEN p.fill + r.n_chars ELSE r.n_chars END
+  FROM pack p JOIN r ON r.lang = p.lang AND r.shard = p.shard
+                    AND r.rn = p.rn + 1
+)
+SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard,
+       CAST(bin AS BIGINT) AS bin
+FROM pack
+""")
+def packed_sequences(sf_dir: str):
+    """Training-batch construction: greedy first-fit-in-order packing
+    of documents into 1500-char bins per (lang, shard) group. The
+    shard key bounds every group at 256 docs by construction, so the
+    inherently sequential greedy scan never sees an unbounded group;
+    assignment is deterministic in the ids alone. The oracle replays
+    the greedy recurrence with a recursive CTE
+    (geoflow.stages.webquality.pack_sequences)."""
+    from ..stages.webquality import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = pack_sequences(ds, budget=1500, shard_size=256)
+    return out.map_batches(
+        lambda b: pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "lang": b.column("lang"),
+            "shard": pc.cast(b.column("shard"), pa.int64()),
+            "bin": pc.cast(b.column("bin"), pa.int64()),
+        }), batch_format="pyarrow")
+
+
 @register("image_ahash_near_dup", sql="""
 WITH e AS (
   SELECT vec_id,
@@ -3136,7 +3180,7 @@ _PAST_WINDOW = [
     "customers_without_big_orders", "distinct_langs", "filtered_revenue",
     # events_hourly_streaming stays in-window on the SAME oracle;
     # tfidf_top_terms keeps a per-group top-k in-window
-    "events_hourly", "top_parts_per_brand",
+    "events_hourly", "top_parts_per_brand", "events_lag_delta",
     # self-checking no-oracle entries
     "video_frame_embeddings", "ann_ivf_top5", "ann_lsh_top5",
     "flagship_zonal", "raster_pages_cell_join",

@@ -353,3 +353,52 @@ def lm_score(ds, model_ds, id_col: str = "doc_id", text_col: str = "text"):
         })
 
     return ds.map_batches(_score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Training sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(ds, id_col: str = "doc_id", lang_col: str = "lang",
+                   len_col: str = "n_chars", budget: int = 1500,
+                   shard_size: int = 256):
+    """Greedy first-fit-in-order packing of documents into
+    budget-bounded training bins, per (lang, shard) group.
+
+    The shard key (``id // shard_size``) bounds every group at
+    ``shard_size`` docs BY CONSTRUCTION, so the per-group greedy scan —
+    inherently sequential, O(group) — never sees an unbounded group at
+    any corpus size, and the shuffle moves only (id, lang, shard, len)
+    rows. Packing is deterministic in the ids alone (order = id asc),
+    so re-runs and different partitionings produce identical bins; a
+    doc longer than the budget gets a bin of its own (standard greedy
+    semantics). Output: (id, lang, shard, bin)."""
+
+    def _tag(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b.column(id_col), pa.int64())
+        return pa.table({
+            id_col: ids,
+            lang_col: b.column(lang_col),
+            "shard": pc.divide(ids, pa.scalar(shard_size, pa.int64())),
+            "len": pc.cast(b.column(len_col), pa.int64()),
+        })
+
+    def _pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        lens = g["len"].to_numpy()
+        bins = np.empty(len(lens), dtype=np.int64)
+        bin_id, fill = 0, 0
+        for j, ln in enumerate(lens.tolist()):   # bounded by shard_size
+            if j > 0 and fill + ln > budget:
+                bin_id += 1
+                fill = 0
+            fill += ln
+            bins[j] = bin_id
+        out = g[[id_col, lang_col, "shard"]].copy()
+        out["bin"] = bins
+        return out
+
+    return (ds.map_batches(_tag, batch_format="pyarrow")
+            .groupby([lang_col, "shard"])
+            .map_groups(_pack, batch_format="pandas"))

@@ -164,3 +164,39 @@ def test_lm_score_bruteforce(ray_session):
         bigs = [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
         assert out.loc[i, "lm_hits"] == sum(corpus[g] for g in bigs)
         assert out.loc[i, "n_bigrams"] == len(bigs)
+
+
+# --- sequence packing -----------------------------------------------------
+
+def test_pack_sequences_greedy(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from geoflow.stages.webquality import pack_sequences
+    rng = np.random.default_rng(5)
+    n = 400
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": rng.choice(["en", "de"], size=n),
+        "n_chars": rng.integers(50, 900, size=n).astype(np.int64),
+    })
+    # an oversized doc must land in a bin of its own
+    df.loc[7, "n_chars"] = 5000
+    out = (pack_sequences(rd.from_pandas(df), budget=1500, shard_size=64)
+           .to_pandas().set_index("doc_id").sort_index())
+
+    for (lang, shard), g in df.assign(shard=df.doc_id // 64).groupby(
+            ["lang", "shard"]):
+        g = g.sort_values("doc_id")
+        bin_id, fill = 0, 0
+        for j, (i, ln) in enumerate(zip(g.doc_id, g.n_chars)):
+            if j > 0 and fill + ln > 1500:
+                bin_id, fill = bin_id + 1, 0
+            fill += ln
+            assert out.loc[i, "bin"] == bin_id, i
+            assert out.loc[i, "shard"] == shard
+    # bins (except oversized singletons) respect the budget
+    tot = (df.assign(shard=df.doc_id // 64)
+           .join(out[["bin"]], on="doc_id")
+           .groupby(["lang", "shard", "bin"])["n_chars"].agg(["sum", "size"]))
+    over = tot[tot["sum"] > 1500]
+    assert (over["size"] == 1).all()
