@@ -3134,6 +3134,70 @@ def image_ahash_near_dup(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+@register("audio_fp_dup_groups", sql="""
+WITH e AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 9 = 4 THEN vec_id - 4 ELSE vec_id END AS seed
+  FROM embeddings
+),
+p AS (
+  SELECT vec_id, k, (x * x) % 4294967296 // 65536 - 32768 AS v
+  FROM (
+    SELECT vec_id, k,
+           (seed * 2654435761 + k * 40503 + 97) % 2147483647 AS x
+    FROM e, unnest(generate_series(0, 255)) AS u(k)
+  )
+),
+en AS (SELECT vec_id, k // 16 AS f, sum(v * v) AS en FROM p GROUP BY 1, 2),
+b AS (
+  SELECT vec_id, f, en,
+         lag(en, 1) OVER (PARTITION BY vec_id ORDER BY f) AS pe,
+         last_value(en) OVER (PARTITION BY vec_id ORDER BY f
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING) AS le
+  FROM en
+),
+fp AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN en > coalesce(pe, le) THEN '1' ELSE '0' END,
+                    '' ORDER BY f) AS sig
+  FROM b GROUP BY 1
+)
+SELECT min(vec_id) AS rep_id, CAST(count(*) AS BIGINT) AS n_clips
+FROM fp GROUP BY sig HAVING count(*) > 1
+""")
+def audio_fp_dup_groups(sf_dir: str):
+    """Audio dedup through the REAL WAV codec: deterministic int16 PCM
+    clips (square-mix LCG; every 9th clip clones an earlier one) are
+    WAV-ENCODED, decoded in an actor-pool stage (the /32768 float path
+    round-trips every int16 losslessly), fingerprinted by the
+    energy-contour sign bits (frame energy vs previous frame, circular)
+    and grouped on the 8-byte fingerprint. The oracle replays samples,
+    frame energies and the lag comparison in SQL
+    (geoflow.stages.multimodal.audio_fingerprint_dup_groups)."""
+    from ..stages.multimodal import encode_wav, render_lcg_pcm
+    from ..stages.multimodal import audio_fingerprint_dup_groups as _groups
+
+    ds = _read(sf_dir, "embeddings", ["vec_id"])
+
+    def _render(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy().astype(np.int64)
+        payloads = []
+        for i in ids.tolist():
+            seed = i - 4 if i % 9 == 4 else i
+            payloads.append(encode_wav(8000, render_lcg_pcm(seed)))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    media = ds.map_batches(_render, batch_format="pyarrow")
+    out = _groups(media)
+    return out.map_batches(
+        lambda b: pa.table({
+            "rep_id": pc.cast(b.column("rep_id"), pa.int64()),
+            "n_clips": pc.cast(b.column("n_clips"), pa.int64()),
+        }), batch_format="pyarrow")
+
+
 @register("global_sorted_docs", sql="""
 SELECT CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
          AS rank,
@@ -3181,6 +3245,7 @@ _PAST_WINDOW = [
     # events_hourly_streaming stays in-window on the SAME oracle;
     # tfidf_top_terms keeps a per-group top-k in-window
     "events_hourly", "top_parts_per_brand", "events_lag_delta",
+    "label_centroids",
     # self-checking no-oracle entries
     "video_frame_embeddings", "ann_ivf_top5", "ann_lsh_top5",
     "flagship_zonal", "raster_pages_cell_join",

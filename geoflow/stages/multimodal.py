@@ -158,12 +158,19 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
 
 
 def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
-    """mono float32 [-1, 1] -> PCM16 WAV bytes."""
+    """mono float32 [-1, 1] -> PCM16 WAV bytes. An int16 input is
+    written VERBATIM (no float scaling) — the exact path for integer
+    fingerprint pipelines; decode_wav's /32768 is then lossless
+    (power-of-two float division round-trips every int16)."""
     import io
     import wave
 
-    pcm = np.clip(np.asarray(samples, np.float64) * 32767.0,
-                  -32768, 32767).astype("<i2")
+    samples = np.asarray(samples)
+    if samples.dtype == np.int16:
+        pcm = samples.astype("<i2")
+    else:
+        pcm = np.clip(np.asarray(samples, np.float64) * 32767.0,
+                      -32768, 32767).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as wf:
         wf.setnchannels(1)
@@ -606,3 +613,67 @@ def image_ahash_near_dup(media_ds, max_hamming: int = 3,
     # a pair can collide in several bands -> distinct via groupby
     return (pairs.groupby(["id_a", "id_b"])
             .aggregate(Min("hamming", alias_name="hamming")))
+
+
+# --- audio frame-energy fingerprint dedup ----------------------------------
+
+def render_lcg_pcm(seed: int, n: int = 256) -> np.ndarray:
+    """Deterministic int16 PCM clip: with
+    x = (seed * 2654435761 + k * 40503 + 97) mod (2^31 - 1),
+    sample k = ((x * x) mod 2^32) // 2^16 - 32768 — same square-mix as
+    render_lcg_image, scaled into the int16 range; BIGINT-replayable."""
+    k = np.arange(n, dtype=np.int64)
+    x = (seed * 2654435761 + k * 40503 + 97) % 2147483647
+    return ((x * x) % 4294967296 // 65536 - 32768).astype(np.int16)
+
+
+def audio_fingerprint16(pcm: np.ndarray, frame: int = 16) -> int:
+    """Energy-contour fingerprint (Shazam-style sign-of-derivative,
+    collapsed to one hash): frame energies (sum of squared samples,
+    exact int64), bit f = 1 iff energy rises vs the previous frame
+    (frame 0 compares against the LAST frame, closing the circle so
+    all frames contribute). Packed little-frame-first into an int."""
+    v = pcm.astype(np.int64)
+    e = (v.reshape(-1, frame) ** 2).sum(axis=1)
+    bits = e > np.roll(e, 1)
+    return int(sum(1 << f for f, b in enumerate(bits.tolist()) if b))
+
+
+class AudioFingerprint:
+    """Actor stage: decode WAV payloads (real codec) -> int16 PCM
+    (lossless: decode's /32768 float path round-trips every int16) ->
+    energy-contour fingerprint. 8 bytes/clip into the groupby."""
+
+    def __init__(self, frame: int = 16):
+        self.codec = Codec()
+        self.frame = frame
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_numpy().astype(np.int64)
+        fps = np.empty(len(ids), dtype=np.int64)
+        for j, payload in enumerate(batch.column("payload").to_pylist()):
+            _sr, x = self.codec.decode_audio(payload)
+            pcm = np.round(x * 32768.0).astype(np.int64)
+            fps[j] = audio_fingerprint16(pcm, self.frame)
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "afp": pa.array(fps, pa.int64())})
+
+
+def audio_fingerprint_dup_groups(media_ds, concurrency: int = 4,
+                                 batch_size: int = 64):
+    """Duplicate audio-clip groups by fingerprint equality: actor-pool
+    decode+fingerprint (clip bytes die in the stage), ONE groupby on
+    the fingerprint, keep groups with >1 clip — the audio twin of
+    image_ahash_dup_groups, same shuffle posture (8 B/clip)."""
+    from ray.data.aggregate import Count, Min
+
+    fp = media_ds.map_batches(AudioFingerprint, batch_format="pyarrow",
+                              concurrency=(1, concurrency),
+                              batch_size=batch_size)
+    g = (fp.groupby("afp")
+         .aggregate(Min("media_id", alias_name="rep_id"),
+                    Count(alias_name="n_clips")))
+    return g.map_batches(
+        lambda b: b.filter(pa.compute.greater(b.column("n_clips"), 1))
+                   .select(["rep_id", "n_clips"]),
+        batch_format="pyarrow")

@@ -277,3 +277,42 @@ def test_image_ahash_near_dup_bruteforce(ray_session):
     got = list(out.itertuples(index=False, name=None))
     assert got == sorted(exp)
     assert any(d > 0 for _, _, d in exp)      # some true NEAR (not exact) dups
+
+
+def test_audio_fingerprint_dup_groups(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from geoflow.stages.multimodal import (audio_fingerprint16,
+                                           audio_fingerprint_dup_groups,
+                                           decode_wav, encode_wav,
+                                           render_lcg_pcm)
+    # int16 WAV roundtrip is lossless (power-of-two scaling)
+    pcm = render_lcg_pcm(3)
+    _sr, x = decode_wav(encode_wav(8000, pcm))
+    assert np.array_equal(np.round(x * 32768.0).astype(np.int64),
+                          pcm.astype(np.int64))
+
+    seeds = list(range(30))
+    for i in (12, 13, 14):
+        seeds[i] = 2
+    seeds[21] = 20
+    tbl = pa.table({
+        "media_id": pa.array(np.arange(30, dtype=np.int64)),
+        "payload": pa.array([encode_wav(8000, render_lcg_pcm(s))
+                             for s in seeds], pa.binary()),
+    })
+    out = (audio_fingerprint_dup_groups(rd.from_arrow(tbl), concurrency=2)
+           .to_pandas().sort_values("rep_id").reset_index(drop=True))
+    # group of seed 2 = {2, 12, 13, 14}; group of seed 20 = {20, 21};
+    # plus any accidental 16-bit contour collisions — check supersets
+    by_rep = {r: n for r, n in zip(out["rep_id"], out["n_clips"])}
+    assert by_rep.get(2, 0) >= 4
+    assert by_rep.get(20, 0) >= 2
+    # every reported group really shares one fingerprint
+    fps = {i: audio_fingerprint16(render_lcg_pcm(s).astype(np.int64))
+           for i, s in enumerate(seeds)}
+    import collections as _c
+    cnt = _c.Counter(fps.values())
+    exp = sorted((min(i for i in fps if fps[i] == v), c)
+                 for v, c in cnt.items() if c > 1)
+    assert sorted(zip(out["rep_id"], out["n_clips"])) == exp
