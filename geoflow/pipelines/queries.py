@@ -3217,6 +3217,123 @@ def global_sorted_docs(sf_dir: str):
     return head[["rank", "doc_id", "n_chars"]]
 
 
+# Corpus-wide line-level boilerplate dedup (CCNet / RefinedWeb pass).
+# The synthetic documents are single-line, so the line decomposition is
+# DEFINED deterministically (consecutive 10-token chunks) and keyed
+# boilerplate lines are injected identically on both sides — the oracle
+# replays chunking (1-based inclusive list slices), injection, the
+# distinct-doc frequency threshold, and the chr(10) re-join.
+_LINE_BP = [(3, 0, "subscribe to our newsletter today now"),
+            (4, 1, "all rights reserved by this site owner")]
+
+_LINE_SQL = r"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+nl AS (
+  SELECT doc_id, t,
+         CAST(ceil(len(t) / 10.0) AS BIGINT) AS nb
+  FROM base
+),
+baselines AS (
+  SELECT doc_id, i AS line_no,
+         array_to_string(t[(i - 1) * 10 + 1 : i * 10], ' ') AS line
+  FROM nl, unnest(generate_series(1, nb)) AS u(i)
+),
+lines AS (
+  SELECT * FROM baselines
+  UNION ALL
+  SELECT doc_id, nb + 1, 'subscribe to our newsletter today now'
+  FROM nl WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, nb + 2, 'all rights reserved by this site owner'
+  FROM nl WHERE doc_id % 4 = 1
+),
+dl AS (SELECT DISTINCT doc_id, line FROM lines WHERE line <> ''),
+freq AS (SELECT line FROM dl GROUP BY line HAVING count(*) >= 5),
+kept AS (
+  SELECT l.doc_id, l.line_no, l.line
+  FROM lines l LEFT JOIN freq f USING (line)
+  WHERE f.line IS NULL
+),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
+k AS (SELECT doc_id, count(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY line_no) AS clean_text
+      FROM kept GROUP BY doc_id)
+SELECT t.doc_id, t.n_lines,
+       t.n_lines - coalesce(k.n_kept, 0) AS n_removed,
+       coalesce(k.clean_text, '') AS clean_text
+FROM tot t LEFT JOIN k USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("line_dedup_docs", sql=_LINE_SQL)
+def line_dedup_docs(sf_dir: str):
+    """Corpus-wide line-level boilerplate removal (drop lines present
+    in >= 5 distinct docs): distinct-doc line counts via ONE
+    bucket-keyed shuffle of (bucket, line, nd) partials, frequent set
+    (heavy-hitter-bounded) broadcast once, second streaming pass drops
+    members and re-joins. DuckDB replays chunking + injection +
+    threshold + chr(10) re-join exactly (hash equality incl. the
+    cleaned text bytes)."""
+    from ..stages.webquality import line_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = line_dedup(ds, min_df=5, boilerplate=_LINE_BP)
+    return out.map_batches(
+        lambda b: pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "n_lines": pc.cast(b.column("n_lines"), pa.int64()),
+            "n_removed": pc.cast(b.column("n_removed"), pa.int64()),
+            "clean_text": b.column("clean_text"),
+        }), batch_format="pyarrow")
+
+
+# Cross-document duplicated-window coverage (the exact-substring dedup
+# signal of Lee et al. 2022) over the near-dup-injected corpus: a doc's
+# 8-token windows that appear in >= 2 distinct docs. The twin docs
+# (doc_id % 7 == 0, "+ extra tail token") share every original window.
+_DUPWIN_SQL = ("WITH docs AS (\n"
+               "  SELECT doc_id, text FROM documents\n"
+               "  UNION ALL\n"
+               "  SELECT doc_id + 1000000, text || ' extra tail token'\n"
+               "  FROM documents WHERE doc_id % 7 = 0\n"
+               "),\n" + r"""
+toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM docs),
+win AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i : i + 7], ' ') AS w
+  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+  WHERE len(t) >= 8
+),
+wd AS (SELECT DISTINCT doc_id, w FROM win),
+dup AS (SELECT w FROM wd GROUP BY w HAVING count(*) >= 2)
+SELECT v.doc_id, count(*) AS n_windows,
+       count(d.w) AS n_dup_windows
+FROM win v LEFT JOIN dup d USING (w)
+GROUP BY v.doc_id ORDER BY v.doc_id
+""")
+
+
+@register("dup_window_stats", sql=_DUPWIN_SQL)
+def dup_window_stats_docs(sf_dir: str):
+    """Duplicated 8-token-window coverage per doc over the injected
+    near-dup corpus — the per-document signal behind exact-substring
+    dedup. Same bucket-keyed count + broadcast-set shape as
+    line_dedup; the duplicated-window set is bounded by REAL
+    cross-doc duplication, not corpus size."""
+    from ..stages.webquality import dup_window_stats
+
+    out = dup_window_stats(_docs_with_near_dups(sf_dir), window=8)
+    return out.map_batches(
+        lambda b: pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "n_windows": pc.cast(b.column("n_windows"), pa.int64()),
+            "n_dup_windows": pc.cast(b.column("n_dup_windows"),
+                                     pa.int64()),
+        }), batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver check order. The correctness driver hash-
 # verifies the FIRST 50 registered queries, so every window slot should
@@ -3246,6 +3363,10 @@ _PAST_WINDOW = [
     # tfidf_top_terms keeps a per-group top-k in-window
     "events_hourly", "top_parts_per_brand", "events_lag_delta",
     "label_centroids",
+    # token counting subsumed by repetition/tfidf/frequent-token
+    # family; per-cell top-k subsumed by geo_zonal + top_parts_per_
+    # brand — freeing slots for line_dedup_docs + dup_window_stats
+    "doc_token_stats", "top_doc_cells",
     # self-checking no-oracle entries
     "video_frame_embeddings", "ann_ivf_top5", "ann_lsh_top5",
     "flagship_zonal", "raster_pages_cell_join",

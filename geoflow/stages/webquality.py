@@ -402,3 +402,238 @@ def pack_sequences(ds, id_col: str = "doc_id", lang_col: str = "lang",
     return (ds.map_batches(_tag, batch_format="pyarrow")
             .groupby([lang_col, "shard"])
             .map_groups(_pack, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide line-level boilerplate dedup (the CCNet / RefinedWeb pass:
+# drop lines that repeat across >= min_df distinct documents — nav bars,
+# cookie banners, footers) and cross-document duplicated-window coverage
+# (the substring-dedup signal of Lee et al., "Deduplicating Training
+# Data Makes Language Models Better": fraction of a doc's token windows
+# that appear verbatim in another document).
+# ---------------------------------------------------------------------------
+
+TOKENS_PER_LINE = 10
+
+# The frequent-line / duplicated-window sets are heavy-hitter-bounded
+# (a line needs >= min_df distinct docs to qualify), so they broadcast.
+# Above this cardinality the membership attach must instead run as a
+# bucketed semi-join on a line hash (the tfidf DF-attach plan) — at
+# sandbox scale the broadcast path is the one the oracle verifies.
+LINESET_BROADCAST_LIMIT = 5_000_000
+
+
+def doc_lines(ids: np.ndarray, texts: list[str],
+              tokens_per_line: int = TOKENS_PER_LINE,
+              boilerplate=None):
+    """Deterministic line decomposition of single-line corpus text:
+    consecutive ``tokens_per_line``-token chunks, 1-based line_no, plus
+    keyed synthetic boilerplate lines (``(mod, rem, line)`` triples
+    appended to every doc with ``doc_id % mod == rem`` — the test
+    corpus has no natural line structure, and the injection is
+    replayed identically in the DuckDB oracle). Returns three parallel
+    lists (doc_id, line_no, line)."""
+    out_ids: list[int] = []
+    out_no: list[int] = []
+    out_line: list[str] = []
+    bp = boilerplate or []
+    for did, text in zip(ids.tolist(), texts):
+        toks = (text or "").split()
+        nb = (len(toks) + tokens_per_line - 1) // tokens_per_line
+        for i in range(1, nb + 1):
+            out_ids.append(did)
+            out_no.append(i)
+            out_line.append(
+                " ".join(toks[(i - 1) * tokens_per_line:
+                              i * tokens_per_line]))
+        for k, (mod, rem, line) in enumerate(bp, start=1):
+            if did % mod == rem:
+                out_ids.append(did)
+                out_no.append(nb + k)
+                out_line.append(line)
+    return out_ids, out_no, out_line
+
+
+def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+               min_df: int = 5, tokens_per_line: int = TOKENS_PER_LINE,
+               boilerplate=None, num_buckets: int = 64):
+    """Remove lines that occur in >= ``min_df`` DISTINCT documents.
+
+    Two streaming passes over the corpus (lines are recomputed from the
+    text in pass 2 — recomputing a deterministic decomposition is
+    cheaper than shuffling exploded line rows corpus-wide):
+
+    1. count: per batch, DISTINCT (doc, line) collapse then an Arrow
+       hash-aggregate partial count per line; ONE groupby keyed
+       ``poly_hash(line) % num_buckets`` (never ``builtins.hash`` —
+       PYTHONHASHSEED-randomized per worker) with a vectorized
+       per-bucket combine that emits ONLY lines at df >= min_df. The
+       shuffle moves one (bucket, line, nd) row per distinct
+       (batch, line); ``num_buckets`` must scale so a bucket group
+       fits a worker (same contract as ``url_dedup``).
+    2. filter: the frequent-line set (heavy-hitter-bounded) broadcasts
+       once via ``ray.put``; each batch rebuilds its lines, drops
+       members (vectorized ``pd.Series.isin``), and re-joins kept
+       lines with chr(10).
+
+    Output: (id, n_lines, n_removed, clean_text) per document that has
+    at least one line."""
+    import ray
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        texts = b.column(text_col).to_pylist()
+        lid, _, lines = doc_lines(ids, texts, tokens_per_line, boilerplate)
+        t = pa.table({"_d": pa.array(lid, pa.int64()),
+                      "line": pa.array(lines, pa.string())})
+        t = t.filter(pc.not_equal(t.column("line"), ""))
+        # distinct (doc, line): one doc lives in one row/batch, so the
+        # batch-local collapse is globally exact
+        dl = pa.TableGroupBy(t, ["_d", "line"]).aggregate([])
+        g = pa.TableGroupBy(dl.select(["line"]), ["line"]).aggregate(
+            [([], "count_all")])
+        bucket = poly_string_hash_vec(g.column("line").to_pylist()) \
+            % num_buckets
+        return pa.table({
+            "bucket": pa.array(bucket, pa.int64()),
+            "line": g.column("line"),
+            "nd": g.column("count_all"),
+        })
+
+    def _combine(g: pd.DataFrame) -> pd.DataFrame:
+        df = (g.groupby("line", sort=False)["nd"].sum().reset_index())
+        df = df[df["nd"] >= min_df]
+        return df[["line", "nd"]]
+
+    freq_ds = (ds.map_batches(_partial, batch_format="pyarrow")
+               .groupby("bucket")
+               .map_groups(_combine, batch_format="pandas"))
+    freq_df = freq_ds.to_pandas()        # heavy-hitter-bounded (df cap)
+    if len(freq_df) > LINESET_BROADCAST_LIMIT:
+        raise NotImplementedError(
+            "frequent-line set exceeds broadcast budget; route the "
+            "membership attach through a bucketed semi-join on the "
+            "line hash (tfidf DF-attach plan)")
+    # an all-empty map_groups output carries no schema -> no columns
+    freq_vals = (freq_df["line"].to_numpy() if "line" in freq_df.columns
+                 else np.array([], dtype=object))
+    freq_ref = ray.put(freq_vals)
+
+    def _filter(b: pa.Table) -> pa.Table:
+        freq = ray.get(freq_ref)
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        texts = b.column(text_col).to_pylist()
+        lid, lno, lines = doc_lines(ids, texts, tokens_per_line,
+                                    boilerplate)
+        df = pd.DataFrame({"_d": np.asarray(lid, dtype=np.int64),
+                           "_no": np.asarray(lno, dtype=np.int64),
+                           "line": lines})
+        if len(df) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_lines": pa.array([], pa.int64()),
+                             "n_removed": pa.array([], pa.int64()),
+                             "clean_text": pa.array([], pa.string())})
+        df["_drop"] = df["line"].isin(freq) & (df["line"] != "")
+        kept = df[~df["_drop"]].sort_values(["_d", "_no"])
+        joined = (kept.groupby("_d", sort=True)["line"]
+                  .agg(lambda s: "\n".join(s)))
+        tot = df.groupby("_d", sort=True).size()
+        rem = df.groupby("_d", sort=True)["_drop"].sum().astype(np.int64)
+        clean = joined.reindex(tot.index, fill_value="")
+        return pa.table({
+            id_col: pa.array(tot.index.to_numpy(), pa.int64()),
+            "n_lines": pa.array(tot.to_numpy(), pa.int64()),
+            "n_removed": pa.array(rem.to_numpy(), pa.int64()),
+            "clean_text": pa.array(clean.to_numpy().tolist(),
+                                   pa.string()),
+        })
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def doc_windows(ids: np.ndarray, texts: list[str], window: int = 8):
+    """All overlapping ``window``-token windows per doc (stride 1,
+    1-based pos); docs with < window tokens emit nothing. Returns
+    parallel lists (doc_id, pos, window_text)."""
+    out_ids: list[int] = []
+    out_pos: list[int] = []
+    out_w: list[str] = []
+    for did, text in zip(ids.tolist(), texts):
+        toks = (text or "").split()
+        for i in range(len(toks) - window + 1):
+            out_ids.append(did)
+            out_pos.append(i + 1)
+            out_w.append(" ".join(toks[i:i + window]))
+    return out_ids, out_pos, out_w
+
+
+def dup_window_stats(ds, id_col: str = "doc_id", text_col: str = "text",
+                     window: int = 8, num_buckets: int = 64):
+    """Per-document duplicated-window coverage: how many of a doc's
+    token windows appear (as a distinct window) in >= 2 documents.
+
+    Same two-pass shape as ``line_dedup``: a bucket-keyed distinct-doc
+    count per window emits only duplicated windows (bounded by actual
+    cross-document duplication, not corpus size), the set broadcasts,
+    and a second pass counts member positions per doc. Output:
+    (id, n_windows, n_dup_windows) for docs with >= window tokens."""
+    import ray
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        texts = b.column(text_col).to_pylist()
+        wid, _, ws = doc_windows(ids, texts, window)
+        t = pa.table({"_d": pa.array(wid, pa.int64()),
+                      "w": pa.array(ws, pa.string())})
+        dw = pa.TableGroupBy(t, ["_d", "w"]).aggregate([])
+        g = pa.TableGroupBy(dw.select(["w"]), ["w"]).aggregate(
+            [([], "count_all")])
+        bucket = poly_string_hash_vec(g.column("w").to_pylist()) \
+            % num_buckets
+        return pa.table({
+            "bucket": pa.array(bucket, pa.int64()),
+            "w": g.column("w"),
+            "nd": g.column("count_all"),
+        })
+
+    def _combine(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby("w", sort=False)["nd"].sum().reset_index()
+        df = df[df["nd"] >= 2]
+        return df[["w", "nd"]]
+
+    dup_ds = (ds.map_batches(_partial, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(_combine, batch_format="pandas"))
+    dup_df = dup_ds.to_pandas()      # bounded by real duplication
+    if len(dup_df) > LINESET_BROADCAST_LIMIT:
+        raise NotImplementedError(
+            "duplicated-window set exceeds broadcast budget; route "
+            "through a bucketed semi-join on the window hash")
+    dup_vals = (dup_df["w"].to_numpy() if "w" in dup_df.columns
+                else np.array([], dtype=object))
+    dup_ref = ray.put(dup_vals)
+
+    def _stats(b: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        texts = b.column(text_col).to_pylist()
+        wid, _, ws = doc_windows(ids, texts, window)
+        if not wid:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "n_windows": pa.array([], pa.int64()),
+                             "n_dup_windows": pa.array([], pa.int64())})
+        df = pd.DataFrame({"_d": np.asarray(wid, dtype=np.int64),
+                           "w": ws})
+        df["_dup"] = df["w"].isin(dup)
+        agg = df.groupby("_d", sort=True).agg(
+            n_windows=("w", "size"), n_dup_windows=("_dup", "sum"))
+        return pa.table({
+            id_col: pa.array(agg.index.to_numpy(), pa.int64()),
+            "n_windows": pa.array(agg["n_windows"].to_numpy(),
+                                  pa.int64()),
+            "n_dup_windows": pa.array(
+                agg["n_dup_windows"].to_numpy().astype(np.int64),
+                pa.int64()),
+        })
+
+    return ds.map_batches(_stats, batch_format="pyarrow")
