@@ -60,3 +60,75 @@ def test_pages_from_documents(sf_small):
     row = ds.take(1)[0]
     assert row["url"].startswith("https://site")
     assert extract_text(row["html"]) == row["text"]
+
+
+# --- scalar vs Arrow-vectorized parity -----------------------------------
+
+def test_vectorized_extractor_parity_generator():
+    import pyarrow as pa
+
+    from geoflow.sources.pages import render_html
+    from geoflow.stages.extract import extract_text, extract_texts_arrow
+
+    htmls = [render_html(i, i * 31 + 7) for i in range(200)]
+    vec = extract_texts_arrow(pa.array(htmls, pa.binary())).to_pylist()
+    assert vec == [extract_text(h) for h in htmls]
+
+
+def test_vectorized_extractor_parity_adversarial():
+    import pyarrow as pa
+
+    from geoflow.stages.extract import extract_text, extract_texts_arrow
+
+    cases = [
+        b"",
+        b"plain text no tags",
+        b"<p>a</p><p>b</p>",
+        b"<script>while(1){if(a<b)x();}</script>after",
+        b"<SCRIPT TYPE='x'>nested <b>tag</b></script >tail",
+        b"<style a>b{c:d}</style\t>x",
+        b"<!-- c1 --><!-- <p>not a para</p> -->y",
+        b"<scripty>not script</scripty>ok",   # tag-name boundary
+        b"<pre>kept as block</pre>",
+        b"<px>inline unknown</px>",
+        b"a &amp; b &lt;c&gt; &#8212; &copy; &nbsp; &unknown; d",
+        b"&#10;entity newline",
+        "unicode    spaces and lines".encode(),
+        b"   \t \n\n  mixed \r\n ws \x0b x \x1c y  \n ",
+        b"<div>a<br>b</div><ul><li>i1</li><li>i2</li></ul>",
+        b"<script>no closer",
+        b"< not a tag",
+        b"<p attr='>'>odd quote</p>",
+        b"\xff\xfe invalid utf8 <p>x</p>",    # decode errors=replace
+        "résumé <p>café</p>".encode(),
+    ]
+    vec = extract_texts_arrow(pa.array(cases, pa.binary())).to_pylist()
+    ref = [extract_text(h) for h in cases]
+    for c, v, r in zip(cases, vec, ref):
+        assert v == r, (c, v, r)
+
+
+def test_vectorized_extractor_parity_property():
+    import pyarrow as pa
+    from hypothesis import given, settings, strategies as st
+
+    from geoflow.stages.extract import extract_text, extract_texts_arrow
+
+    frag = st.sampled_from([
+        "<p>", "</p>", "<div>", "</div>", "<script>", "</script>",
+        "</script >", "<style>", "</style>", "<!--", "-->", "<br>",
+        "<li>", "</li>", "<span>", "</span>", "<x y='z'>", "&amp;",
+        "&lt;", "&#65;", "&#10;", "&nbsp;", "&bogus;", "word", "two w",
+        " ", "\t", "\n", " ", " ", " ", "<", ">", "&",
+        "café", "<scripta>", "</pre>", "<pre>",
+    ])
+    docs = st.lists(st.lists(frag, max_size=30).map("".join), max_size=8)
+
+    @settings(max_examples=150, deadline=None)
+    @given(docs)
+    def run(texts):
+        raw = [t.encode("utf-8") for t in texts]
+        vec = extract_texts_arrow(pa.array(raw, pa.binary())).to_pylist()
+        assert vec == [extract_text(h) for h in raw]
+
+    run()
