@@ -3334,6 +3334,95 @@ def dup_window_stats_docs(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+# Exact-substring dedup REWRITE (not just the signal): every token
+# covered by a cross-doc duplicated 8-token window is removed. The
+# oracle replays coverage as a (window x offset) explode -> distinct
+# covered positions -> anti-join on token rows -> ordered re-join.
+_DEDUPWIN_SQL = ("WITH docs AS (\n"
+                 "  SELECT doc_id, text FROM documents\n"
+                 "  UNION ALL\n"
+                 "  SELECT doc_id + 1000000, text || ' extra tail token'\n"
+                 "  FROM documents WHERE doc_id % 7 = 0\n"
+                 "),\n" + r"""
+toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM docs),
+win AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i : i + 7], ' ') AS w
+  FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+  WHERE len(t) >= 8
+),
+wd AS (SELECT DISTINCT doc_id, w FROM win),
+dup AS (SELECT w FROM wd GROUP BY w HAVING count(*) >= 2),
+cov AS (
+  SELECT DISTINCT v.doc_id, v.pos + k AS tp
+  FROM win v JOIN dup d USING (w), unnest(range(0, 8)) AS u(k)
+),
+tokrows AS (
+  SELECT doc_id, i AS tp, t[i] AS tok
+  FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+)
+SELECT tr.doc_id,
+       count(*) AS n_tokens,
+       count(c.tp) AS n_removed,
+       coalesce(string_agg(CASE WHEN c.tp IS NULL THEN tr.tok END,
+                           ' ' ORDER BY tr.tp), '') AS clean_text
+FROM tokrows tr
+LEFT JOIN cov c ON c.doc_id = tr.doc_id AND c.tp = tr.tp
+GROUP BY tr.doc_id ORDER BY tr.doc_id
+""")
+
+
+@register("dedup_windows_docs", sql=_DEDUPWIN_SQL)
+def dedup_windows_docs(sf_dir: str):
+    """Exact-substring dedup rewrite over the injected near-dup corpus:
+    tokens under any duplicated 8-token window are excised (difference-
+    array coverage per doc), survivors re-joined — hash-matched against
+    the SQL coverage replay including the cleaned text bytes."""
+    from ..stages.webquality import dedup_windows
+
+    out = dedup_windows(_docs_with_near_dups(sf_dir), window=8)
+    return out.map_batches(
+        lambda b: pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "n_tokens": pc.cast(b.column("n_tokens"), pa.int64()),
+            "n_removed": pc.cast(b.column("n_removed"), pa.int64()),
+            "clean_text": b.column("clean_text"),
+        }), batch_format="pyarrow")
+
+
+# Tokenizer-prep: top-k corpus vocabulary (count desc, token asc) and
+# (doc, pos, token_id) encoding; OOV tokens drop out. row_number over
+# the exact global counts replays the engine's deterministic ranking.
+_VOCAB_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+tokrows AS (
+  SELECT doc_id, i AS pos, t[i] AS tok
+  FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+),
+cnt AS (SELECT tok, count(*) AS n FROM tokrows GROUP BY tok),
+vocab AS (
+  SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT)
+           AS token_id
+  FROM cnt ORDER BY n DESC, tok LIMIT 20
+)
+SELECT tr.doc_id, tr.pos, v.token_id
+FROM tokrows tr JOIN vocab v USING (tok)
+ORDER BY tr.doc_id, tr.pos
+"""
+
+
+@register("vocab_encoded_docs", sql=_VOCAB_SQL)
+def vocab_encoded_docs(sf_dir: str):
+    """Top-20 vocabulary build (combiner-pattern exact counts) +
+    searchsorted token-id encoding; OOV dropped. DuckDB replays the
+    (count desc, token asc) ranking and the per-position join."""
+    from ..stages.webquality import build_vocab_encode
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return build_vocab_encode(ds, k=20)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver check order. The correctness driver hash-
 # verifies the FIRST 50 registered queries, so every window slot should
@@ -3367,6 +3456,12 @@ _PAST_WINDOW = [
     # family; per-cell top-k subsumed by geo_zonal + top_parts_per_
     # brand — freeing slots for line_dedup_docs + dup_window_stats
     "doc_token_stats", "top_doc_cells",
+    # the dup-window SIGNAL is strictly contained in the in-window
+    # REWRITE twin (dedup_windows_docs); embedding components reuse
+    # the machinery of in-window embedding_close_pairs +
+    # minhash_dup_clusters — freeing slots for dedup_windows_docs +
+    # vocab_encoded_docs
+    "dup_window_stats", "embedding_dup_clusters",
     # self-checking no-oracle entries
     "video_frame_embeddings", "ann_ivf_top5", "ann_lsh_top5",
     "flagship_zonal", "raster_pages_cell_join",

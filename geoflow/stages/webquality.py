@@ -637,3 +637,146 @@ def dup_window_stats(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return ds.map_batches(_stats, batch_format="pyarrow")
+
+
+def dedup_windows(ds, id_col: str = "doc_id", text_col: str = "text",
+                  window: int = 8, num_buckets: int = 64):
+    """Remove every token covered by a cross-document duplicated window
+    — the actual corpus rewrite behind exact-substring dedup (Lee et
+    al. 2022), not just the per-doc signal.
+
+    Reuses ``dup_window_stats``'s two-pass plan (bucket-keyed
+    distinct-doc window count -> duplicated-set broadcast); the rewrite
+    pass marks covered token positions with a vectorized difference
+    array (range add per duplicated window, cumsum > 0) and re-joins
+    the survivors. Docs shorter than ``window`` tokens pass through
+    untouched. Output: (id, n_tokens, n_removed, clean_text)."""
+    import ray
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        texts = b.column(text_col).to_pylist()
+        wid, _, ws = doc_windows(ids, texts, window)
+        t = pa.table({"_d": pa.array(wid, pa.int64()),
+                      "w": pa.array(ws, pa.string())})
+        dw = pa.TableGroupBy(t, ["_d", "w"]).aggregate([])
+        g = pa.TableGroupBy(dw.select(["w"]), ["w"]).aggregate(
+            [([], "count_all")])
+        bucket = poly_string_hash_vec(g.column("w").to_pylist()) \
+            % num_buckets
+        return pa.table({
+            "bucket": pa.array(bucket, pa.int64()),
+            "w": g.column("w"),
+            "nd": g.column("count_all"),
+        })
+
+    def _combine(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby("w", sort=False)["nd"].sum().reset_index()
+        df = df[df["nd"] >= 2]
+        return df[["w", "nd"]]
+
+    dup_ds = (ds.map_batches(_partial, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(_combine, batch_format="pandas"))
+    dup_df = dup_ds.to_pandas()
+    dup_vals = (dup_df["w"].to_numpy() if "w" in dup_df.columns
+                else np.array([], dtype=object))
+    if len(dup_vals) > LINESET_BROADCAST_LIMIT:
+        raise NotImplementedError(
+            "duplicated-window set exceeds broadcast budget; route "
+            "through a bucketed semi-join on the window hash")
+    dup_ref = ray.put(set(dup_vals.tolist()))
+
+    def _rewrite(b: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        texts = b.column(text_col).to_pylist()
+        out_id, out_nt, out_nr, out_txt = [], [], [], []
+        for did, text in zip(ids.tolist(), texts):
+            toks = (text or "").split()
+            n = len(toks)
+            if n == 0:
+                continue
+            diff = np.zeros(n + 1, dtype=np.int32)
+            for i in range(n - window + 1):
+                if " ".join(toks[i:i + window]) in dup:
+                    diff[i] += 1
+                    diff[i + window] -= 1
+            covered = np.cumsum(diff[:n]) > 0
+            kept = [t for t, c in zip(toks, covered) if not c]
+            out_id.append(did)
+            out_nt.append(n)
+            out_nr.append(int(covered.sum()))
+            out_txt.append(" ".join(kept))
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "n_tokens": pa.array(out_nt, pa.int64()),
+            "n_removed": pa.array(out_nr, pa.int64()),
+            "clean_text": pa.array(out_txt, pa.string()),
+        })
+
+    return ds.map_batches(_rewrite, batch_format="pyarrow")
+
+
+def build_vocab_encode(ds, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 20):
+    """Tokenizer-prep: build the top-``k`` corpus vocabulary (count
+    desc, token asc — deterministic tie-break) and encode every doc as
+    (id, pos, token_id) rows; out-of-vocabulary tokens are dropped.
+
+    Plan: exact global token counts via the combiner pattern (Arrow
+    hash-aggregate partials per batch, ONE vocab-x-batches-row
+    shuffle), top-k selected from the vocabulary-sized count table
+    (vocabularies are tiny relative to any corpus), ids broadcast via
+    ``ray.put`` as parallel sorted arrays, and the encode pass is a
+    vectorized ``searchsorted`` probe per batch. token_id is 1-based
+    rank."""
+    import ray
+
+    from ..functions.agg import grouped_count_sum
+
+    def _tok_partial(b: pa.Table) -> pa.Table:
+        texts = b.column(text_col).to_pylist()
+        flat = [w for t in texts for w in (t or "").split()]
+        t = pa.table({"tok": pa.array(flat, pa.string())})
+        g = pa.TableGroupBy(t, ["tok"]).aggregate([([], "count_all")])
+        return pa.table({"tok": g.column("tok"),
+                         "_n": g.column("count_all")})
+
+    from ray.data.aggregate import Sum
+
+    counts = (ds.map_batches(_tok_partial, batch_format="pyarrow")
+              .groupby("tok")
+              .aggregate(Sum("_n", alias_name="n"))
+              .to_pandas())                 # vocabulary-sized
+    counts = counts.sort_values(["n", "tok"],
+                                ascending=[False, True]).head(k)
+    counts["token_id"] = np.arange(1, len(counts) + 1, dtype=np.int64)
+    order = np.argsort(counts["tok"].to_numpy())
+    vocab_ref = ray.put((counts["tok"].to_numpy()[order],
+                         counts["token_id"].to_numpy()[order]))
+
+    def _encode(b: pa.Table) -> pa.Table:
+        toks_sorted, ids_sorted = ray.get(vocab_ref)
+        dids = b.column(id_col).to_numpy().astype(np.int64)
+        texts = b.column(text_col).to_pylist()
+        per_doc = [(t or "").split() for t in texts]
+        lens = np.fromiter((len(t) for t in per_doc), dtype=np.int64,
+                           count=len(per_doc))
+        if lens.sum() == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "token_id": pa.array([], pa.int64())})
+        flat = np.array([w for t in per_doc for w in t], dtype=object)
+        doc = np.repeat(dids, lens)
+        pos = np.concatenate([np.arange(1, n + 1) for n in lens])
+        idx = np.searchsorted(toks_sorted, flat)
+        idx_c = np.minimum(idx, len(toks_sorted) - 1)
+        hit = toks_sorted[idx_c] == flat
+        return pa.table({
+            id_col: pa.array(doc[hit], pa.int64()),
+            "pos": pa.array(pos[hit], pa.int64()),
+            "token_id": pa.array(ids_sorted[idx_c[hit]], pa.int64()),
+        })
+
+    return ds.map_batches(_encode, batch_format="pyarrow")

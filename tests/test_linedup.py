@@ -6,6 +6,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from geoflow.stages.webquality import (
+    dedup_windows,
     doc_lines,
     doc_windows,
     dup_window_stats,
@@ -117,3 +118,62 @@ def test_dup_window_stats_vs_brute(ray_session):
     assert 3 not in got.index
     assert got.loc[0, "n_dup_windows"] == got.loc[0, "n_windows"]
     assert got.loc[2, "n_dup_windows"] == 0
+
+
+def test_dedup_windows_vs_brute(ray_session):
+    # doc 1 duplicates doc 0's span; doc 2 unrelated; doc 3 shorter
+    # than the window (passes through untouched)
+    texts = [
+        "a b c d e f g h tail0",
+        "zz a b c d e f g h yy",
+        "p q r s t u v w x",
+        "one two three",
+    ]
+    w = 4
+    got = (dedup_windows(_corpus(texts), window=w)
+           .to_pandas().set_index("doc_id").sort_index())
+    ids = np.arange(len(texts), dtype=np.int64)
+    wid, wpos, ws = doc_windows(ids, texts, w)
+    df = {}
+    for d, s in set(zip(wid, ws)):
+        df[s] = df.get(s, 0) + 1
+    exp = {}
+    for d, text in zip(ids.tolist(), texts):
+        toks = text.split()
+        covered = [False] * len(toks)
+        for i in range(len(toks) - w + 1):
+            if df.get(" ".join(toks[i:i + w]), 0) >= 2:
+                for k in range(i, i + w):
+                    covered[k] = True
+        kept = [t for t, c in zip(toks, covered) if not c]
+        exp[d] = (len(toks), sum(covered), " ".join(kept))
+    assert set(got.index) == set(exp)
+    for d, (nt, nr, ct) in exp.items():
+        assert got.loc[d].tolist() == [nt, nr, ct], d
+    # doc 3 untouched; shared span excised from both 0 and 1
+    assert got.loc[3, "n_removed"] == 0
+    assert got.loc[3, "clean_text"] == texts[3]
+    assert got.loc[0, "n_removed"] == 8
+    assert got.loc[0, "clean_text"] == "tail0"
+    assert got.loc[1, "clean_text"] == "zz yy"
+
+
+def test_build_vocab_encode_vs_brute(ray_session):
+    import collections
+
+    from geoflow.stages.webquality import build_vocab_encode
+
+    texts = ["b a a c", "a b d", "e e e c c b", "f"]
+    k = 3
+    got = (build_vocab_encode(_corpus(texts), k=k)
+           .to_pandas().sort_values(["doc_id", "pos"])
+           .reset_index(drop=True))
+    cnt = collections.Counter(w for t in texts for w in t.split())
+    vocab = sorted(cnt, key=lambda t: (-cnt[t], t))[:k]
+    vid = {t: i + 1 for i, t in enumerate(vocab)}
+    exp = [(d, p + 1, vid[w])
+           for d, t in enumerate(texts)
+           for p, w in enumerate(t.split()) if w in vid]
+    assert list(map(tuple, got.to_numpy())) == exp
+    # ranking determinism: ties (a=b=c=e=3) break on token asc
+    assert vocab == ["a", "b", "c"]
