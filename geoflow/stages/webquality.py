@@ -763,7 +763,7 @@ def build_vocab_encode(ds, id_col: str = "doc_id",
         per_doc = [(t or "").split() for t in texts]
         lens = np.fromiter((len(t) for t in per_doc), dtype=np.int64,
                            count=len(per_doc))
-        if lens.sum() == 0:
+        if lens.sum() == 0 or len(toks_sorted) == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "pos": pa.array([], pa.int64()),
                              "token_id": pa.array([], pa.int64())})
