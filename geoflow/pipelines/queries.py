@@ -3423,6 +3423,87 @@ def vocab_encoded_docs(sf_dir: str):
     return build_vocab_encode(ds, k=20)
 
 
+# Training-mixture target for documents: en is ~3x over-represented in
+# the corpus; the rebalance downsamples every language to the largest
+# total hitting 40/15/15/15/15 (integer weights, W = 100).
+_MIX_TARGET = {"en": 40, "zh": 15, "es": 15, "de": 15, "fr": 15}
+
+
+@register("mixture_rebalanced_counts", sql=r"""
+WITH tgt(lang, w) AS (
+  VALUES ('en', 40), ('zh', 15), ('es', 15), ('de', 15), ('fr', 15)
+),
+cnt AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+),
+j AS (
+  SELECT c.lang, c.n, t.w FROM cnt c JOIN tgt t ON c.lang = t.lang
+  WHERE t.w > 0 AND c.n > 0
+),
+tt AS (
+  SELECT min((CAST(n AS HUGEINT) * 100) // w) AS t_total FROM j
+),
+th AS (
+  SELECT lang, n,
+         CAST((CAST(w AS HUGEINT) * t_total * 1000000)
+              // (CAST(100 AS HUGEINT) * n) AS BIGINT) AS thresh
+  FROM j, tt
+),
+h AS (
+  SELECT d.lang,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(
+          'https://site' || (d.doc_id % 999) || '.example/s'
+            || ((d.doc_id // 999) % 37) || '/page' || d.doc_id, ''),
+          c -> CAST(unicode(c) AS BIGINT))),
+        (a, c) -> (a * 31 + c) % 2147483647) % 1000000 AS pm
+  FROM documents d
+),
+acc AS (
+  SELECT h.lang,
+         CAST(count(*) FILTER (WHERE h.pm < th.thresh) AS BIGINT) AS n_after
+  FROM h JOIN th ON h.lang = th.lang GROUP BY 1
+)
+SELECT th.lang, th.n AS n_before, th.thresh AS thresh, acc.n_after
+FROM th JOIN acc ON th.lang = acc.lang
+ORDER BY th.lang
+""")
+def mixture_rebalanced_counts(sf_dir: str):
+    """Mixture rebalancing (the data-mixing step before training):
+    deterministically downsample each language so the surviving corpus
+    hits a 40/15/15/15/15 en/zh/es/de/fr target, keeping as many
+    documents as the observed counts allow. Acceptance is a pure
+    integer function of (url hash, lang, global counts) — curation.
+    mixture_rebalance — so the oracle replays the count pass, the
+    HUGEINT threshold derivation, the char-fold url hash, and the
+    filter bit-for-bit. Output: per-lang before/threshold/after."""
+    from ..sources.pages import page_url
+    from ..stages.curation import group_counts, mixture_rebalance
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def _url(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        return b.append_column("url", pa.array(
+            [page_url(int(i)) for i in ids.tolist()], pa.string()))
+
+    keyed = ds.map_batches(_url, batch_format="pyarrow")
+    accepted, counts, th = mixture_rebalance(
+        keyed, _MIX_TARGET, key_col="url", group_col="lang")
+    after = group_counts(accepted, "lang")
+
+    def _attach(b: pa.Table) -> pa.Table:
+        langs = b.column("lang").to_pylist()
+        return pa.table({
+            "lang": b.column("lang"),
+            "n_before": pa.array([counts[g] for g in langs], pa.int64()),
+            "thresh": pa.array([th[g] for g in langs], pa.int64()),
+            "n_after": pc.cast(b.column("n"), pa.int64()),
+        })
+
+    return after.map_batches(_attach, batch_format="pyarrow").sort("lang")
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver check order. The correctness driver hash-
 # verifies the FIRST 50 registered queries, so every window slot should
@@ -3462,6 +3543,11 @@ _PAST_WINDOW = [
     # minhash_dup_clusters — freeing slots for dedup_windows_docs +
     # vocab_encoded_docs
     "dup_window_stats", "embedding_dup_clusters",
+    # zonal salting is proven invisible by the SAME oracle shape as the
+    # in-window split-cell twin (zonal_split_docs) over the in-window
+    # base query (geo_zonal_docs) — freeing a slot for
+    # mixture_rebalanced_counts
+    "zonal_salted_docs",
     # self-checking no-oracle entries
     "video_frame_embeddings", "ann_ivf_top5", "ann_lsh_top5",
     "flagship_zonal", "raster_pages_cell_join",

@@ -1,5 +1,5 @@
 """Training-data curation operators: TF-IDF term scoring, benchmark
-decontamination, PII scrubbing.
+decontamination, PII scrubbing, mixture rebalancing.
 
 These extend the LLM-pipeline family (dedup / quality / langid /
 fingerprints in geoflow.stages.dedup and .textstats) with the other
@@ -21,6 +21,14 @@ three curation passes a web-scale corpus build runs before training:
   regexes chosen to behave identically in Python ``re`` and DuckDB's
   RE2 (character-class bodies only, no backtracking constructs), so
   the scrub is SQL-replayable.
+- ``mixture_rebalance``: deterministic per-group downsampling to an
+  integer target mixture (the data-mixing step before training): one
+  combiner-pattern counting pass derives per-group acceptance
+  thresholds on the driver (group-cardinality-sized, never row-sized),
+  then the corpus streams once through a hash-acceptance filter. The
+  acceptance rule is a pure integer function of (key, group, global
+  counts) — any partitioning, any cluster size, any re-run keeps the
+  same documents, and DuckDB replays the whole chain exactly.
 
 No reference counterpart (the reference is a raster-correction plugin);
 these follow the task brief's training-data operator list.
@@ -33,6 +41,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .dedup import _mix_cols
 
@@ -248,3 +257,96 @@ def pii_scrub_batch(batch: pa.Table, id_col: str = "doc_id",
                         count=len(out_t)), pa.int64()),
         "scrubbed_text": pa.array(out_t, pa.string()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Mixture rebalancing (deterministic downsampling to a target mixture)
+# ---------------------------------------------------------------------------
+
+# Acceptance-hash resolution: thresholds are permillion of the key-hash
+# space, matching the permille convention of webquality.split_assign_batch
+# at 1000x finer grain so small rates stay representable.
+MIX_DENOM = 1_000_000
+
+
+def mixture_thresholds(counts: dict[str, int], target: dict[str, int],
+                       denom: int = MIX_DENOM) -> dict[str, int]:
+    """Integer-exact per-group acceptance thresholds that downsample a
+    corpus with group counts ``counts`` to the largest total size whose
+    expected mixture matches integer ``target`` weights.
+
+    With W = sum of target weights, the largest total T satisfying
+    (w_g / W) * T <= n_g for every targeted present group is
+    T = min_g (n_g * W) // w_g; the group's acceptance threshold is
+    thresh_g = (w_g * T * denom) // (W * n_g), i.e. accept a row iff
+    hash(key) % denom < thresh_g. All arithmetic is Python bigint
+    (no overflow at any corpus size); the DuckDB oracle replays it in
+    HUGEINT. Groups absent from ``target`` (or with zero weight or zero
+    count) get no threshold and drop entirely.
+    """
+    W = sum(target.values())
+    present = {g: n for g, n in counts.items()
+               if target.get(g, 0) > 0 and n > 0}
+    if not present or W <= 0:
+        return {}
+    T = min((n * W) // target[g] for g, n in present.items())
+    return {g: (target[g] * T * denom) // (W * n)
+            for g, n in present.items()}
+
+
+def group_counts(ds, group_col: str):
+    """Per-group row counts: per-batch Arrow hash-aggregate partials ->
+    ONE group-cardinality-sized groupby (combiner pattern — the shuffle
+    moves one row per distinct (batch, group), never corpus-sized)."""
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select([group_col]), [group_col]) \
+            .aggregate([([], "count_all")])
+        return pa.table({group_col: g.column(group_col),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    return (ds.map_batches(_partial, batch_format="pyarrow")
+            .groupby(group_col).aggregate(Sum("n", alias_name="n")))
+
+
+def mixture_rebalance(ds, target: dict[str, int], key_col: str,
+                      group_col: str = "lang", denom: int = MIX_DENOM):
+    """Deterministically downsample ``ds`` so surviving rows match the
+    integer ``target`` mixture over ``group_col`` as closely as the
+    observed counts allow, without dropping more than necessary.
+
+    Two streaming passes: (1) group counts via the combiner pattern —
+    the driver holds only the group-cardinality-sized count table and
+    the derived thresholds (broadcast once via ``ray.put``); (2) a
+    stateless filter accepting a row iff
+    ``poly_string_hash(key) % denom < thresh[group]``. Deterministic in
+    (key, group, global counts) alone — identical output on any
+    cluster size, partitioning, or re-run — and exactly replayable in
+    SQL (the char-fold hash via list_reduce, the thresholds in HUGEINT).
+
+    ``key_col`` should be a url-length key: the char-fold hash needs a
+    handful of folds to mix, so 1-3 char keys cluster in the low hash
+    range (same convention as ``webquality.split_assign_batch``).
+
+    Returns ``(filtered_ds, counts, thresholds)``.
+    """
+    import ray
+
+    from .webquality import poly_string_hash_vec
+
+    cnt = group_counts(ds, group_col).to_pandas()  # group-cardinality-sized
+    counts = dict(zip(cnt[group_col], cnt["n"].astype(int)))
+    th = mixture_thresholds(counts, target, denom)
+    ref = ray.put(th)
+
+    def _accept(b: pa.Table) -> pa.Table:
+        t = ray.get(ref)
+        keys = pc.cast(b.column(key_col), pa.string()).to_pylist()
+        pm = poly_string_hash_vec([k or "" for k in keys]) % denom
+        thr = np.fromiter((t.get(g, -1) for g in
+                           b.column(group_col).to_pylist()),
+                          dtype=np.int64, count=len(keys))
+        return b.filter(pa.array(pm < thr))
+
+    return ds.map_batches(_accept, batch_format="pyarrow"), counts, th

@@ -126,3 +126,66 @@ def test_decontaminate_matches_bruteforce(ray_session):
         ds.filter(lambda r: r["doc_id"] != 0), shingles, k=5).to_pandas()
     got = dict(zip(flagged["doc_id"], flagged["n_contaminated"]))
     assert got == {1: 1, 3: 2}
+
+
+def test_mixture_thresholds_exact_math():
+    # counts 218/75: target 40/15 (W=55). T = min(218*55//40, 75*55//15)
+    # = min(299, 275) = 275; thresh = w*T*denom // (W*n).
+    counts = {"en": 218, "zh": 75, "xx": 9}
+    target = {"en": 40, "zh": 15}
+    th = curation.mixture_thresholds(counts, target, denom=1_000_000)
+    assert set(th) == {"en", "zh"}  # untargeted lang drops
+    assert th["en"] == 40 * 275 * 1_000_000 // (55 * 218)
+    assert th["zh"] == 15 * 275 * 1_000_000 // (55 * 75)
+    # the limiting group accepts (nearly) everything
+    assert th["zh"] == 1_000_000
+    # zero-weight / zero-count / empty edge cases
+    assert curation.mixture_thresholds({"en": 5}, {"en": 0}) == {}
+    assert curation.mixture_thresholds({}, {"en": 1}) == {}
+    assert curation.mixture_thresholds({"en": 0}, {"en": 1}) == {}
+    # bigint safety: web-scale counts never overflow (Python ints)
+    big = curation.mixture_thresholds(
+        {"en": 3 * 10 ** 11, "zh": 10 ** 11}, {"en": 40, "zh": 15})
+    # binding group keeps (nearly) everything — floor of T can shave
+    # one permillion when n*W is not divisible by w
+    assert big["zh"] >= 999_999 and 0 < big["en"] < 1_000_000
+
+
+def test_mixture_rebalance_deterministic_and_on_target(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    langs = np.array(["en", "zh", "es"])[
+        rng.choice(3, size=3000, p=[0.7, 0.2, 0.1])]
+    # realistic url-shaped keys: the char-fold hash needs a few folds
+    # to mix (very short keys stay in the low hash range) — same reason
+    # split_assign_batch keys on urls
+    from geoflow.sources.pages import page_url
+    df = pd.DataFrame({"key": [page_url(i * 37) for i in range(3000)],
+                       "lang": langs})
+    target = {"en": 50, "zh": 30, "es": 20}
+
+    out1, counts, th = curation.mixture_rebalance(
+        rd.from_pandas(df), target, key_col="key", group_col="lang")
+    got1 = out1.to_pandas().sort_values("key").reset_index(drop=True)
+    # determinism under a different partitioning
+    out2, _, _ = curation.mixture_rebalance(
+        rd.from_pandas(df).repartition(13), target,
+        key_col="key", group_col="lang")
+    got2 = out2.to_pandas().sort_values("key").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got1, got2)
+
+    # local replay of the acceptance rule == distributed result
+    from geoflow.stages.webquality import poly_string_hash_vec
+    pm = poly_string_hash_vec(df["key"].tolist()) % curation.MIX_DENOM
+    thr = np.array([th[g] for g in df["lang"]])
+    assert set(got1["key"]) == set(df["key"][pm < thr])
+
+    # achieved mixture is within sampling noise of the target
+    after = got1["lang"].value_counts()
+    total = after.sum()
+    for g, w in target.items():
+        assert abs(after[g] / total - w / 100) < 0.03
+    # the binding group is kept (nearly) whole
+    binding = max(th, key=th.get)
+    assert th[binding] >= curation.MIX_DENOM - 1
