@@ -3504,6 +3504,62 @@ def mixture_rebalanced_counts(sf_dir: str):
     return after.map_batches(_attach, batch_format="pyarrow").sort("lang")
 
 
+def _bpe_sql(num_merges: int = 10, passes: int = 8) -> str:
+    """DuckDB replay of BPE merge learning (stages/bpe.py): the word-
+    frequency pass, then per round the position-expanded pair count,
+    the (count desc, pair asc) selection, and the replace-to-fixpoint
+    merge application as ``passes`` chained ``replace`` calls (enough
+    for words truncated to 2*passes symbols, which both sides do).
+    Every CTE is MATERIALIZED — DuckDB otherwise inlines the chain and
+    the t{r} self-references expand exponentially."""
+    parts = [r"""WITH w AS MATERIALIZED (
+  SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
+),
+t0 AS MATERIALIZED (
+  SELECT ' ' || array_to_string(string_split(substr(w, 1, 16), ''), ' ')
+             || ' ' AS s,
+         CAST(count(*) AS BIGINT) AS f
+  FROM w GROUP BY 1
+)"""]
+    for r in range(1, num_merges + 1):
+        rep = "s"
+        for _ in range(passes):
+            rep = ("replace({x}, (SELECT ' ' || pr || ' ' FROM b{r}), "
+                   "(SELECT ' ' || replace(pr, ' ', '') || ' ' FROM b{r}))"
+                   ).format(x=rep, r=r)
+        parts.append("""
+p{r} AS MATERIALIZED (
+  SELECT t[i] || ' ' || t[i + 1] AS pr, CAST(sum(f) AS BIGINT) AS n
+  FROM (SELECT string_split(trim(s), ' ') AS t, f FROM t{prev}) q,
+       unnest(generate_series(1, len(t) - 1)) AS u(i)
+  GROUP BY 1
+),
+b{r} AS MATERIALIZED (SELECT pr, n FROM p{r} ORDER BY n DESC, pr LIMIT 1),
+t{r} AS MATERIALIZED (SELECT {rep} AS s, f FROM t{prev})""".format(
+            r=r, prev=r - 1, rep=rep))
+    sel = "\nUNION ALL\n".join(
+        "SELECT CAST({r} AS BIGINT) AS merge_rank, pr AS pair, n FROM b{r}"
+        .format(r=r) for r in range(1, num_merges + 1))
+    return ",".join(parts) + "\n" + sel + "\nORDER BY merge_rank"
+
+
+@register("bpe_merges", sql=_bpe_sql())
+def bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) over
+    the document corpus: one combiner-pattern word-frequency pass
+    (corpus touched exactly once), then 10 merge rounds over the
+    vocab-sized word-TYPE table with (count desc, pair asc) selection.
+    The DuckDB oracle replays the entire training chain — frequency
+    pass, per-round pair statistics, tie-break, and left-to-right
+    merge application — bit-for-bit (see stages/bpe.py for why the
+    replace-to-fixpoint form equals BPE's canonical greedy scan).
+    Output: the learned merge table (merge_rank, pair, n)."""
+    from ..stages.bpe import train_bpe
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return train_bpe(ds, num_merges=10)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver check order. The correctness driver hash-
 # verifies the FIRST 50 registered queries, so every window slot should
@@ -3548,6 +3604,11 @@ _PAST_WINDOW = [
     # base query (geo_zonal_docs) — freeing a slot for
     # mixture_rebalanced_counts
     "zonal_salted_docs",
+    # top-k vocab build + searchsorted encode is strictly weaker
+    # vocabulary learning than the in-window BPE training oracle
+    # (bpe_merges replays 10 full merge rounds); still validated
+    # locally — freeing a slot for bpe_merges
+    "vocab_encoded_docs",
     # self-checking no-oracle entries
     "video_frame_embeddings", "ann_ivf_top5", "ann_lsh_top5",
     "flagship_zonal", "raster_pages_cell_join",
