@@ -3504,14 +3504,18 @@ def mixture_rebalanced_counts(sf_dir: str):
     return after.map_batches(_attach, batch_format="pyarrow").sort("lang")
 
 
-def _bpe_sql(num_merges: int = 10, passes: int = 8) -> str:
+def _bpe_sql(num_merges: int = 10, passes: int = 8,
+             encode_filter: str | None = None) -> str:
     """DuckDB replay of BPE merge learning (stages/bpe.py): the word-
     frequency pass, then per round the position-expanded pair count,
     the (count desc, pair asc) selection, and the replace-to-fixpoint
     merge application as ``passes`` chained ``replace`` calls (enough
     for words truncated to 2*passes symbols, which both sides do).
     Every CTE is MATERIALIZED — DuckDB otherwise inlines the chain and
-    the t{r} self-references expand exponentially."""
+    the t{r} self-references expand exponentially. With
+    ``encode_filter`` (a WHERE predicate over documents) the query
+    instead emits the ENCODE result: (doc_id, pos, piece) subword rows
+    for the filtered docs under the learned merges."""
     parts = [r"""WITH w AS MATERIALIZED (
   SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM documents
 ),
@@ -3537,10 +3541,38 @@ p{r} AS MATERIALIZED (
 b{r} AS MATERIALIZED (SELECT pr, n FROM p{r} ORDER BY n DESC, pr LIMIT 1),
 t{r} AS MATERIALIZED (SELECT {rep} AS s, f FROM t{prev})""".format(
             r=r, prev=r - 1, rep=rep))
-    sel = "\nUNION ALL\n".join(
-        "SELECT CAST({r} AS BIGINT) AS merge_rank, pr AS pair, n FROM b{r}"
-        .format(r=r) for r in range(1, num_merges + 1))
-    return ",".join(parts) + "\n" + sel + "\nORDER BY merge_rank"
+    if encode_filter is None:
+        sel = "\nUNION ALL\n".join(
+            "SELECT CAST({r} AS BIGINT) AS merge_rank, pr AS pair, n "
+            "FROM b{r}".format(r=r) for r in range(1, num_merges + 1))
+        return ",".join(parts) + "\n" + sel + "\nORDER BY merge_rank"
+    # encode mode: t{R} maps every (truncated) word to its final
+    # segmentation — the word itself is the symbols re-joined. Doc
+    # words join that map; the doc-wide 1-based subword position is a
+    # running sum of per-word piece counts, computed BEFORE the piece
+    # explode so the window frame counts words, not pieces.
+    parts.append(r"""
+seg AS MATERIALIZED (
+  SELECT replace(trim(s), ' ', '') AS w, string_split(trim(s), ' ') AS ps
+  FROM t{R}
+),
+docw AS (
+  SELECT doc_id, wi, substr(t[wi], 1, 16) AS w
+  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS t
+        FROM documents WHERE {flt}) d,
+       unnest(generate_series(1, len(t))) AS u(wi)
+),
+wpos AS (
+  SELECT doc_id, wi, ps,
+         COALESCE(sum(CAST(len(ps) AS BIGINT)) OVER (
+             PARTITION BY doc_id ORDER BY wi
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM docw JOIN seg USING (w)
+)""".format(R=num_merges, flt=encode_filter))
+    return ",".join(parts) + """
+SELECT doc_id, CAST(off + pi AS BIGINT) AS pos, ps[pi] AS piece
+FROM wpos, unnest(generate_series(1, len(ps))) AS u(pi)
+ORDER BY doc_id, pos"""
 
 
 @register("bpe_merges", sql=_bpe_sql())
@@ -3558,6 +3590,27 @@ def bpe_merges(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["text"])
     return train_bpe(ds, num_merges=10)
+
+
+@register("bpe_encoded_docs", sql=_bpe_sql(encode_filter="doc_id % 25 = 0"))
+def bpe_encoded_docs(sf_dir: str):
+    """BPE ENCODE stage under corpus-trained merges: every 25th doc is
+    segmented into (doc_id, pos, piece) subword rows by the memoised
+    actor-pool encoder (merge list broadcast once via ray.put). The
+    oracle re-derives the merges with the same chained-CTE replay as
+    bpe_merges, reads each word's final segmentation off the last
+    round's type table, and rebuilds doc-wide positions with a
+    word-level running sum — hash-matching proves training AND
+    inference agree end to end."""
+    from ..stages.bpe import encode_bpe, train_bpe
+
+    full = _read(sf_dir, "documents", ["text"])
+    merges = train_bpe(full, num_merges=10).column("pair").to_pylist()
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: b.filter(pa.array(
+            b.column("doc_id").to_numpy() % 25 == 0)),
+        batch_format="pyarrow")
+    return encode_bpe(docs, merges)
 
 
 # ---------------------------------------------------------------------------
@@ -3609,6 +3662,10 @@ _PAST_WINDOW = [
     # (bpe_merges replays 10 full merge rounds); still validated
     # locally — freeing a slot for bpe_merges
     "vocab_encoded_docs",
+    # exact-hash image dup groups are subsumed by the in-window
+    # near-dup query (same pixel-exact aHash replay + Hamming LSH on
+    # top) — freeing a slot for bpe_encoded_docs
+    "image_ahash_dup_groups",
     # self-checking no-oracle entries
     "video_frame_embeddings", "ann_ivf_top5", "ann_lsh_top5",
     "flagship_zonal", "raster_pages_cell_join",
