@@ -3592,6 +3592,97 @@ def bpe_merges(sf_dir: str):
     return train_bpe(ds, num_merges=10)
 
 
+_NEAR_INGEST_SQL = r"""
+WITH delta AS (
+  SELECT doc_id + 1000000 AS did, text || ' extra tail token' AS text
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, 'novel ' || doc_id || ' token'
+  FROM documents WHERE doc_id % 7 = 1
+),
+tok_o AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+          FROM documents),
+tok_n AS (SELECT did, regexp_extract_all(text, '\S+') AS toks FROM delta),
+shd_o AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, unnest(CASE WHEN len(toks) < 3
+         THEN CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE [array_to_string(toks, ' ')] END
+         ELSE list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         END) AS s
+    FROM tok_o)
+),
+shd_n AS (
+  SELECT DISTINCT did, s FROM (
+    SELECT did, unnest(CASE WHEN len(toks) < 3
+         THEN CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                   ELSE [array_to_string(toks, ' ')] END
+         ELSE list_transform(range(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         END) AS s
+    FROM tok_n)
+),
+cnt_o AS (SELECT doc_id, count(*) AS n FROM shd_o GROUP BY 1),
+cnt_n AS (SELECT did, count(*) AS n FROM shd_n GROUP BY 1),
+inter AS (
+  SELECT n.did, o.doc_id AS oid, count(*) AS i
+  FROM shd_n n JOIN shd_o o ON n.s = o.s GROUP BY 1, 2
+),
+dropped AS (
+  SELECT DISTINCT inter.did
+  FROM inter JOIN cnt_n ON cnt_n.did = inter.did
+             JOIN cnt_o ON cnt_o.doc_id = inter.oid
+  WHERE i * 1.0 / (cnt_n.n + cnt_o.n - i) >= 0.5
+)
+SELECT did AS doc_id FROM delta
+WHERE did NOT IN (SELECT did FROM dropped)
+ORDER BY doc_id
+"""
+
+
+@register("near_ingest_docs", sql=_NEAR_INGEST_SQL)
+def near_ingest_docs(sf_dir: str):
+    """Cross-run NEAR-dup novelty (state.near_ingest): the corpus is
+    committed as run one into a fresh persisted LSH band + shingle
+    index; a delta run (tail-appended near-dups of every 7th doc plus
+    genuinely novel docs) then ingests against the index — each bucket
+    task reads only its committed partition, verification is exact
+    shingle-set Jaccard on band collisions. Output: the delta doc_ids
+    that survive. The oracle replays the decision with brute-force
+    string-shingle Jaccard over all cross-run pairs — hash equality
+    proves LSH candidate recall AND the hashed-shingle verification
+    agree with the exact definition end to end."""
+    import tempfile
+
+    from ..state.near_ingest import incremental_near_ingest
+
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _delta(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        texts = b.column("text").to_pylist()
+        out_i, out_t = [], []
+        for i, t in zip(ids, texts):
+            if i % 7 == 0:
+                out_i.append(int(i) + 1000000)
+                out_t.append((t or "") + " extra tail token")
+            elif i % 7 == 1:
+                out_i.append(int(i) + 2000000)
+                out_t.append(f"novel {i} token")
+        return pa.table({"doc_id": pa.array(out_i, pa.int64()),
+                         "text": pa.array(out_t, pa.string())})
+
+    delta = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        _delta, batch_format="pyarrow")
+    wd = tempfile.mkdtemp(prefix="nearidx_", dir="/tmp")
+    incremental_near_ingest(base, wd, "base").materialize()
+    novel = incremental_near_ingest(delta, wd, "delta")
+    return novel.map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow").sort(
+        "doc_id")
+
+
 @register("bpe_encoded_docs", sql=_bpe_sql(encode_filter="doc_id % 25 = 0"))
 def bpe_encoded_docs(sf_dir: str):
     """BPE ENCODE stage under corpus-trained merges: every 25th doc is
@@ -3666,6 +3757,11 @@ _PAST_WINDOW = [
     # near-dup query (same pixel-exact aHash replay + Hamming LSH on
     # top) — freeing a slot for bpe_encoded_docs
     "image_ahash_dup_groups",
+    # per-lang Bernoulli sampling is covered by the in-window
+    # mixture-rebalance oracle (per-group deterministic downsampling
+    # with integer thresholds) + hash-split counts — freeing a slot
+    # for near_ingest_docs
+    "stratified_sample_docs",
     # self-checking no-oracle entries
     "video_frame_embeddings", "ann_ivf_top5", "ann_lsh_top5",
     "flagship_zonal", "raster_pages_cell_join",
