@@ -3704,6 +3704,61 @@ def bpe_encoded_docs(sf_dir: str):
     return encode_bpe(docs, merges)
 
 
+@register("bloom_semi_revenue", sql="""
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_totalprice > 300000)
+GROUP BY 1 ORDER BY 1
+""")
+def bloom_semi_revenue(sf_dir: str):
+    """Bloom-prefiltered EXACT semi-join (functions/bloom.py): lineitem
+    keeps only rows whose order cleared a price bar — the filter keys
+    broadcast as a ~1.2-byte/key bitmap, the surviving sliver is
+    confirmed in one bucketed shuffle, and false positives cannot
+    escape, so the DuckDB IN-subquery replay hash-matches exactly.
+    Revenue is aggregated in exact integer 1e-4 units (2-dp price x
+    2-dp discount is a 4-decimal number — no float-tie risk)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.bloom import bloom_semi_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        filter=pads.field("o_totalprice") > pa.scalar(300000.0),
+        columns=["o_orderkey", "o_totalprice"]).map_batches(
+        lambda b: b.select(["o_orderkey"]), batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"])
+    kept, _stats = bloom_semi_join(li, "l_orderkey", orders,
+                                   "o_orderkey", fpr=0.01)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        e4 = np.round(
+            b.column("l_extendedprice").to_numpy()
+            * (1.0 - b.column("l_discount").to_numpy())
+            * 10000.0).astype(np.int64)
+        t = pa.table({"l_returnflag": b.column("l_returnflag"),
+                      "_n": pa.array(np.ones(len(b), np.int64)),
+                      "_c": pa.array(e4)})
+        g = pa.TableGroupBy(t, ["l_returnflag"]).aggregate(
+            [("_n", "sum"), ("_c", "sum")])
+        return pa.table({"l_returnflag": g.column("l_returnflag"),
+                         "_n": g.column("_n_sum"),
+                         "_c": g.column("_c_sum")})
+
+    out = (kept.map_batches(_partial, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(Sum("_n", alias_name="n"),
+                      Sum("_c", alias_name="revenue_e4")))
+    return out.sort("l_returnflag")
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver check order. The correctness driver hash-
 # verifies the FIRST 50 registered queries, so every window slot should
