@@ -3759,6 +3759,56 @@ def bloom_semi_revenue(sf_dir: str):
     return out.sort("l_returnflag")
 
 
+@register("pruned_events_scan", sql="""
+WITH b AS (SELECT (max(user_id) + 1) // 5 AS lo,
+                  (2 * (max(user_id) + 1)) // 5 - 1 AS hi FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM events, b WHERE user_id BETWEEN b.lo AND b.hi
+GROUP BY 1 ORDER BY 1
+""")
+def pruned_events_scan(sf_dir: str):
+    """Clustered layout + zone-map pruning (state/layout.py): events
+    are range-partitioned by user_id into per-bucket parquet files
+    with a min/max manifest; a range scan then opens ONLY the
+    overlapping files (asserted in-query) and applies the residual
+    filter in-stream. The oracle runs the same range over the
+    ORIGINAL table — hash equality proves the layout round-trip and
+    the pruning are invisible to results. The queried range is the
+    second quintile of the user span, derived identically on both
+    sides in integer arithmetic."""
+    import tempfile
+
+    from ray.data.aggregate import Max, Sum
+
+    from ..state.layout import read_pruned, write_clustered
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    span = int(ev.aggregate(Max("user_id"))["max(user_id)"]) + 1
+    lo, hi = span // 5, (2 * span) // 5 - 1
+    out = tempfile.mkdtemp(prefix="layout_", dir="/tmp")
+    write_clustered(ev, "user_id", out, num_partitions=16)
+    ds, stats = read_pruned(out, lo, hi)
+    assert ds is not None and stats["files_read"] < stats["files_total"], \
+        f"zone maps failed to prune: {stats}"
+
+    def _partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": b.column("event_type"),
+                      "_n": pa.array(np.ones(len(b), np.int64)),
+                      "_s": pc.cast(b.column("event_id"), pa.int64())})
+        g = pa.TableGroupBy(t, ["event_type"]).aggregate(
+            [("_n", "sum"), ("_s", "sum")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "_n": g.column("_n_sum"),
+                         "_s": g.column("_s_sum")})
+
+    return (ds.map_batches(_partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("_n", alias_name="n"),
+                       Sum("_s", alias_name="id_sum"))
+            .sort("event_type"))
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver check order. The correctness driver hash-
 # verifies the FIRST 50 registered queries, so every window slot should
