@@ -3809,6 +3809,43 @@ def pruned_events_scan(sf_dir: str):
             .sort("event_type"))
 
 
+@register("epoch_shuffled_docs", sql="""
+WITH k AS (
+  SELECT e.epoch, doc_id,
+         ((doc_id * 1103515245 + 12345 + e.epoch * 40503) % 2147483647
+          * 48271) % 2147483647 AS shuffle_rank
+  FROM documents, (VALUES (1), (2), (3)) e(epoch)
+),
+r AS (
+  SELECT epoch, doc_id, shuffle_rank,
+         row_number() OVER (PARTITION BY epoch
+                            ORDER BY shuffle_rank, doc_id) AS pos
+  FROM k
+)
+SELECT CAST(epoch AS BIGINT) AS epoch, CAST(pos AS BIGINT) AS pos,
+       doc_id, CAST(shuffle_rank AS BIGINT) AS shuffle_rank
+FROM r WHERE pos <= 10 ORDER BY epoch, pos
+""")
+def epoch_shuffled_docs(sf_dir: str):
+    """Deterministic per-epoch global shuffle (curation.epoch_shuffle):
+    three epochs' permutations of the corpus, checked by their first
+    10 positions each — including the explicit position column, so the
+    ORDER of the permutation (not just its membership) is what the
+    oracle hash-matches. The rank is a pure int64 function of
+    (doc_id, epoch), replayed verbatim in SQL."""
+    from ..stages.curation import epoch_shuffle
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    outs = []
+    for epoch in (1, 2, 3):
+        head = epoch_shuffle(ds, epoch).limit(10).to_pandas()
+        head.insert(0, "pos", np.arange(1, len(head) + 1, dtype=np.int64))
+        head.insert(0, "epoch", np.int64(epoch))
+        outs.append(head)
+    out = pd.concat(outs, ignore_index=True)
+    return out[["epoch", "pos", "doc_id", "shuffle_rank"]]
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver check order. The correctness driver hash-
 # verifies the FIRST 50 registered queries, so every window slot should

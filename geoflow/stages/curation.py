@@ -350,3 +350,36 @@ def mixture_rebalance(ds, target: dict[str, int], key_col: str,
         return b.filter(pa.array(pm < thr))
 
     return ds.map_batches(_accept, batch_format="pyarrow"), counts, th
+
+
+# ---------------------------------------------------------------------------
+# Epoch shuffle: deterministic per-epoch global permutation
+# ---------------------------------------------------------------------------
+
+_SHUF_P = 2147483647          # 2^31 - 1 (Lehmer modulus)
+
+
+def epoch_shuffle_key(ids: np.ndarray, epoch: int) -> np.ndarray:
+    """Deterministic pseudo-random rank for (doc, epoch): an LCG fold
+    followed by a Lehmer step, all inside int64 (max intermediate
+    ~1e14), so DuckDB replays it verbatim in BIGINT arithmetic."""
+    h = (ids.astype(np.int64) * 1103515245 + 12345
+         + np.int64(epoch) * 40503) % _SHUF_P
+    return (h * 48271) % _SHUF_P
+
+
+def epoch_shuffle(ds, epoch: int, id_col: str = "doc_id"):
+    """Global deterministic shuffle for one training epoch: attach the
+    epoch-seeded rank and range-sort by (rank, id). The permutation is
+    a pure function of (id, epoch) — any cluster size, any partition
+    layout, any re-run streams batches in the same order, which makes
+    epoch data order reproducible AND resumable (a reader that died at
+    rank r restarts from rank > r). The sort is Ray's range-partition
+    shuffle; nothing lands on the driver."""
+    def _key(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        return b.append_column(
+            "shuffle_rank", pa.array(epoch_shuffle_key(ids, epoch)))
+
+    return ds.map_batches(_key, batch_format="pyarrow").sort(
+        ["shuffle_rank", id_col])

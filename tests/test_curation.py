@@ -189,3 +189,24 @@ def test_mixture_rebalance_deterministic_and_on_target(ray_session):
     # the binding group is kept (nearly) whole
     binding = max(th, key=th.get)
     assert th[binding] >= curation.MIX_DENOM - 1
+
+
+def test_epoch_shuffle_deterministic_permutation(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoflow.stages.curation import epoch_shuffle, epoch_shuffle_key
+
+    ids = np.arange(500, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": ids}))
+    e1 = epoch_shuffle(ds, 1).to_pandas()
+    # a permutation of the input, in globally sorted rank order
+    assert sorted(e1.doc_id) == ids.tolist()
+    k = e1[["shuffle_rank", "doc_id"]].to_numpy()
+    assert all(tuple(k[i]) < tuple(k[i + 1]) for i in range(len(k) - 1))
+    # re-run identical; different epoch differs
+    e1b = epoch_shuffle(rd.from_arrow(pa.table({"doc_id": ids})), 1
+                        ).to_pandas()
+    assert e1.doc_id.tolist() == e1b.doc_id.tolist()
+    assert (epoch_shuffle_key(ids, 2) != epoch_shuffle_key(ids, 1)).any()
