@@ -157,3 +157,137 @@ def frequent_items_exact(ds, item_fn, phi: float = 0.005,
         ["item"], [], count_alias="n_occurrences").to_pandas()
     out = agg[agg["n_occurrences"] >= phi * n_total]
     return (out.sort_values("item").reset_index(drop=True), n_total)
+
+
+# ---------------------------------------------------------------------------
+# KLL-style mergeable quantile sketch
+# ---------------------------------------------------------------------------
+
+class QuantileSketch:
+    """Deterministic KLL-style quantile sketch (Karnin-Lang-Liberty
+    2016, with the deterministic alternating compactor of the earlier
+    Manku-Rajagopalan-Lindsay line): level i holds at most ``k`` values
+    of weight 2^i; a full level sorts and keeps alternating elements
+    (offset flips per compaction), pushing them one level up.
+
+    Deterministic on purpose: any partitioning, any merge order of the
+    same per-block sketches gives the same final sketch for the tests'
+    fixed block layout, and there is no RNG to seed through Ray tasks.
+    Worst-case rank error grows O(log(n/k)/k); the property test pins
+    an empirical bound at 3/k on adversarial inputs.
+
+    Size: O(k log(n/k)) doubles regardless of stream length — each
+    batch collapses to one sketch row, sketches merge associatively,
+    and a 10^12-row quantile query moves O(batches x k log n) doubles,
+    never rows.
+    """
+
+    def __init__(self, k: int = 200):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self._flip: list[bool] = [False]
+
+    def update(self, values: np.ndarray) -> "QuantileSketch":
+        v = np.asarray(values, np.float64)
+        v = v[~np.isnan(v)]
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compact()
+        return self
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        for i, lv in enumerate(other.levels):
+            while len(self.levels) <= i:
+                self.levels.append(np.empty(0, np.float64))
+                self._flip.append(False)
+            self.levels[i] = np.concatenate([self.levels[i], lv])
+        self._compact()
+        return self
+
+    def _compact(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self.k:
+                lv = np.sort(self.levels[i], kind="stable")
+                # weight-exact: an odd element stays behind so 2 x kept
+                # always equals the weight that left this level
+                stay = np.empty(0, np.float64)
+                if len(lv) % 2:
+                    stay, lv = lv[-1:], lv[:-1]
+                off = 1 if self._flip[i] else 0
+                self._flip[i] = not self._flip[i]
+                kept = lv[off::2]
+                self.levels[i] = stay
+                if i + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, np.float64))
+                    self._flip.append(False)
+                self.levels[i + 1] = np.concatenate(
+                    [self.levels[i + 1], kept])
+            i += 1
+
+    def n(self) -> int:
+        return int(sum(len(lv) << i for i, lv in enumerate(self.levels)))
+
+    def quantiles(self, qs) -> np.ndarray:
+        items = np.concatenate(self.levels) if any(
+            len(lv) for lv in self.levels) else np.empty(0, np.float64)
+        if not len(items):
+            return np.full(len(list(qs)), np.nan)
+        w = np.concatenate([
+            np.full(len(lv), 1 << i, np.int64)
+            for i, lv in enumerate(self.levels)])
+        order = np.argsort(items, kind="stable")
+        items, w = items[order], w[order]
+        cw = np.cumsum(w)
+        total = cw[-1]
+        out = np.empty(len(list(qs)), np.float64)
+        for j, q in enumerate(qs):
+            target = q * total
+            out[j] = items[np.searchsorted(cw, target, side="left").clip(
+                0, len(items) - 1)]
+        return out
+
+    # --- Arrow (de)serialization for the map_batches partial pattern ---
+    def to_row(self) -> pa.Table:
+        flat = (np.concatenate(self.levels) if len(self.levels)
+                else np.empty(0, np.float64))
+        lens = [len(lv) for lv in self.levels]
+        return pa.table({
+            "vals": pa.array([flat], pa.list_(pa.float64())),
+            "lens": pa.array([lens], pa.list_(pa.int64())),
+        })
+
+    @classmethod
+    def from_rows(cls, table: pa.Table, k: int = 200) -> "QuantileSketch":
+        out = cls(k)
+        for vals, lens in zip(table.column("vals").to_pylist(),
+                              table.column("lens").to_pylist()):
+            other = cls(k)
+            vals = np.asarray(vals, np.float64)
+            pos = 0
+            for ln in lens:
+                other.levels.append(vals[pos:pos + ln])
+                other._flip.append(False)
+                pos += ln
+            del other.levels[0], other._flip[0]
+            if not other.levels:
+                other.levels = [np.empty(0, np.float64)]
+                other._flip = [False]
+            out.merge(other)
+        return out
+
+
+def approx_quantiles(ds, col: str, qs, k: int = 200):
+    """Approximate quantiles of a Dataset column: per-block sketches
+    (one row each), streamed to the driver and merged — driver memory
+    is one sketch, rows never leave the workers."""
+    def _partial(b: pa.Table) -> pa.Table:
+        sk = QuantileSketch(k)
+        sk.update(b.column(col).to_numpy(zero_copy_only=False))
+        return sk.to_row()
+
+    merged = QuantileSketch(k)
+    for part in ds.map_batches(
+            _partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        merged.merge(QuantileSketch.from_rows(part, k))
+    return merged.quantiles(qs), merged.n()

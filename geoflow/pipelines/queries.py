@@ -3846,6 +3846,42 @@ def epoch_shuffled_docs(sf_dir: str):
     return out[["epoch", "pos", "doc_id", "shuffle_rank"]]
 
 
+@register("approx_quantiles_price")
+def approx_quantiles_price(sf_dir: str):
+    """Mergeable KLL-style quantile sketch (functions/sketch.py) over
+    lineitem prices: per-block sketches stream to the driver (one
+    sketch of memory, rows never leave workers). Approximate values
+    cannot hash-match SQL, so the query SELF-CHECKS: a second
+    distributed pass counts exact <-/<= ranks of each estimate and
+    asserts the tie-aware rank error is within the 3/k bound the
+    property test pins. Output: (q, value) rows."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.sketch import approx_quantiles
+
+    qs = [0.5, 0.9, 0.99]
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    vals, n = approx_quantiles(li, "l_extendedprice", qs, k=200)
+
+    ests = np.asarray(vals)
+
+    def _ranks(b: pa.Table) -> pa.Table:
+        x = b.column("l_extendedprice").to_numpy()
+        lt = np.array([(x < e).sum() for e in ests], np.int64)
+        le = np.array([(x <= e).sum() for e in ests], np.int64)
+        return pa.table({"qi": pa.array(np.arange(len(ests)), pa.int64()),
+                         "_lt": pa.array(lt), "_le": pa.array(le)})
+
+    ranks = (li.map_batches(_ranks, batch_format="pyarrow")
+             .groupby("qi").aggregate(Sum("_lt", alias_name="lt"),
+                                      Sum("_le", alias_name="le"))
+             .to_pandas().sort_values("qi"))
+    for q, lo, hi in zip(qs, ranks["lt"] / n, ranks["le"] / n):
+        err = 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
+        assert err <= 3.0 / 200, f"quantile rank error {err} at q={q}"
+    return pd.DataFrame({"q": qs, "value": np.round(ests, 4)})
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver check order. The correctness driver hash-
 # verifies the FIRST 50 registered queries, so every window slot should
@@ -3907,7 +3943,7 @@ _PAST_WINDOW = [
     # self-checking no-oracle entries
     "video_frame_embeddings", "ann_ivf_top5", "ann_lsh_top5",
     "flagship_zonal", "raster_pages_cell_join",
-    "approx_distinct_orderkeys",
+    "approx_distinct_orderkeys", "approx_quantiles_price",
 ]
 for _n in _PAST_WINDOW:
     QUERIES[_n] = QUERIES.pop(_n)

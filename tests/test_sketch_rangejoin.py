@@ -159,3 +159,44 @@ def test_frequent_items_exact_boundary_phi(ray_session):
     assert n == 48
     res = dict(zip(got["item"], got["n_occurrences"]))
     assert res.get("hot") == 12      # 12 >= phi * 48 = 12: exactly on the bar
+
+
+def test_quantile_sketch_bound_and_merge_paths(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoflow.functions.sketch import QuantileSketch, approx_quantiles
+
+    rng = np.random.default_rng(5)
+    cases = {
+        "uniform": rng.random(150_000),
+        "sorted": np.arange(150_000, dtype=float),
+        "zipf-ties": rng.zipf(1.3, 150_000).astype(float),
+    }
+    for name, data in cases.items():
+        sk = QuantileSketch(200)
+        for i in range(0, len(data), 4096):
+            sk.update(data[i:i + 4096])
+        assert sk.n() == len(data)
+        xs = np.sort(data)
+        for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+            est = sk.quantiles([q])[0]
+            lo = np.searchsorted(xs, est, "left") / len(xs)
+            hi = np.searchsorted(xs, est, "right") / len(xs)
+            err = 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
+            assert err <= 3.0 / 200, (name, q, err)
+
+    # one-shot vs merged-partials agree within the same bound, and the
+    # Dataset path round-trips the Arrow serialization
+    data = cases["uniform"]
+    ds = rd.from_arrow(pa.table({"x": data})).repartition(16)
+    qs = [0.1, 0.5, 0.95]
+    vals, n = approx_quantiles(ds, "x", qs, k=200)
+    assert n == len(data)
+    xs = np.sort(data)
+    for q, est in zip(qs, vals):
+        lo = np.searchsorted(xs, est, "left") / len(xs)
+        hi = np.searchsorted(xs, est, "right") / len(xs)
+        err = 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
+        assert err <= 3.0 / 200, (q, err)
