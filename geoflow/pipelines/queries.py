@@ -3846,6 +3846,66 @@ def epoch_shuffled_docs(sf_dir: str):
     return out[["epoch", "pos", "doc_id", "shuffle_rank"]]
 
 
+@register("token_budget_docs", sql="""
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         ((doc_id * 1103515245 + 12345 + 40503) % 2147483647
+          * 48271) % 2147483647 AS rk
+  FROM documents
+),
+b AS (SELECT lang, CAST((sum(n_chars) * 2) // 5 AS BIGINT) AS budget
+      FROM documents GROUP BY 1),
+c AS (
+  SELECT r.*, sum(n_chars) OVER (PARTITION BY lang ORDER BY rk, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+  FROM r
+),
+sel AS (SELECT c.* FROM c JOIN b USING (lang) WHERE cum <= budget)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS tok_sum,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM sel GROUP BY 1 ORDER BY 1
+""")
+def token_budget_docs(sf_dir: str):
+    """Token-budgeted corpus selection (curation.token_budget_select):
+    per language, keep the prefix of documents in deterministic
+    shuffled order until 40% of that language's characters are
+    spent — the data-budget step of a training mix. The engine runs a
+    two-pass distributed prefix sum (tiny (lang, rank-bucket) rollup,
+    then a stateless pre-boundary filter + exact boundary-bucket
+    scan); the oracle is one SQL window cumsum over the same integer
+    rank — hash equality proves the distributed prefix equals the
+    sequential definition doc for doc (id_sum pins membership)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.curation import token_budget_select
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    totals = (ds.groupby("lang").aggregate(Sum("n_chars", alias_name="t"))
+              .to_pandas())
+    budgets = {r.lang: (int(r.t) * 2) // 5 for r in totals.itertuples()}
+    sel = token_budget_select(ds, budgets, seed=1)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang": b.column("lang"),
+                      "_n": pa.array(np.ones(len(b), np.int64)),
+                      "_t": pc.cast(b.column("n_chars"), pa.int64()),
+                      "_i": pc.cast(b.column("doc_id"), pa.int64())})
+        g = pa.TableGroupBy(t, ["lang"]).aggregate(
+            [("_n", "sum"), ("_t", "sum"), ("_i", "sum")])
+        return pa.table({"lang": g.column("lang"),
+                         "_n": g.column("_n_sum"),
+                         "_t": g.column("_t_sum"),
+                         "_i": g.column("_i_sum")})
+
+    return (sel.map_batches(_partial, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("_n", alias_name="n_docs"),
+                       Sum("_t", alias_name="tok_sum"),
+                       Sum("_i", alias_name="id_sum"))
+            .sort("lang"))
+
+
 @register("approx_quantiles_price")
 def approx_quantiles_price(sf_dir: str):
     """Mergeable KLL-style quantile sketch (functions/sketch.py) over

@@ -383,3 +383,102 @@ def epoch_shuffle(ds, epoch: int, id_col: str = "doc_id"):
 
     return ds.map_batches(_key, batch_format="pyarrow").sort(
         ["shuffle_rank", id_col])
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus selection: distributed ordered prefix under budget
+# ---------------------------------------------------------------------------
+
+def token_budget_select(ds, budgets: dict, group_col: str = "lang",
+                        weight_col: str = "n_chars",
+                        id_col: str = "doc_id", seed: int = 1,
+                        num_rank_buckets: int = 512):
+    """Select, per group, the prefix of documents in deterministic
+    shuffled order whose cumulative weight stays within the group's
+    budget — the "first N tokens per language" step of a data-budgeted
+    training mix.
+
+    The order is (epoch_shuffle_key(id, seed), id): a pure integer
+    function, so the SQL twin is a plain window cumsum. The
+    distributed shape is a two-pass prefix sum: rank space splits into
+    ``num_rank_buckets`` ranges; pass 1 is one tiny (group, bucket)
+    weight rollup from which the driver finds each group's boundary
+    bucket and remaining budget (group x bucket rows, never docs);
+    pass 2 keeps pre-boundary buckets with a stateless filter and
+    resolves ONLY the boundary bucket rows with an exact per-group
+    scan (bucket-sized groups — scale num_rank_buckets with the
+    corpus). Nothing doc-sized touches the driver.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    width = (_SHUF_P + num_rank_buckets - 1) // num_rank_buckets
+
+    def _rank(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        rk = epoch_shuffle_key(ids, seed)
+        b = b.append_column("_rk", pa.array(rk))
+        return b.append_column("_rb", pa.array(rk // width))
+
+    ranked = ds.map_batches(_rank, batch_format="pyarrow").materialize()
+
+    def _roll(b: pa.Table) -> pa.Table:
+        t = pa.table({group_col: b.column(group_col),
+                      "_rb": b.column("_rb"),
+                      "_w": pc.cast(b.column(weight_col), pa.int64())})
+        g = pa.TableGroupBy(t, [group_col, "_rb"]).aggregate(
+            [("_w", "sum")])
+        return pa.table({group_col: g.column(group_col),
+                         "_rb": g.column("_rb"),
+                         "_w": g.column("_w_sum")})
+
+    rolls = (ranked.map_batches(_roll, batch_format="pyarrow")
+             .groupby([group_col, "_rb"])
+             .aggregate(Sum("_w", alias_name="w")).to_pandas())
+
+    # driver state: one (boundary bucket, remaining budget) per group
+    bounds: dict = {}
+    for grp, sub in rolls.groupby(group_col):
+        sub = sub.sort_values("_rb")
+        cum = sub["w"].cumsum()
+        budget = int(budgets.get(grp, 0))
+        full = cum <= budget
+        if full.all():
+            bounds[grp] = (np.iinfo(np.int64).max, 0)
+            continue
+        first_over = int(np.argmin(full.to_numpy()))
+        b_star = int(sub["_rb"].iloc[first_over])
+        prior = int(cum.iloc[first_over - 1]) if first_over else 0
+        bounds[grp] = (b_star, budget - prior)
+    bounds_ref = ray.put(bounds)
+
+    def _pre(b: pa.Table) -> pa.Table:
+        bd = ray.get(bounds_ref)
+        grp = b.column(group_col).to_pylist()
+        rb = b.column("_rb").to_numpy()
+        lim = np.array([bd.get(g, (-1, 0))[0] for g in grp], np.int64)
+        return b.filter(pa.array(rb < lim))
+
+    def _at_boundary(b: pa.Table) -> pa.Table:
+        bd = ray.get(bounds_ref)
+        grp = b.column(group_col).to_pylist()
+        rb = b.column("_rb").to_numpy()
+        lim = np.array([bd.get(g, (-1, 0))[0] for g in grp], np.int64)
+        return b.filter(pa.array(rb == lim))
+
+    def _exact_prefix(g: pd.DataFrame) -> pd.DataFrame:
+        bd = ray.get(bounds_ref)
+        rem = bd.get(g[group_col].iloc[0], (-1, 0))[1]
+        g = g.sort_values(["_rk", id_col])
+        keep = g[weight_col].cumsum() <= rem
+        return g[keep.to_numpy()]
+
+    kept_pre = ranked.map_batches(_pre, batch_format="pyarrow")
+    kept_boundary = (ranked.map_batches(_at_boundary,
+                                        batch_format="pyarrow")
+                     .groupby(group_col)
+                     .map_groups(_exact_prefix, batch_format="pandas"))
+    out = kept_pre.union(kept_boundary)
+    return out.map_batches(
+        lambda b: b.drop_columns(["_rk", "_rb"]), batch_format="pyarrow")

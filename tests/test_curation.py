@@ -210,3 +210,39 @@ def test_epoch_shuffle_deterministic_permutation(ray_session):
                         ).to_pandas()
     assert e1.doc_id.tolist() == e1b.doc_id.tolist()
     assert (epoch_shuffle_key(ids, 2) != epoch_shuffle_key(ids, 1)).any()
+
+
+def test_token_budget_select_matches_sequential(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoflow.stages.curation import (epoch_shuffle_key,
+                                         token_budget_select)
+
+    rng = np.random.default_rng(9)
+    n = 3000
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": np.array(["en", "de", "fr"])[rng.integers(0, 3, n)],
+        "n_chars": rng.integers(50, 500, n).astype(np.int64),
+    })
+    budgets = {g: int(s * 0.37) for g, s in
+               df.groupby("lang")["n_chars"].sum().items()}
+    budgets["fr"] = 10 ** 12          # over-budget group keeps everything
+
+    # brute-force sequential definition
+    df["rk"] = epoch_shuffle_key(df["doc_id"].to_numpy(), 3)
+    want = set()
+    for g, sub in df.sort_values(["rk", "doc_id"]).groupby("lang"):
+        cum = sub["n_chars"].cumsum()
+        want |= set(sub["doc_id"][cum <= budgets[g]])
+
+    # few buckets => boundary logic is exercised for every group
+    for buckets in (1, 4, 64):
+        sel = token_budget_select(
+            rd.from_arrow(pa.Table.from_pandas(
+                df[["doc_id", "lang", "n_chars"]], preserve_index=False)),
+            budgets, seed=3, num_rank_buckets=buckets).to_pandas()
+        assert set(sel.doc_id) == want, buckets
