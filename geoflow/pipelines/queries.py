@@ -3906,6 +3906,50 @@ def token_budget_docs(sf_dir: str):
             .sort("lang"))
 
 
+@register("quota_sample_docs", sql="""
+WITH r AS (
+  SELECT doc_id, lang,
+         ((doc_id * 1103515245 + 12345 + 7 * 40503) % 2147483647
+          * 48271) % 2147483647 AS rk
+  FROM documents
+)
+SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+FROM (SELECT r.*, row_number() OVER (PARTITION BY lang
+                                     ORDER BY rk, doc_id) AS rn FROM r)
+WHERE rn <= 20 ORDER BY lang, rk, doc_id
+""")
+def quota_sample_docs(sf_dir: str):
+    """Deterministic quota sampling: exactly min(20, group size) docs
+    per language, sampled WITHOUT replacement by taking the 20
+    smallest epoch-shuffle ranks — a uniform sample under the rank's
+    pseudo-randomness, reproducible at any cluster size. Same
+    combiner shape as top_parts_per_brand: each batch contributes at
+    most 20 rows per language to the shuffle. Oracle: SQL row_number
+    over the identical integer rank."""
+    from ..stages.curation import epoch_shuffle_key
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def _rank(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        return b.append_column("rk", pa.array(
+            epoch_shuffle_key(ids, 7)))
+
+    def _local(b: pa.Table) -> pa.Table:
+        df = (b.to_pandas().sort_values(["lang", "rk", "doc_id"])
+              .groupby("lang", sort=False).head(20))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rk", "doc_id"]).head(20)
+        return g[["lang", "doc_id", "rk"]]
+
+    return (ds.map_batches(_rank, batch_format="pyarrow")
+            .map_batches(_local, batch_format="pyarrow")
+            .groupby("lang").map_groups(_final, batch_format="pandas")
+            .sort(["lang", "rk", "doc_id"]))
+
+
 @register("approx_quantiles_price")
 def approx_quantiles_price(sf_dir: str):
     """Mergeable KLL-style quantile sketch (functions/sketch.py) over
