@@ -4044,6 +4044,19 @@ _PAST_WINDOW = [
     # with integer thresholds) + hash-split counts — freeing a slot
     # for near_ingest_docs
     "stratified_sample_docs",
+    # four twin-covered demotions that admit one hash-checked
+    # representative of EACH new operator family (bloom semi-join,
+    # zone-map layout, epoch shuffle, token-budget selection):
+    # domain rollup = the same canon+groupby shape as in-window
+    # url_dedup_pages + lang_source-style rollups; line-level
+    # boilerplate is the line-granular sibling of the in-window
+    # window-rewrite (dedup_windows_docs) over the same duplicated
+    # corpus; nearest-site top-1 haversine is contained in the
+    # in-window shuffle top-k twin (knn_haversine_shuffle_docs, same
+    # trig replayed in SQL); quality-score thresholds are APPLIED
+    # decision-level by in-window corpus_curation.
+    "domain_stats", "line_dedup_docs", "nearest_site_docs",
+    "doc_quality_scores",
     # self-checking no-oracle entries
     "video_frame_embeddings", "ann_ivf_top5", "ann_lsh_top5",
     "flagship_zonal", "raster_pages_cell_join",
