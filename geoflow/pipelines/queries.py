@@ -3950,6 +3950,52 @@ def quota_sample_docs(sf_dir: str):
             .sort(["lang", "rk", "doc_id"]))
 
 
+@register("warc_roundtrip_docs", sql="""
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id
+""")
+def warc_roundtrip_docs(sf_dir: str):
+    """WARC source round-trip (sources/warc.py, from-scratch ISO 28500
+    reader/writer): every 5th document is archived as WARC/1.0
+    response records — half into a plain .warc, half into a
+    Common-Crawl-style .warc.gz of per-record gzip members — then
+    read back with the distributed parser and reduced to
+    (doc_id, payload byte length). The oracle measures the ORIGINAL
+    text, so a hash match proves the archive write, both compression
+    variants, and the record parse are byte-faithful. (The archive
+    FIXTURE is built driver-side by necessity — it is the test input,
+    5%% of docs; the operator under test, read_warc, is the
+    distributed path.)"""
+    import tempfile
+
+    from ..sources.warc import read_warc, write_warc
+
+    docs = (_read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: b.filter(pa.array(
+            b.column("doc_id").to_numpy() % 5 == 0)),
+        batch_format="pyarrow").to_pandas())
+    recs = [{"url": f"https://corpus.example/doc/{int(i)}",
+             "warc_ts": "2026-08-17T00:00:00Z",
+             "payload": (t or "").encode()}
+            for i, t in zip(docs["doc_id"], docs["text"])]
+    d = tempfile.mkdtemp(prefix="warc_", dir="/tmp")
+    half = len(recs) // 2
+    write_warc(f"{d}/a.warc", recs[:half])
+    write_warc(f"{d}/b.warc.gz", recs[half:], compress=True)
+
+    def _reduce(b: pa.Table) -> pa.Table:
+        urls = b.column("url").to_pylist()
+        lens = [len(p) for p in b.column("payload").to_pylist()]
+        return pa.table({
+            "doc_id": pa.array([int(u.rsplit("/", 1)[1]) for u in urls],
+                               pa.int64()),
+            "n_bytes": pa.array(lens, pa.int64()),
+        })
+
+    return read_warc([f"{d}/a.warc", f"{d}/b.warc.gz"]).map_batches(
+        _reduce, batch_format="pyarrow").sort("doc_id")
+
+
 @register("approx_quantiles_price")
 def approx_quantiles_price(sf_dir: str):
     """Mergeable KLL-style quantile sketch (functions/sketch.py) over
