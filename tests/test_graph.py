@@ -1,0 +1,130 @@
+"""Link-graph stage: extraction fidelity, degree exactness, and the
+integer-PageRank invariants (deterministic replay, dangling-drop)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from geoflow.stages.graph import (PR_SCALE, extract_link_pairs,
+                                  link_degrees, pagerank_int,
+                                  synth_page_html)
+
+
+def _expected_edges(n: int) -> set[tuple[int, int]]:
+    exp = set()
+    for i in range(n):
+        for j in range(1, 2 + i % 3):
+            t = (i * 31 + j * 977 + 7) % n
+            if t != i:
+                exp.add((i, t))
+    return exp
+
+
+def _pairs_table(n: int) -> pa.Table:
+    ids = np.arange(n, dtype=np.int64)
+    return pa.table({"doc_id": pa.array(ids),
+                     "html": pa.array(synth_page_html(ids, n))})
+
+
+def test_extract_recovers_injected_links_exactly():
+    tbl = _pairs_table(200)
+    out = extract_link_pairs(tbl)
+    got = set(zip(out.column("src").to_pylist(),
+                  out.column("dst").to_pylist()))
+    assert got == _expected_edges(200)
+
+
+def test_extract_ignores_decoys_and_empty():
+    tbl = pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "html": pa.array(["<a href='https://decoy.example/x'>y</a>"
+                          '<img src="/l.png"><p>no links</p>']),
+    })
+    out = extract_link_pairs(tbl)
+    assert out.num_rows == 0
+    empty = extract_link_pairs(tbl.slice(0, 0))
+    assert empty.num_rows == 0 and empty.schema == out.schema
+
+
+def test_extract_drops_self_links_and_dups():
+    tbl = pa.table({
+        "doc_id": pa.array([3], pa.int64()),
+        "html": pa.array([
+            '<a href="https://site3.example/page3.html">self</a>'
+            '<a href="https://site9.example/page9.html">a</a>'
+            '<a href="https://site9.example/page9.html">again</a>']),
+    })
+    out = extract_link_pairs(tbl)
+    assert (out.column("src").to_pylist(),
+            out.column("dst").to_pylist()) == ([3], [9])
+
+
+def test_degrees_include_zero_degree_nodes():
+    n = 120
+    docs = rd.from_arrow(_pairs_table(n)).repartition(3)
+    pairs = docs.map_batches(extract_link_pairs, batch_format="pyarrow")
+    deg = link_degrees(pairs, docs.select_columns(["doc_id"])).to_pandas()
+    exp = _expected_edges(n)
+    outd: dict[int, int] = {}
+    ind: dict[int, int] = {}
+    for s, d in exp:
+        outd[s] = outd.get(s, 0) + 1
+        ind[d] = ind.get(d, 0) + 1
+    assert len(deg) == n
+    for r in deg.itertuples():
+        assert r.out_deg == outd.get(r.doc_id, 0)
+        assert r.in_deg == ind.get(r.doc_id, 0)
+
+
+def _pagerank_reference(edges: set[tuple[int, int]], n: int,
+                        iters: int) -> dict[int, int]:
+    outd: dict[int, int] = {}
+    for s, _ in edges:
+        outd[s] = outd.get(s, 0) + 1
+    r = {i: PR_SCALE for i in range(n)}
+    for _ in range(iters):
+        nxt = {i: (15 * PR_SCALE) // 100 for i in range(n)}
+        for s, d in edges:
+            nxt[d] += (85 * r[s]) // (100 * outd[s])
+        r = nxt
+    return r
+
+
+@pytest.mark.parametrize("iters", [1, 3])
+def test_pagerank_matches_integer_reference(iters):
+    n = 150
+    docs = rd.from_arrow(_pairs_table(n)).repartition(3)
+    pairs = docs.map_batches(extract_link_pairs, batch_format="pyarrow")
+    got = pagerank_int(pairs, docs.select_columns(["doc_id"]),
+                       iters=iters, num_buckets=4).to_pandas()
+    ref = _pagerank_reference(_expected_edges(n), n, iters)
+    assert len(got) == n
+    for r in got.itertuples():
+        assert int(r.pr) == ref[int(r.doc_id)], r.doc_id
+
+
+def test_pagerank_dangling_and_isolated_nodes():
+    # 0 -> 1, node 2 isolated; node 1 dangles (mass dropped).
+    pairs = rd.from_arrow(pa.table({"src": pa.array([0], pa.int64()),
+                                    "dst": pa.array([1], pa.int64())}))
+    nodes = rd.from_arrow(pa.table({"doc_id": pa.array([0, 1, 2],
+                                                       pa.int64())}))
+    got = (pagerank_int(pairs, nodes, iters=1, num_buckets=2)
+           .to_pandas().set_index("doc_id")["pr"])
+    base = (15 * PR_SCALE) // 100
+    assert got[0] == base
+    assert got[1] == base + (85 * PR_SCALE) // 100
+    assert got[2] == base
+    total = int(got.sum())
+    assert total < 3 * PR_SCALE  # dangling mass really is dropped
+
+
+def test_degrees_conserve_edge_count():
+    n = 90
+    docs = rd.from_arrow(_pairs_table(n))
+    pairs = docs.map_batches(extract_link_pairs, batch_format="pyarrow")
+    deg = link_degrees(pairs, docs.select_columns(["doc_id"])).to_pandas()
+    assert deg["out_deg"].sum() == deg["in_deg"].sum() == len(
+        _expected_edges(n))
