@@ -4138,6 +4138,65 @@ def pagerank_pages(sf_dir: str):
     return pagerank_int(pairs, docs.select_columns(["doc_id"]), iters=4)
 
 
+@register("grid_dbscan_docs", sql="WITH RECURSIVE "
+          + _GEO_SQL_CTE.split("WITH ", 1)[1] + """,
+prm AS MATERIALIZED (
+  SELECT count(*) AS n, 0.03 * sqrt(5000.0 / count(*)) AS eps
+  FROM documents),
+pts AS MATERIALIZED (SELECT doc_id, lat, lon FROM geo),
+nb AS MATERIALIZED (
+  SELECT a.doc_id AS pa, b.doc_id AS pb
+  FROM pts a, pts b, prm
+  WHERE (a.lat - b.lat) * (a.lat - b.lat)
+      + (a.lon - b.lon) * (a.lon - b.lon) <= prm.eps * prm.eps
+),
+cnt AS (SELECT pa AS doc_id, count(*) AS c FROM nb GROUP BY 1),
+core AS MATERIALIZED (SELECT doc_id FROM cnt WHERE c >= 5),
+ce AS MATERIALIZED (
+  SELECT nb.pa AS s, nb.pb AS d FROM nb
+  JOIN core c1 ON nb.pa = c1.doc_id JOIN core c2 ON nb.pb = c2.doc_id
+  WHERE nb.pa <> nb.pb),
+reach(a, b) AS (
+  SELECT s, d FROM ce
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN ce e ON r.b = e.s),
+comp AS MATERIALIZED (
+  SELECT c.doc_id,
+         coalesce(least(c.doc_id, m.mb), c.doc_id) AS cluster
+  FROM core c LEFT JOIN (SELECT a, min(b) AS mb FROM reach GROUP BY a) m
+    ON c.doc_id = m.a),
+border AS (
+  SELECT nb.pa AS doc_id, min(comp.cluster) AS cluster
+  FROM nb JOIN comp ON nb.pb = comp.doc_id
+  WHERE nb.pa <> nb.pb
+    AND nb.pa NOT IN (SELECT doc_id FROM core)
+  GROUP BY 1)
+SELECT doc_id, cluster, CAST(1 AS BIGINT) AS is_core FROM comp
+UNION ALL
+SELECT doc_id, cluster, CAST(0 AS BIGINT) AS is_core FROM border
+""")
+def grid_dbscan_docs(sf_dir: str):
+    """Deterministic grid-partitioned DBSCAN over geocoded document
+    points (eps scaled ~ 1/sqrt(n) so per-point neighbor counts are
+    scale-invariant; min_pts=5, ties broken by min doc_id everywhere).
+    Engine: 9-cell replication of a 24-byte projection -> ONE
+    bucket-keyed neighbor shuffle with vectorized per-cell broadcast
+    -> core flags -> dup_components over core-core edges -> border
+    labels via one bucketed join + groupby-min (geoflow.stages
+    .geocluster.grid_dbscan). Oracle: brute-force pair join + a
+    recursive-CTE transitive closure with identical float operand
+    order, so every core/border/noise decision hash-matches."""
+    import math
+
+    from ..stages.geocluster import grid_dbscan
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    n = ds.count()
+    eps = 0.03 * math.sqrt(5000.0 / n)
+    pts = ds.map_batches(_geocode_batch, batch_format="pyarrow")
+    return grid_dbscan(pts, eps, min_pts=5)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver check order. The correctness driver hash-
 # verifies the FIRST 50 registered queries, so every window slot should
@@ -4224,6 +4283,12 @@ _PAST_WINDOW = [
     # replayed in SQL) + mixture_rebalanced_counts (deterministic
     # per-group threshold routing).
     "bpe_encoded_docs", "train_split_counts",
+    # quota sampling's two mechanisms are both in-window elsewhere:
+    # its per-doc shuffle rank is the SAME hash order epoch_shuffled_
+    # docs position-checks, and its per-group k-selection is the
+    # deterministic per-group routing mixture_rebalanced_counts
+    # replays — freeing a slot for grid_dbscan_docs.
+    "quota_sample_docs",
     # self-checking no-oracle entries
     "video_frame_embeddings", "ann_ivf_top5", "ann_lsh_top5",
     "flagship_zonal", "raster_pages_cell_join",
