@@ -4197,6 +4197,54 @@ def grid_dbscan_docs(sf_dir: str):
     return grid_dbscan(pts, eps, min_pts=5)
 
 
+@register("user_travel_stats", sql="""
+WITH eg AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 2654435761 + 17) % 4294967296 AS h1,
+         (event_id * 2246822519 + 101) % 4294967296 AS h2,
+         event_id % 10 AS sel
+  FROM events
+), egeo AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN sel = 0 THEN 40.7 + (h1 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 1 THEN 51.5 + (h1 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 2 THEN 35.7 + (h1 / 4294967296.0 - 0.5) * 0.5
+         ELSE h1 / 4294967296.0 * 130.0 - 60.0 END AS lat,
+    CASE WHEN sel = 0 THEN -74.0 + (h2 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 1 THEN -0.1 + (h2 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 2 THEN 139.7 + (h2 / 4294967296.0 - 0.5) * 0.5
+         ELSE h2 / 4294967296.0 * 360.0 - 180.0 END AS lon
+  FROM eg
+), lagged AS (
+  SELECT user_id, lat, lon,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+  FROM egeo WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), legs AS (
+  SELECT user_id,
+         2 * 6371.0088 * asin(sqrt(
+             pow(sin(radians(lat - plat) / 2), 2)
+             + cos(radians(plat)) * cos(radians(lat))
+               * pow(sin(radians(lon - plon) / 2), 2))) AS km
+  FROM lagged WHERE plat IS NOT NULL)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_legs,
+       round(sum(km), 3) AS total_km, round(max(km), 3) AS max_leg_km
+FROM legs GROUP BY user_id
+""")
+def user_travel_stats(sf_dir: str):
+    """Per-user movement analytics over the geocoded event stream:
+    consecutive-event haversine legs in (ts, event_id) order, rolled
+    up to (n_legs, total_km, max_leg_km). ONE bucket-keyed shuffle on
+    user_id, then a fully vectorized per-bucket pass (one sort, one
+    shifted-array haversine over the whole bucket, one pandas groupby
+    — no per-user loop). Oracle: the same geocode arithmetic + LAG
+    window + trig replayed in SQL, both sides rounded to 3 decimals
+    (geoflow.stages.geocode.travel_stats)."""
+    from ..stages.geocode import travel_stats
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return travel_stats(ev)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver check order. The correctness driver hash-
 # verifies the FIRST 50 registered queries, so every window slot should
@@ -4289,6 +4337,11 @@ _PAST_WINDOW = [
     # deterministic per-group routing mixture_rebalanced_counts
     # replays — freeing a slot for grid_dbscan_docs.
     "quota_sample_docs",
+    # the plain zonal rollup is strictly contained in the in-window
+    # split-cell twin (zonal_split_docs replays the SAME zonal oracle
+    # shape over the SAME geocoded base and additionally proves the
+    # rebalance invisible) — freeing a slot for user_travel_stats.
+    "geo_zonal_docs",
     # self-checking no-oracle entries
     "video_frame_embeddings", "ann_ivf_top5", "ann_lsh_top5",
     "flagship_zonal", "raster_pages_cell_join",

@@ -81,3 +81,70 @@ def geocode_urls(urls) -> tuple[np.ndarray, np.ndarray]:
         lat = np.where(m, clat + (h1 / 4294967296.0 - 0.5) * HOT_RADIUS_DEG, lat)
         lon = np.where(m, clon + (h2 / 4294967296.0 - 0.5) * HOT_RADIUS_DEG, lon)
     return lat, lon
+
+
+def travel_stats(events_ds, num_buckets: int = 32):
+    """Per-user movement rollup over a geocoded event stream: legs are
+    consecutive events in (ts, event_id) order; output (user_id,
+    n_legs, total_km, max_leg_km), users with < 2 events dropped.
+
+    ONE bucket-keyed shuffle (splitmix64(user_id) % B — all rows of a
+    user co-locate), then a fully vectorized per-bucket pass: one sort
+    by (user, ts, event_id), shifted-array haversine over every row
+    with a same-user predecessor, one pandas groupby-agg. No per-user
+    Python loop; the trig runs once over the whole bucket.
+
+    SCALE: leg computation is inherently per-user-sequential, so the
+    partitioning key IS user_id — the same key the sessionization
+    stages shuffle on, so a pipeline computing sessions + travel reuses
+    one co-location. Hot users (bounded by events-per-user, not corpus
+    size) stay within a worker's batch; a pathological single-user
+    stream would be split by ts range with per-boundary stitch legs.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.joins import _mix64
+    from .knn import haversine_km
+
+    def _tag(b: pa.Table) -> pa.Table:
+        ids = b.column("event_id").to_numpy().astype(np.int64)
+        uid = b.column("user_id").to_numpy().astype(np.int64)
+        lat, lon = geocode_doc_ids(ids)
+        return pa.table({
+            "_b": pa.array((_mix64(uid) % np.uint64(num_buckets))
+                           .astype(np.int64)),
+            "user_id": pa.array(uid),
+            "ts": b.column("ts"),
+            "event_id": pa.array(ids),
+            "lat": pa.array(lat), "lon": pa.array(lon),
+        })
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        lat = df["lat"].to_numpy()
+        lon = df["lon"].to_numpy()
+        uid = df["user_id"].to_numpy()
+        same = np.zeros(len(df), dtype=bool)
+        if len(df) > 1:
+            same[1:] = uid[1:] == uid[:-1]
+        if not same.any():
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "n_legs": pd.Series([], dtype=np.int64),
+                "total_km": pd.Series([], dtype=np.float64),
+                "max_leg_km": pd.Series([], dtype=np.float64)})
+        i = np.flatnonzero(same)
+        km = haversine_km(lat[i - 1], lon[i - 1], lat[i], lon[i])
+        legs = pd.DataFrame({"user_id": uid[i], "km": km})
+        out = legs.groupby("user_id", sort=False)["km"].agg(
+            n_legs="count", total_km="sum", max_leg_km="max")
+        out = out.reset_index()
+        out["n_legs"] = out["n_legs"].astype(np.int64)
+        out["total_km"] = out["total_km"].round(3)
+        out["max_leg_km"] = out["max_leg_km"].round(3)
+        return out
+
+    return (events_ds.map_batches(_tag, batch_format="pyarrow")
+            .groupby("_b").map_groups(_bucket, batch_format="pandas"))

@@ -105,3 +105,61 @@ def test_border_takes_min_core_cluster():
     assert gm == exp
     assert gm[30] == (10, 0)  # border, assigned the MIN cluster label
     assert gm[20] == (20, 1) and gm[10] == (10, 1)  # clusters stay apart
+
+
+# ---------------------------------------------------------------------------
+# travel_stats (stages/geocode.py) shares the geo test module: per-user
+# consecutive-leg haversine rollup
+# ---------------------------------------------------------------------------
+
+def test_travel_stats_matches_pandas_reference():
+    import pandas as pd
+
+    from geoflow.stages.geocode import geocode_doc_ids as gc
+    from geoflow.stages.geocode import travel_stats
+    from geoflow.stages.knn import haversine_km
+
+    rng = np.random.default_rng(7)
+    n = 400
+    eid = np.arange(n, dtype=np.int64)
+    uid = rng.integers(0, 25, n).astype(np.int64)
+    ts = pd.to_datetime(rng.integers(0, 10_000, n), unit="s")
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array(eid), "user_id": pa.array(uid),
+        "ts": pa.array(ts)})).repartition(5)
+    got = (travel_stats(ds, num_buckets=8).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+
+    lat, lon = gc(eid)
+    df = (pd.DataFrame({"user_id": uid, "ts": ts, "event_id": eid,
+                        "lat": lat, "lon": lon})
+          .sort_values(["user_id", "ts", "event_id"]))
+    rows = []
+    for u, g in df.groupby("user_id"):
+        if len(g) < 2:
+            continue
+        km = haversine_km(g["lat"].to_numpy()[:-1], g["lon"].to_numpy()[:-1],
+                          g["lat"].to_numpy()[1:], g["lon"].to_numpy()[1:])
+        rows.append((u, len(km), round(km.sum(), 3), round(km.max(), 3)))
+    exp = pd.DataFrame(rows, columns=["user_id", "n_legs", "total_km",
+                                      "max_leg_km"])
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True),
+                                  check_dtype=False)
+
+
+def test_travel_stats_drops_single_event_users_and_breaks_ts_ties():
+    import pandas as pd
+
+    from geoflow.stages.geocode import travel_stats
+
+    # user 1: two events with IDENTICAL ts -> leg order fixed by
+    # event_id; user 2: one event -> dropped
+    t0 = pd.Timestamp("2026-01-01")
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([5, 3, 9], pa.int64()),
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([t0, t0, t0])}))
+    got = travel_stats(ds, num_buckets=2).to_pandas()
+    assert got["user_id"].tolist() == [1]
+    assert got["n_legs"].tolist() == [1]
+    assert (got["total_km"] > 0).all()
