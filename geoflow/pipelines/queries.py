@@ -4245,6 +4245,84 @@ def user_travel_stats(sf_dir: str):
     return travel_stats(ev)
 
 
+@register("polygon_metrics", lazy_sql=lambda: f"""
+WITH edges0(region_id, name, x1, y1, x2, y2) AS (VALUES {_pip_edges_sql()}),
+edges AS (
+  SELECT region_id, CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1,
+         CAST(x2 AS DOUBLE) AS x2, CAST(y2 AS DOUBLE) AS y2
+  FROM edges0),
+s AS (
+  SELECT region_id,
+         sum(x1 * y2 - x2 * y1) AS s_cross,
+         sum(sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1)))
+             AS s_perim,
+         sum((x1 + x2) * (x1 * y2 - x2 * y1)) AS s_cx,
+         sum((y1 + y2) * (x1 * y2 - x2 * y1)) AS s_cy,
+         count(*) AS n
+  FROM edges GROUP BY region_id)
+SELECT region_id, CAST(n AS BIGINT) AS n_vertices,
+       round(s_cross / 2, 6) AS area,
+       round(s_perim, 6) AS perimeter,
+       round(s_cx / (3 * s_cross), 6) AS centroid_x,
+       round(s_cy / (3 * s_cross), 6) AS centroid_y
+FROM s
+""")
+def polygon_metrics(sf_dir: str):
+    """Vector-geometry measures (shoelace area, perimeter,
+    area-weighted centroid, vertex count) over the deterministic
+    polygon fixture in EDGE-TUPLE layout — per-edge terms are
+    embarrassingly parallel partials, one slim groupby shuffle total
+    (geoflow.stages.pip_join.polygon_metrics). The oracle reuses the
+    PIP family's full-precision VALUES edge table and sums identical
+    per-edge expressions; both sides round to 6 decimals."""
+    import ray.data as rd
+
+    from ..stages.pip_join import make_polygons, polygon_metrics
+
+    rows = []
+    for poly in make_polygons(64, seed=42).itertuples(index=False):
+        ring = np.asarray(poly.ring, dtype=np.float64)
+        if (ring[0] != ring[-1]).any():
+            ring = np.vstack([ring, ring[0]])
+        for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+            rows.append((int(poly.region_id), x1, y1, x2, y2))
+    edges = pd.DataFrame(rows, columns=["region_id", "x1", "y1",
+                                        "x2", "y2"])
+    return polygon_metrics(rd.from_pandas(edges).repartition(4))
+
+
+@register("pattern_scan_counts", sql="""
+WITH pats(pattern) AS (VALUES """ + ", ".join(
+    "('" + p + "')" for p in (
+        "merge", "join", "batch", "stream", "window",
+        "filter", "vector", "hash", "sort", "spark",
+        "batch merge", "slow join", "key order", "table scan",
+        "data line", "fast value", "row column", "group query",
+        "big merge", "stream spark")) + """),
+per AS (
+  SELECT pattern,
+         (length(text) - length(replace(text, pattern, '')))
+             // length(pattern) AS c
+  FROM documents CROSS JOIN pats)
+SELECT pattern,
+       CAST(count(*) FILTER (WHERE c > 0) AS BIGINT) AS n_docs,
+       CAST(sum(c) AS BIGINT) AS n_occ
+FROM per GROUP BY pattern
+""")
+def pattern_scan_counts(sf_dir: str):
+    """Multi-pattern literal dictionary scan (blocklist / keyword
+    matching): per pattern, containing-document count and total
+    non-overlapping occurrences. Each pattern is one vectorized Arrow
+    count_substring kernel per batch; only (pattern_id, partial)
+    triples shuffle (geoflow.stages.webquality.literal_scan_counts).
+    Patterns have no proper borders, so the SQL length/replace replay
+    counts identically."""
+    from ..stages.webquality import literal_scan_counts
+
+    return literal_scan_counts(_read(sf_dir, "documents",
+                                     ["doc_id", "text"]))
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver check order. The correctness driver hash-
 # verifies the FIRST 50 registered queries, so every window slot should
@@ -4342,6 +4420,14 @@ _PAST_WINDOW = [
     # shape over the SAME geocoded base and additionally proves the
     # rebalance invisible) — freeing a slot for user_travel_stats.
     "geo_zonal_docs",
+    # two more twin-covered demotions for the vector-geometry and
+    # dictionary-scan families: the hash-rank ORDER of epoch_shuffled_
+    # docs is a position-checked global ordering (global sort's range
+    # partition is additionally exercised by every in-window top-k);
+    # audio fingerprint dedup is the same perceptual-hash-through-a-
+    # real-codec plan as in-window image_ahash_near_dup, with the WAV
+    # codec separately pinned by round-trip pytest.
+    "global_sorted_docs", "audio_fp_dup_groups",
     # self-checking no-oracle entries
     "video_frame_embeddings", "ann_ivf_top5", "ann_lsh_top5",
     "flagship_zonal", "raster_pages_cell_join",

@@ -283,3 +283,68 @@ def pip_join(points_ds, polygons: pd.DataFrame, concurrency: int = 4,
         fn_constructor_kwargs=dict(polygons_ref=ref, grid=grid, index=index),
         concurrency=(1, concurrency), batch_size=4096,
     )
+
+
+def polygon_metrics(edges_ds):
+    """Vector-geometry measures per polygon from an EDGE-TUPLE layout:
+    rows (region_id, x1, y1, x2, y2), closing edge included.
+
+    Shoelace area, perimeter, and area-weighted centroid are all sums
+    of per-edge terms, so the plan is embarrassingly parallel: a
+    vectorized per-batch partial (numpy term arrays -> pandas groupby
+    sum) followed by ONE groupby(region_id).sum shuffle of 6-column
+    partials, then a final vectorized map derives
+    (n_vertices, area, perimeter, centroid_x, centroid_y).
+
+    SCALE: the edge-tuple layout is the point — a 10^9-edge polygon
+    set streams through map_batches with per-region partials, and the
+    shuffle carries one slim row per (region x batch), never the
+    geometry. Rings must be pre-closed (last edge -> first vertex),
+    the same contract _pip_edges_sql renders for the PIP oracle.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def _partials(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        x1 = df["x1"].to_numpy()
+        y1 = df["y1"].to_numpy()
+        x2 = df["x2"].to_numpy()
+        y2 = df["y2"].to_numpy()
+        cross = x1 * y2 - x2 * y1
+        df2 = pd.DataFrame({
+            "region_id": df["region_id"].to_numpy(),
+            "_cross": cross,
+            "_perim": np.sqrt((x2 - x1) * (x2 - x1)
+                              + (y2 - y1) * (y2 - y1)),
+            "_cx": (x1 + x2) * cross,
+            "_cy": (y1 + y2) * cross,
+            "_n": np.ones(len(df), dtype=np.int64),
+        })
+        return pa.Table.from_pandas(
+            df2.groupby("region_id", sort=False, as_index=False).sum(),
+            preserve_index=False)
+
+    agg = edges_ds.map_batches(_partials, batch_format="pyarrow").groupby(
+        "region_id").aggregate(
+        Sum("_cross", alias_name="_cross"),
+        Sum("_perim", alias_name="_perim"),
+        Sum("_cx", alias_name="_cx"), Sum("_cy", alias_name="_cy"),
+        Sum("_n", alias_name="_n"))
+
+    def _finish(b: pa.Table) -> pa.Table:
+        cross = b.column("_cross").to_numpy()
+        return pa.table({
+            "region_id": pc.cast(b.column("region_id"), pa.int64()),
+            "n_vertices": pc.cast(b.column("_n"), pa.int64()),
+            "area": pa.array(np.round(cross / 2, 6)),
+            "perimeter": pa.array(
+                np.round(b.column("_perim").to_numpy(), 6)),
+            "centroid_x": pa.array(np.round(
+                b.column("_cx").to_numpy() / (3 * cross), 6)),
+            "centroid_y": pa.array(np.round(
+                b.column("_cy").to_numpy() / (3 * cross), 6)),
+        })
+
+    return agg.map_batches(_finish, batch_format="pyarrow")

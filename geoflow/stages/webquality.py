@@ -780,3 +780,67 @@ def build_vocab_encode(ds, id_col: str = "doc_id",
         })
 
     return ds.map_batches(_encode, batch_format="pyarrow")
+
+
+# fixed dictionary for the literal-scan operator: 10 corpus words + 10
+# word-pair phrases, none self-overlapping (no pattern has a proper
+# border, so non-overlapping counts are scan-order independent and the
+# SQL length/replace replay counts identically)
+SCAN_PATTERNS: tuple[str, ...] = (
+    "merge", "join", "batch", "stream", "window",
+    "filter", "vector", "hash", "sort", "spark",
+    "batch merge", "slow join", "key order", "table scan",
+    "data line", "fast value", "row column", "group query",
+    "big merge", "stream spark",
+)
+
+
+def literal_scan_counts(ds, text_col: str = "text",
+                        patterns: tuple[str, ...] = SCAN_PATTERNS):
+    """Multi-pattern literal dictionary scan (the blocklist/keyword
+    primitive): per pattern, how many documents contain it and how
+    many total (non-overlapping) occurrences appear.
+
+    Per batch each pattern is ONE vectorized Arrow kernel
+    (pc.count_substring over the whole column — no per-row Python);
+    partials (pattern_id, n_docs, n_occ) reduce through a single tiny
+    groupby. Pattern strings never shuffle — ids do, and the final map
+    re-attaches text from the closure-captured dictionary.
+
+    SCALE: cost is O(patterns x bytes) streaming with a shuffle of
+    |patterns| x |batches| 24-byte rows; thousands of patterns would
+    move to one Aho-Corasick actor pool (state built once per actor in
+    __init__), same output contract.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    pats = list(patterns)
+
+    def _partials(b: pa.Table) -> pa.Table:
+        col = pc.cast(b.column(text_col), pa.string())
+        pid, ndocs, nocc = [], [], []
+        for i, p in enumerate(pats):
+            c = pc.count_substring(col, p)
+            cn = c.to_numpy(zero_copy_only=False)
+            pid.append(i)
+            nocc.append(int(cn.sum()))
+            ndocs.append(int((cn > 0).sum()))
+        return pa.table({
+            "_pid": pa.array(pid, pa.int64()),
+            "_docs": pa.array(ndocs, pa.int64()),
+            "_occ": pa.array(nocc, pa.int64())})
+
+    agg = ds.map_batches(_partials, batch_format="pyarrow").groupby(
+        "_pid").aggregate(Sum("_docs", alias_name="n_docs"),
+                          Sum("_occ", alias_name="n_occ"))
+
+    def _finish(b: pa.Table) -> pa.Table:
+        ids = b.column("_pid").to_numpy()
+        return pa.table({
+            "pattern": pa.array([pats[i] for i in ids], pa.string()),
+            "n_docs": pc.cast(b.column("n_docs"), pa.int64()),
+            "n_occ": pc.cast(b.column("n_occ"), pa.int64())})
+
+    return agg.map_batches(_finish, batch_format="pyarrow")

@@ -234,3 +234,60 @@ def test_ivf_distributed_build_full_probe_is_exact(ray_session):
         exact = set(ids[np.argsort(-sims)[:5]].tolist())
         got = set(out[out["query_id"] == qid]["neighbor_id"].tolist())
         assert got == exact, qid
+
+
+# ---------------------------------------------------------------------------
+# polygon_metrics: closed-form shapes + fixture consistency
+# ---------------------------------------------------------------------------
+
+def test_polygon_metrics_known_shapes():
+    import pandas as pd
+    import ray.data as rd
+
+    from geoflow.stages.pip_join import polygon_metrics
+
+    # unit square (CCW) and a 3-4-5 right triangle
+    square = [(0, 0), (1, 0), (1, 1), (0, 1), (0, 0)]
+    tri = [(0, 0), (3, 0), (0, 4), (0, 0)]
+    rows = []
+    for rid, ring in ((0, square), (1, tri)):
+        for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+            rows.append((rid, float(x1), float(y1), float(x2), float(y2)))
+    edges = pd.DataFrame(rows, columns=["region_id", "x1", "y1",
+                                        "x2", "y2"])
+    got = (polygon_metrics(rd.from_pandas(edges).repartition(3))
+           .to_pandas().set_index("region_id").sort_index())
+    assert got.loc[0, "area"] == 1.0
+    assert got.loc[0, "perimeter"] == 4.0
+    assert (got.loc[0, "centroid_x"], got.loc[0, "centroid_y"]) == (0.5, 0.5)
+    assert got.loc[0, "n_vertices"] == 4
+    assert got.loc[1, "area"] == 6.0
+    assert got.loc[1, "perimeter"] == 12.0
+    assert (got.loc[1, "centroid_x"],
+            got.loc[1, "centroid_y"]) == (1.0, round(4 / 3, 6))
+
+
+def test_polygon_metrics_fixture_positive_and_partition_invariant():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from geoflow.stages.pip_join import make_polygons, polygon_metrics
+
+    rows = []
+    for poly in make_polygons(16, seed=42).itertuples(index=False):
+        ring = np.asarray(poly.ring, dtype=np.float64)
+        if (ring[0] != ring[-1]).any():
+            ring = np.vstack([ring, ring[0]])
+        for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+            rows.append((int(poly.region_id), x1, y1, x2, y2))
+    edges = pd.DataFrame(rows, columns=["region_id", "x1", "y1",
+                                        "x2", "y2"])
+    a = (polygon_metrics(rd.from_pandas(edges)).to_pandas()
+         .sort_values("region_id").reset_index(drop=True))
+    b = (polygon_metrics(rd.from_pandas(edges).repartition(7)).to_pandas()
+         .sort_values("region_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["area"] > 0).all()      # rings are CCW by construction
+    assert (a["perimeter"] > 0).all()
+    assert len(a) == 16

@@ -200,3 +200,24 @@ def test_pack_sequences_greedy(ray_session):
            .groupby(["lang", "shard", "bin"])["n_chars"].agg(["sum", "size"]))
     over = tot[tot["sum"] > 1500]
     assert (over["size"] == 1).all()
+
+
+def test_literal_scan_counts_matches_python_reference():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoflow.stages.webquality import literal_scan_counts
+
+    texts = ["batch merge batch merge slow join",
+             "no keywords here at all",
+             "spark spark spark", "", "stream spark and key order"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts)})).repartition(3)
+    pats = ("batch", "spark", "batch merge", "stream spark")
+    got = (literal_scan_counts(ds, patterns=pats).to_pandas()
+           .set_index("pattern"))
+    for p in pats:
+        assert got.loc[p, "n_occ"] == sum(t.count(p) for t in texts)
+        assert got.loc[p, "n_docs"] == sum(p in t for t in texts)
+    assert len(got) == 4
