@@ -4323,6 +4323,116 @@ def pattern_scan_counts(sf_dir: str):
                                      ["doc_id", "text"]))
 
 
+def _compact_sql(res: int) -> str:
+    """Chained per-level CTEs replaying compaction bottom-up: one
+    (p{f}, s{f-1}) pair per level, AS MATERIALIZED (the bpe_merges
+    idiom — default inlining would expand the self-references
+    exponentially)."""
+    nf = float(1 << res)
+    parts = [_GEO_SQL_CTE.rstrip() + f""",
+s{res} AS MATERIALIZED (
+  SELECT {res} AS res, x, y, count(*) AS n_docs FROM (
+    SELECT CAST(least(greatest(
+             floor((lon + 180.0) / 360.0 * {nf!r}), 0), {nf - 1!r})
+           AS BIGINT) AS x,
+           CAST(least(greatest(
+             floor((90.0 - lat) / 180.0 * {nf!r}), 0), {nf - 1!r})
+           AS BIGINT) AS y
+    FROM geo)
+  GROUP BY x, y)"""]
+    for f in range(res, 0, -1):
+        parts.append(f""",
+p{f} AS MATERIALIZED (
+  SELECT x // 2 AS px, y // 2 AS py, count(*) AS k, sum(n_docs) AS s
+  FROM s{f} WHERE res = {f} GROUP BY 1, 2),
+s{f - 1} AS MATERIALIZED (
+  SELECT res, x, y, n_docs FROM s{f} WHERE res <> {f}
+  UNION ALL
+  SELECT {f - 1} AS res, px AS x, py AS y, CAST(s AS BIGINT) AS n_docs
+  FROM p{f} WHERE k = 4
+  UNION ALL
+  SELECT c.res, c.x, c.y, c.n_docs
+  FROM s{f} c JOIN p{f} p ON c.x // 2 = p.px AND c.y // 2 = p.py
+  WHERE c.res = {f} AND p.k < 4)""")
+    parts.append("\nSELECT res, x, y, n_docs FROM s0")
+    return "".join(parts)
+
+
+@register("compact_cells_docs", lazy_sql=lambda: _compact_sql(11))
+def compact_cells_docs(sf_dir: str):
+    """Hierarchical covering compaction (the H3 compact_cells analog):
+    occupied res-11 quad-cells of the geocoded corpus, with every
+    COMPLETE sibling quad recursively replaced by its parent carrying
+    the summed count — dense hotspots collapse to coarse cells, sparse
+    fringe stays fine. One corpus groupby, then 11 cell-set-sized
+    groupby rounds streamed lazily in a single execution
+    (geoflow.stages.compaction). Oracle: per-level chained
+    materialized CTEs with (x // 2, y // 2) parent arithmetic —
+    integer set logic, exact hash match."""
+    from ..stages.compaction import cell_counts, compact_cells
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    pts = ds.map_batches(_geocode_batch, batch_format="pyarrow")
+    return compact_cells(cell_counts(pts, 11), 11)
+
+
+@register("bbox_cover_scan_docs", sql=_GEO_SQL_CTE + """
+SELECT doc_id, round(lat, 6) AS lat, round(lon, 6) AS lon
+FROM geo
+WHERE lat > 40.45 AND lat < 40.95 AND lon > -74.25 AND lon < -73.75
+""")
+def bbox_cover_scan_docs(sf_dir: str):
+    """S2-style region query end to end: the corpus is clustered on
+    disk by res-12 Morton key (state.layout.write_clustered), the
+    query bbox becomes a mixed-resolution quad COVER -> merged Morton
+    ranges (stages.cover.bbox_cover / cover_to_ranges), the scan reads
+    only zone-map-hit files with a searchsorted multi-range residual,
+    and the exact bbox predicate refines in-stream. The query ASSERTS
+    the index really pruned (files_read < files_total); the oracle is
+    the plain geometric predicate, so a hash match proves cover
+    completeness AND refine exactness."""
+    import tempfile
+
+    from ..stages.cover import (bbox_cover, cover_to_ranges, morton_key,
+                                read_pruned_ranges)
+    from ..state.layout import write_clustered
+
+    RES = 12
+    bb = (40.45, 40.95, -74.25, -73.75)
+
+    def _keyed(b: pa.Table) -> pa.Table:
+        from ..stages.cells import lonlat_to_xy
+
+        g = _geocode_batch(b)
+        lat = g.column("lat").to_numpy()
+        lon = g.column("lon").to_numpy()
+        x, y = lonlat_to_xy(lat, lon, RES)
+        return g.append_column("mkey", pa.array(morton_key(x, y)))
+
+    pts = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        _keyed, batch_format="pyarrow")
+    d = tempfile.mkdtemp(prefix="cover_", dir="/tmp")
+    write_clustered(pts, "mkey", d, num_partitions=32)
+
+    ranges = cover_to_ranges(bbox_cover(*bb, RES), RES)
+    ds, stats = read_pruned_ranges(d, ranges)
+    assert ds is not None
+    assert stats["files_read"] < stats["files_total"], stats
+
+    def _refine(b: pa.Table) -> pa.Table:
+        lat = b.column("lat").to_numpy()
+        lon = b.column("lon").to_numpy()
+        keep = ((lat > bb[0]) & (lat < bb[1])
+                & (lon > bb[2]) & (lon < bb[3]))
+        b = b.filter(pa.array(keep))
+        return pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "lat": pa.array(np.round(b.column("lat").to_numpy(), 6)),
+            "lon": pa.array(np.round(b.column("lon").to_numpy(), 6))})
+
+    return ds.map_batches(_refine, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver check order. The correctness driver hash-
 # verifies the FIRST 50 registered queries, so every window slot should
@@ -4428,6 +4538,14 @@ _PAST_WINDOW = [
     # real-codec plan as in-window image_ahash_near_dup, with the WAV
     # codec separately pinned by round-trip pytest.
     "global_sorted_docs", "audio_fp_dup_groups",
+    # the single-range zone-map scan is strictly contained in the new
+    # in-window bbox_cover_scan_docs (same write_clustered layout +
+    # manifest pruning, MULTI-range + spatial cover + exact refine on
+    # top, pruning asserted in-query); exact heavy hitters' final
+    # output is a GROUP BY / HAVING count shape whose token-stat
+    # machinery tfidf_top_terms keeps in-window, with the space-saving
+    # candidate superset guarantee pinned by its property test.
+    "pruned_events_scan", "frequent_tokens",
     # self-checking no-oracle entries
     "video_frame_embeddings", "ann_ivf_top5", "ann_lsh_top5",
     "flagship_zonal", "raster_pages_cell_join",

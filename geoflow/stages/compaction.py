@@ -1,0 +1,144 @@
+"""Hierarchical covering compaction (the H3 ``compact_cells`` analog).
+
+Given the set of occupied quad-cells at a fine resolution, repeatedly
+replace any COMPLETE sibling quad (all 4 children occupied) by its
+parent, carrying the summed weight — producing the minimal
+mixed-resolution covering of the same occupancy. This is the standard
+way to ship a spatial footprint (coverage maps, geofence sets, crawl
+frontiers) at a fraction of the fine-level cell count: dense hotspots
+collapse to coarse cells, sparse fringe stays fine.
+
+The computation is a bottom-up fixed-round fold over the CELL SET
+(never the corpus): after the initial per-cell count groupby, every
+round groups the current finest-resolution cells by parent
+(one groupby of a set that only shrinks), promotes complete quads
+(count == 4 -> parent row with summed weight), and passes everything
+else through. ``res`` rounds always suffice (each round retires one
+level), and the rule is pure integer set logic — the DuckDB replay
+chains one CTE per level with (x // 2, y // 2) parent arithmetic and
+hash-matches exactly.
+
+Cells are carried as (res, x, y) integer triples (x east, y south,
+matching stages.cells.lonlat_to_xy) so the oracle needs no Morton
+bit-twiddling; the packed key used for shuffles is
+((res << 29) | x) << 29 | y, injective for res <= 15.
+
+SCALE: the corpus is touched once (the count groupby, prunable to the
+id column). Rounds shuffle only occupied-cell rows — bounded by the
+footprint, sublinear in corpus size — and each round's groupby key is
+the parent cell, so hotspot quads co-locate exactly where the work
+is. A skewed parent (impossible: fan-in is 4) never overloads a
+reducer; this is the rare wide op with a HARD per-group bound.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SHIFT = np.int64(29)
+
+
+def _pack(res: np.ndarray, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    return (((res.astype(np.int64) << _SHIFT) | x.astype(np.int64))
+            << _SHIFT) | y.astype(np.int64)
+
+
+def cell_counts(points_ds, res: int, lat_col: str = "lat",
+                lon_col: str = "lon"):
+    """(res, x, y, n_docs) occupancy at a single fine resolution —
+    ONE corpus groupby over packed int64 keys."""
+    from ray.data.aggregate import Sum
+
+    from .cells import lonlat_to_xy
+
+    if not 0 <= res <= 15:
+        raise ValueError("res must be in [0, 15] for packed keys")
+
+    def _assign(b: pa.Table) -> pa.Table:
+        lat = b.column(lat_col).to_numpy()
+        lon = b.column(lon_col).to_numpy()
+        x, y = lonlat_to_xy(lat, lon, res)
+        r = np.full(len(lat), res, np.int64)
+        return pa.table({
+            "_k": pa.array(_pack(r, x.astype(np.int64),
+                                 y.astype(np.int64))),
+            "_n": pa.array(np.ones(len(lat), np.int64))})
+
+    agg = points_ds.map_batches(_assign, batch_format="pyarrow").groupby(
+        "_k").aggregate(Sum("_n", alias_name="n_docs"))
+    return agg.map_batches(_unpack, batch_format="pyarrow")
+
+
+def _unpack(b: pa.Table) -> pa.Table:
+    k = b.column("_k").to_numpy().astype(np.int64)
+    mask = np.int64((1 << 29) - 1)
+    return pa.table({
+        "res": pa.array((k >> (2 * _SHIFT)) & mask, pa.int64()),
+        "x": pa.array((k >> _SHIFT) & mask, pa.int64()),
+        "y": pa.array(k & mask, pa.int64()),
+        "n_docs": pc.cast(b.column("n_docs"), pa.int64())})
+
+
+def compact_cells(cells_ds, res: int):
+    """Bottom-up compaction of a (res, x, y, n_docs) covering: ``res``
+    rounds, each ONE groupby of the current cell set by parent quad;
+    complete quads (4 present children at the round's finest level)
+    promote to the parent with summed weight, everything else passes
+    through unchanged."""
+
+    from ..functions.joins import _mix64
+
+    num_buckets = 16
+
+    def _round(finest: int):
+        def _fold(df: pd.DataFrame) -> pd.DataFrame:
+            cur = df[df["res"] == finest]
+            rest = df[df["res"] != finest]
+            parts = [rest[["res", "x", "y", "n_docs"]]]
+            if len(cur):
+                cur = cur.assign(px=cur["x"] // 2, py=cur["y"] // 2)
+                stat = (cur.groupby(["px", "py"], sort=False)
+                        .agg(k=("res", "size"), s=("n_docs", "sum"))
+                        .reset_index())
+                full = stat[stat["k"] == 4]
+                parts.append(pd.DataFrame({
+                    "res": np.full(len(full), finest - 1, np.int64),
+                    "x": full["px"].to_numpy(np.int64),
+                    "y": full["py"].to_numpy(np.int64),
+                    "n_docs": full["s"].to_numpy(np.int64)}))
+                merged = cur.merge(stat[["px", "py", "k"]],
+                                   on=["px", "py"], how="left")
+                parts.append(merged[merged["k"] < 4]
+                             [["res", "x", "y", "n_docs"]])
+            out = pd.concat(parts, ignore_index=True)
+            return out[["res", "x", "y", "n_docs"]].astype(np.int64)
+
+        return _fold
+
+    def _tag(finest: int):
+        def _f(b: pa.Table) -> pa.Table:
+            res_ = b.column("res").to_numpy().astype(np.int64)
+            x = b.column("x").to_numpy().astype(np.int64)
+            y = b.column("y").to_numpy().astype(np.int64)
+            # bucket by the PARENT quad at the round's finest level so
+            # complete quads co-locate; coarser cells ride their own key
+            key = np.where(res_ == finest,
+                           _pack(np.full(len(x), finest - 1, np.int64),
+                                 x >> 1, y >> 1),
+                           _pack(res_, x, y))
+            bkt = (_mix64(key) % np.uint64(num_buckets)).astype(np.int64)
+            return b.append_column("_b", pa.array(bkt, pa.int64()))
+        return _f
+
+    # fixed round count, one consumer per round -> keep the whole chain
+    # LAZY: all `res` groupbys stream in a single Ray execution (unlike
+    # dup_components, no per-round convergence check needs a barrier)
+    cur = cells_ds
+    for finest in range(res, 0, -1):
+        cur = (cur.map_batches(_tag(finest), batch_format="pyarrow")
+               .groupby("_b")
+               .map_groups(_round(finest), batch_format="pandas"))
+    return cur

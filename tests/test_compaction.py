@@ -1,0 +1,84 @@
+"""Hierarchical covering compaction: reference parity + invariants."""
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from geoflow.stages.cells import lonlat_to_xy
+from geoflow.stages.compaction import cell_counts, compact_cells
+from geoflow.stages.geocode import geocode_doc_ids
+
+
+def _reference(lat, lon, res):
+    x, y = lonlat_to_xy(lat, lon, res)
+    cells = dict(Counter(
+        zip([res] * len(lat), x.astype(int), y.astype(int))))
+    for f in range(res, 0, -1):
+        quads: dict = {}
+        for (r, cx, cy), v in list(cells.items()):
+            if r == f:
+                quads.setdefault((cx // 2, cy // 2), []).append((cx, cy, v))
+        for (px, py), kids in quads.items():
+            if len(kids) == 4:
+                for cx, cy, _ in kids:
+                    del cells[(f, cx, cy)]
+                cells[(f - 1, px, py)] = sum(v for _, _, v in kids)
+    return sorted((r, cx, cy, v) for (r, cx, cy), v in cells.items())
+
+
+def _run(lat, lon, res):
+    ids = np.arange(len(lat), dtype=np.int64)
+    pts = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids), "lat": pa.array(lat),
+        "lon": pa.array(lon)})).repartition(3)
+    got = compact_cells(cell_counts(pts, res), res).to_pandas()
+    return sorted(map(tuple,
+                      got[["res", "x", "y", "n_docs"]]
+                      .itertuples(index=False)))
+
+
+def test_compaction_matches_reference_on_geocoded_points():
+    lat, lon = geocode_doc_ids(np.arange(400, dtype=np.int64))
+    assert _run(lat, lon, 9) == _reference(lat, lon, 9)
+
+
+def test_full_quad_cascades_to_res_zero():
+    # one point in each res-2 cell -> every quad complete everywhere
+    # -> the whole covering collapses to the single res-0 cell
+    n = 4
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    lon = (xs.ravel() + 0.5) / n * 360.0 - 180.0
+    lat = 90.0 - (ys.ravel() + 0.5) / n * 180.0
+    out = _run(lat, lon, 2)
+    assert out == [(0, 0, 0, 16)]
+
+
+def test_incomplete_quads_stay_fine():
+    # 3 of 4 siblings occupied -> nothing promotes
+    n = 4
+    pts = [(0, 0), (1, 0), (0, 1)]
+    lon = np.array([(x + 0.5) / n * 360.0 - 180.0 for x, _ in pts])
+    lat = np.array([90.0 - (y + 0.5) / n * 180.0 for _, y in pts])
+    out = _run(lat, lon, 2)
+    assert out == [(2, 0, 0, 1), (2, 0, 1, 1), (2, 1, 0, 1)]
+
+
+def test_weight_is_conserved():
+    lat, lon = geocode_doc_ids(np.arange(300, dtype=np.int64))
+    out = _run(lat, lon, 8)
+    assert sum(v for _, _, _, v in out) == 300
+
+
+def test_counts_partition_invariant():
+    lat, lon = geocode_doc_ids(np.arange(200, dtype=np.int64))
+    ids = np.arange(200, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "lat": pa.array(lat),
+                  "lon": pa.array(lon)})
+    a = (cell_counts(rd.from_arrow(t), 7).to_pandas()
+         .sort_values(["x", "y"]).reset_index(drop=True))
+    b = (cell_counts(rd.from_arrow(t).repartition(9), 7).to_pandas()
+         .sort_values(["x", "y"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
