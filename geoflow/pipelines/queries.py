@@ -4433,6 +4433,69 @@ def bbox_cover_scan_docs(sf_dir: str):
     return ds.map_batches(_refine, batch_format="pyarrow")
 
 
+@register("crawl_frontier_docs", sql="""
+WITH d AS (SELECT doc_id, doc_id % 97 AS domain_key FROM documents),
+r AS (
+  SELECT doc_id, domain_key,
+         row_number() OVER (PARTITION BY domain_key ORDER BY doc_id) - 1
+             AS rnd
+  FROM d)
+SELECT doc_id, CAST(domain_key AS BIGINT) AS domain_key,
+       CAST(rnd AS BIGINT) AS rnd,
+       CAST(row_number() OVER (ORDER BY rnd, domain_key, doc_id)
+            AS BIGINT) AS pos
+FROM r
+""")
+def crawl_frontier_docs(sf_dir: str):
+    """Politeness-aware crawl-frontier schedule: breadth-across-domains
+    interleave (round r = each domain's r-th URL, domains in key order
+    within a round) with the EXACT global position per URL, so the
+    oracle hash-checks the order itself. Engine: per-domain rounds via
+    one bucket-keyed groupby + vectorized cumcount, then a distributed
+    dense rank (per-bucket count rollup -> driver bucket offsets ->
+    local sort + offset; the token_budget two-pass idiom applied to
+    ranking — geoflow.stages.webquality.frontier_order)."""
+    from ..stages.webquality import frontier_order
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    return frontier_order(ds, num_domains=97)
+
+
+@register("cell_focal_density", sql=_GEO_SQL_CTE + """,
+c AS MATERIALIZED (
+  SELECT x, y, count(*) AS n FROM (
+    SELECT CAST(least(greatest(
+             floor((lon + 180.0) / 360.0 * 256.0), 0), 255.0)
+           AS BIGINT) AS x,
+           CAST(least(greatest(
+             floor((90.0 - lat) / 180.0 * 256.0), 0), 255.0)
+           AS BIGINT) AS y
+    FROM geo)
+  GROUP BY 1, 2),
+o(dx, dy) AS (VALUES (-1,-1), (-1,0), (-1,1), (0,-1), (0,0), (0,1),
+                     (1,-1), (1,0), (1,1)),
+f AS (
+  SELECT c.x + o.dx AS x, c.y + o.dy AS y, sum(c.n) AS fs
+  FROM c CROSS JOIN o GROUP BY 1, 2)
+SELECT c.x, c.y, CAST(c.n AS BIGINT) AS n_docs,
+       CAST(f.fs AS BIGINT) AS focal_sum
+FROM c JOIN f USING (x, y)
+""")
+def cell_focal_density(sf_dir: str):
+    """Sparse focal (3x3) density over occupied res-8 cells of the
+    geocoded corpus — the grid kernel-density primitive without ever
+    materializing the dense grid. ONE groupby shuffle: each occupied
+    cell scatters its count to 9 neighbor keys plus a self marker;
+    phantom fringe keys drop in the same pass (stages.compaction
+    .focal_density). Oracle: 9-offset scatter replayed with a VALUES
+    cross join."""
+    from ..stages.compaction import cell_counts, focal_density
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    pts = ds.map_batches(_geocode_batch, batch_format="pyarrow")
+    return focal_density(cell_counts(pts, 8))
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver check order. The correctness driver hash-
 # verifies the FIRST 50 registered queries, so every window slot should
@@ -4546,6 +4609,14 @@ _PAST_WINDOW = [
     # machinery tfidf_top_terms keeps in-window, with the space-saving
     # candidate superset guarantee pinned by its property test.
     "pruned_events_scan", "frequent_tokens",
+    # data-mixing keeps token_budget_docs in-window (per-group budgeted
+    # selection with a doc-for-doc oracle; mixture's threshold routing
+    # is the same deterministic per-group acceptance mechanism), and
+    # token-statistics keeps tfidf_top_terms + doc_repetition_stats
+    # (the bigram-LM score is a global-bigram-count + per-doc fold of
+    # the same shape) — freeing slots for crawl_frontier_docs and
+    # cell_focal_density.
+    "mixture_rebalanced_counts", "lm_bigram_scores",
     # self-checking no-oracle entries
     "video_frame_embeddings", "ann_ivf_top5", "ann_lsh_top5",
     "flagship_zonal", "raster_pages_cell_join",

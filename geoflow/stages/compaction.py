@@ -142,3 +142,63 @@ def compact_cells(cells_ds, res: int):
                .groupby("_b")
                .map_groups(_round(finest), batch_format="pandas"))
     return cur
+
+
+def focal_density(cells_ds):
+    """Sparse focal (3x3 kernel) density over an occupied-cell table
+    (x, y, n_docs): each cell's focal_sum is the total count in its
+    3x3 neighborhood (self included), with absent neighbors counting
+    zero — the grid kernel-density primitive, computed WITHOUT
+    materializing the dense grid.
+
+    ONE groupby shuffle via the union-of-emissions idiom: every
+    occupied cell scatters its count to its 9 neighbor keys (contrib
+    rows) plus one self-marker row; groupby(key) sums both columns and
+    keeps only keys whose self-marker is positive (occupied cells) —
+    phantom keys from the dilated fringe drop inside the same pass, no
+    join needed.
+
+    SCALE: 9x replication of 24-byte rows over the OCCUPIED set
+    (footprint-bounded); the kernel radius generalizes by emitting
+    (2k+1)^2 offsets. Same shape as geocluster's replication but
+    aggregate-only, so per-group cost is O(fan-in) with fan-in <= 9.
+    """
+    from ray.data.aggregate import Sum
+
+    def _scatter(b: pa.Table) -> pa.Table:
+        x = b.column("x").to_numpy().astype(np.int64)
+        y = b.column("y").to_numpy().astype(np.int64)
+        n = b.column("n_docs").to_numpy().astype(np.int64)
+        m = len(x)
+        keys, contrib, selfn = [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                keys.append(_pack(np.zeros(m, np.int64), x + dx + 1,
+                                  y + dy + 1))
+                contrib.append(n)
+                selfn.append(np.zeros(m, np.int64))
+        keys.append(_pack(np.zeros(m, np.int64), x + 1, y + 1))
+        contrib.append(np.zeros(m, np.int64))
+        selfn.append(n)
+        return pa.table({
+            "_k": pa.array(np.concatenate(keys)),
+            "_c": pa.array(np.concatenate(contrib)),
+            "_s": pa.array(np.concatenate(selfn))})
+
+    agg = cells_ds.map_batches(_scatter, batch_format="pyarrow").groupby(
+        "_k").aggregate(Sum("_c", alias_name="focal_sum"),
+                        Sum("_s", alias_name="n_docs"))
+
+    def _finish(b: pa.Table) -> pa.Table:
+        k = b.column("_k").to_numpy().astype(np.int64)
+        n = b.column("n_docs").to_numpy().astype(np.int64)
+        keep = n > 0
+        mask = np.int64((1 << 29) - 1)
+        return pa.table({
+            "x": pa.array(((k[keep] >> _SHIFT) & mask) - 1, pa.int64()),
+            "y": pa.array((k[keep] & mask) - 1, pa.int64()),
+            "n_docs": pa.array(n[keep]),
+            "focal_sum": pa.array(
+                b.column("focal_sum").to_numpy().astype(np.int64)[keep])})
+
+    return agg.map_batches(_finish, batch_format="pyarrow")

@@ -844,3 +844,82 @@ def literal_scan_counts(ds, text_col: str = "text",
             "n_occ": pc.cast(b.column("n_occ"), pa.int64())})
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def frontier_order(docs_ds, num_domains: int = 97, n_docs: int | None = None,
+                   num_rank_buckets: int = 64, id_col: str = "doc_id"):
+    """Politeness-aware crawl-frontier schedule: URLs interleave
+    breadth-across-domains — round r takes each domain's r-th URL, and
+    within a round domains go in key order. Output rows carry the
+    EXACT global position, so an oracle can hash-check the order
+    itself, not just membership.
+
+    Two bucket-keyed passes, nothing doc-sized on the driver:
+    1. per-domain rounds: domains co-locate via one hash-bucket
+       groupby; inside a bucket one sort + a vectorized cumcount
+       yields each doc's round; the schedule key
+       (round * num_domains + domain) * n_docs + doc_id is a pure
+       int64 whose order IS (round, domain, doc_id);
+    2. global dense rank of the key: rank space splits into
+       ``num_rank_buckets`` ranges — one tiny per-bucket count rollup
+       gives the driver bucket OFFSETS (bucket-count rows only), then
+       each bucket sorts locally and adds its offset (the
+       token_budget_select two-pass idiom applied to ranking).
+
+    SCALE: pass 2's driver state is num_rank_buckets integers; skewed
+    domains are impossible by construction (the key spreads every
+    domain across rounds). At 10^12 URLs raise num_rank_buckets so a
+    bucket stays task-sized.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..functions.joins import _mix64
+
+    if n_docs is None:
+        n_docs = docs_ds.count()
+    nb = 32
+
+    def _dom(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        dom = ids % num_domains
+        return pa.table({
+            "_b": pa.array((_mix64(dom) % np.uint64(nb)).astype(np.int64)),
+            id_col: pa.array(ids), "domain_key": pa.array(dom),
+        })
+
+    def _rounds(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["domain_key", id_col], kind="mergesort")
+        rnd = df.groupby("domain_key", sort=False).cumcount().to_numpy()
+        ids = df[id_col].to_numpy()
+        dom = df["domain_key"].to_numpy()
+        key = (rnd * num_domains + dom) * n_docs + ids
+        return pd.DataFrame({id_col: ids, "domain_key": dom,
+                             "rnd": rnd.astype(np.int64),
+                             "_key": key.astype(np.int64)})
+
+    keyed = (docs_ds.map_batches(_dom, batch_format="pyarrow")
+             .groupby("_b").map_groups(_rounds, batch_format="pandas")
+             .materialize())
+
+    max_key = (n_docs // num_domains + 1) * num_domains * n_docs + n_docs
+    width = max(1, (max_key + num_rank_buckets) // num_rank_buckets)
+
+    def _rb(b: pa.Table) -> pa.Table:
+        k = b.column("_key").to_numpy()
+        return b.append_column("_rb", pa.array(k // width, pa.int64()))
+
+    tagged = keyed.map_batches(_rb, batch_format="pyarrow").materialize()
+    counts = (tagged.groupby("_rb").aggregate(Count(alias_name="_c"))
+              .to_pandas().sort_values("_rb"))
+    offsets = dict(zip(counts["_rb"].astype(int),
+                       np.concatenate([[0], counts["_c"].to_numpy()
+                                       .cumsum()[:-1]]).astype(int)))
+
+    def _pos(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("_key", kind="mergesort")
+        off = offsets[int(df["_rb"].iloc[0])]
+        df["pos"] = np.arange(1, len(df) + 1, dtype=np.int64) + off
+        return df[[id_col, "domain_key", "rnd", "pos"]]
+
+    return tagged.groupby("_rb").map_groups(_pos, batch_format="pandas")

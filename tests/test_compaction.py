@@ -82,3 +82,49 @@ def test_counts_partition_invariant():
     b = (cell_counts(rd.from_arrow(t).repartition(9), 7).to_pandas()
          .sort_values(["x", "y"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# focal_density shares the cell-analytics module
+# ---------------------------------------------------------------------------
+
+def test_focal_density_matches_dense_convolution():
+    rng = np.random.default_rng(13)
+    occ = rng.integers(0, 2, size=(12, 12)).astype(np.int64) * \
+        rng.integers(1, 9, size=(12, 12))
+    xs, ys = np.nonzero(occ)
+    cells = rd.from_arrow(pa.table({
+        "x": pa.array(xs.astype(np.int64)),
+        "y": pa.array(ys.astype(np.int64)),
+        "n_docs": pa.array(occ[xs, ys])})).repartition(3)
+    from geoflow.stages.compaction import focal_density
+    got = focal_density(cells).to_pandas()
+    padded = np.pad(occ, 1)
+    for r in got.itertuples():
+        block = padded[r.x:r.x + 3, r.y:r.y + 3]
+        assert r.focal_sum == block.sum(), (r.x, r.y)
+        assert r.n_docs == occ[r.x, r.y]
+    assert len(got) == len(xs)   # occupied cells only, no phantom fringe
+
+
+def test_frontier_order_fair_interleave():
+    import pandas as pd
+
+    from geoflow.stages.webquality import frontier_order
+
+    ids = np.arange(137, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids)})).repartition(4)
+    got = (frontier_order(ds, num_domains=7).to_pandas()
+           .sort_values("pos").reset_index(drop=True))
+    assert got["pos"].tolist() == list(range(1, 138))
+    # schedule order == lexicographic (round, domain, doc_id)
+    key = list(zip(got["rnd"], got["domain_key"], got["doc_id"]))
+    assert key == sorted(key)
+    # per-domain: rounds are 0..k-1 in doc_id order
+    for dom, g in got.groupby("domain_key"):
+        g = g.sort_values("doc_id")
+        assert g["rnd"].tolist() == list(range(len(g)))
+        assert (g["doc_id"] % 7 == dom).all()
+    # fairness: round r is only scheduled once every domain with >= r
+    # urls has had its r-1 round (positions of round r all after r-1)
+    assert (got.groupby("rnd")["pos"].min().diff().dropna() > 0).all()
