@@ -4496,6 +4496,56 @@ def cell_focal_density(sf_dir: str):
     return focal_density(cell_counts(pts, 8))
 
 
+@register("getis_ord_hotspots", sql=_GEO_SQL_CTE + """,
+c AS MATERIALIZED (
+  SELECT x, y, count(*) AS n FROM (
+    SELECT CAST(least(greatest(
+             floor((lon + 180.0) / 360.0 * 256.0), 0), 255.0)
+           AS BIGINT) AS x,
+           CAST(least(greatest(
+             floor((90.0 - lat) / 180.0 * 256.0), 0), 255.0)
+           AS BIGINT) AS y
+    FROM geo)
+  GROUP BY 1, 2),
+o(dx, dy) AS (VALUES (-1,-1), (-1,0), (-1,1), (0,-1), (0,0), (0,1),
+                     (1,-1), (1,0), (1,1)),
+f AS (
+  SELECT c.x + o.dx AS x, c.y + o.dy AS y, sum(c.n) AS fs
+  FROM c CROSS JOIN o GROUP BY 1, 2),
+st AS (
+  SELECT sum(n) / 65536.0 AS xbar,
+         sqrt(sum(n * n) / 65536.0
+              - (sum(n) / 65536.0) * (sum(n) / 65536.0)) AS s
+  FROM c),
+w AS (
+  SELECT c.x, c.y, c.n, f.fs,
+         (3.0 - CASE WHEN c.x = 0 THEN 1 ELSE 0 END
+              - CASE WHEN c.x = 255 THEN 1 ELSE 0 END)
+       * (3.0 - CASE WHEN c.y = 0 THEN 1 ELSE 0 END
+              - CASE WHEN c.y = 255 THEN 1 ELSE 0 END) AS wi
+  FROM c JOIN f USING (x, y))
+SELECT x, y, CAST(n AS BIGINT) AS n_docs, CAST(fs AS BIGINT) AS focal_sum,
+       round((CAST(fs AS DOUBLE) - st.xbar * wi)
+             / (st.s * sqrt((65536.0 * wi - wi * wi) / 65535.0)), 6)
+           AS gi_z
+FROM w CROSS JOIN st
+""")
+def getis_ord_hotspots(sf_dir: str):
+    """Getis-Ord Gi* hotspot detection over the res-8 grid: per
+    occupied cell, the z-score of its boundary-truncated 3x3 focal sum
+    against the full-grid null — the standard spatial-statistics
+    hotspot test, here entirely as one tiny moment aggregate + the
+    single-shuffle focal scatter + a stateless z map
+    (geoflow.stages.compaction.getis_ord_hotspots). Engine and oracle
+    derive every float from the same integers in the same operation
+    order; z rounds to 6 decimals."""
+    from ..stages.compaction import cell_counts, getis_ord_hotspots
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    pts = ds.map_batches(_geocode_batch, batch_format="pyarrow")
+    return getis_ord_hotspots(cell_counts(pts, 8), 8)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver check order. The correctness driver hash-
 # verifies the FIRST 50 registered queries, so every window slot should
@@ -4617,6 +4667,12 @@ _PAST_WINDOW = [
     # the same shape) — freeing slots for crawl_frontier_docs and
     # cell_focal_density.
     "mixture_rebalanced_counts", "lm_bigram_scores",
+    # n-gram statistics keep dedup_windows_docs (cross-doc 8-token
+    # windows incl. rewrite bytes) + tfidf_top_terms in-window; the
+    # intra-doc repetition pair (top-bigram / dup-trigram coverage)
+    # is the same per-doc vectorized n-gram counting — freeing a slot
+    # for getis_ord_hotspots.
+    "doc_repetition_stats",
     # self-checking no-oracle entries
     "video_frame_embeddings", "ann_ivf_top5", "ann_lsh_top5",
     "flagship_zonal", "raster_pages_cell_join",

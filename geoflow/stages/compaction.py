@@ -202,3 +202,58 @@ def focal_density(cells_ds):
                 b.column("focal_sum").to_numpy().astype(np.int64)[keep])})
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def getis_ord_hotspots(cells_ds, res: int):
+    """Getis-Ord Gi* hotspot z-scores over the res-``res`` grid: for
+    each OCCUPIED cell, how extreme its 3x3 focal sum is against the
+    full-grid null (all 4^res cells, absent = 0) — the standard
+    hotspot-detection statistic of spatial analysis.
+
+        Gi*(i) = (S_i - Xbar * W_i)
+                 / (S * sqrt((n * W_i - W_i^2) / (n - 1)))
+
+    with S_i the boundary-truncated 3x3 focal sum (focal_density),
+    W_i the window's true cell count (edges have < 9 neighbors),
+    n = 4^res, Xbar = T/n and S the population std from the two grid
+    moments T = sum(counts), Q = sum(counts^2).
+
+    Distribution: T and Q are ONE tiny aggregate over the occupied-
+    cell set (two scalars to the driver); the focal pass is the
+    single-shuffle scatter; the z map is stateless. Both engine and
+    the SQL replay derive every float from the same integers in the
+    same operation order, and outputs round to 6 decimals.
+    """
+    from ray.data.aggregate import Sum
+
+    side = 1 << res
+    n_cells = float(side * side)
+
+    def _sq(b: pa.Table) -> pa.Table:
+        n = b.column("n_docs").to_numpy().astype(np.int64)
+        return pa.table({"_t": pa.array(n), "_q": pa.array(n * n)})
+
+    mom = cells_ds.map_batches(_sq, batch_format="pyarrow").aggregate(
+        Sum("_t"), Sum("_q"))
+    t, q = int(mom["sum(_t)"]), int(mom["sum(_q)"])
+    xbar = t / n_cells
+    s = np.sqrt(q / n_cells - xbar * xbar)
+
+    focal = focal_density(cells_ds)
+
+    def _z(b: pa.Table) -> pa.Table:
+        x = b.column("x").to_numpy().astype(np.int64)
+        y = b.column("y").to_numpy().astype(np.int64)
+        si = b.column("focal_sum").to_numpy().astype(np.float64)
+        wx = 3.0 - (x == 0) - (x == side - 1)
+        wy = 3.0 - (y == 0) - (y == side - 1)
+        w = wx * wy
+        denom = s * np.sqrt((n_cells * w - w * w) / (n_cells - 1.0))
+        z = (si - xbar * w) / denom
+        return pa.table({
+            "x": pa.array(x), "y": pa.array(y),
+            "n_docs": b.column("n_docs"),
+            "focal_sum": b.column("focal_sum"),
+            "gi_z": pa.array(np.round(z, 6))})
+
+    return focal.map_batches(_z, batch_format="pyarrow")

@@ -128,3 +128,39 @@ def test_frontier_order_fair_interleave():
     # fairness: round r is only scheduled once every domain with >= r
     # urls has had its r-1 round (positions of round r all after r-1)
     assert (got.groupby("rnd")["pos"].min().diff().dropna() > 0).all()
+
+
+def test_getis_ord_hotspot_ranks_dense_cells_highest():
+    from geoflow.stages.compaction import cell_counts, getis_ord_hotspots
+    from geoflow.stages.geocode import geocode_doc_ids
+
+    ids = np.arange(500, dtype=np.int64)
+    lat, lon = geocode_doc_ids(ids)
+    pts = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids), "lat": pa.array(lat),
+        "lon": pa.array(lon)})).repartition(3)
+    got = getis_ord_hotspots(cell_counts(pts, 8), 8).to_pandas()
+
+    # z reproduces the closed form computed straight from the counts
+    occ = {(r.x, r.y): r.n_docs for r in got.itertuples()}
+    n_cells = 256.0 * 256.0
+    t = sum(occ.values())
+    q = sum(v * v for v in occ.values())
+    xbar = t / n_cells
+    s = np.sqrt(q / n_cells - xbar * xbar)
+    for r in got.sample(frac=0.2, random_state=0).itertuples():
+        si = sum(occ.get((r.x + dx, r.y + dy), 0)
+                 for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+        assert si == r.focal_sum
+        wx = 3.0 - (r.x == 0) - (r.x == 255)
+        wy = 3.0 - (r.y == 0) - (r.y == 255)
+        w = wx * wy
+        z = (si - xbar * w) / (s * np.sqrt(
+            (n_cells * w - w * w) / (n_cells - 1.0)))
+        assert abs(z - r.gi_z) < 5e-7
+    # the three geocode hotspots dominate the very top of the z
+    # ranking (edge cells with W=6 legitimately outrank interior
+    # singletons further down — smaller windows inflate z)
+    top = got.nlargest(3, "gi_z")
+    assert (top["gi_z"] > got["gi_z"].median()).all()
+    assert top["focal_sum"].min() >= 40
