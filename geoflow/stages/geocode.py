@@ -148,3 +148,71 @@ def travel_stats(events_ds, num_buckets: int = 32):
 
     return (events_ds.map_batches(_tag, batch_format="pyarrow")
             .groupby("_b").map_groups(_bucket, batch_format="pandas"))
+
+
+def od_matrix(events_ds, res: int = 6, num_buckets: int = 32):
+    """Origin-destination matrix over the geocoded event stream: count
+    per-user transitions between consecutive events' grid cells (res-
+    ``res``), in (ts, event_id) order — the classic movement-analytics
+    rollup (where do users go next?).
+
+    Same partitioning as travel_stats (ONE user-keyed bucket shuffle,
+    whole-bucket vectorized pass: sort, shift, cell-assign), then one
+    global groupby over (from_x, from_y, to_x, to_y) counter rows.
+    Self-transitions (same cell) are kept — they are the dwell signal.
+
+    SCALE: transition rows == event rows minus users; the final
+    groupby's key space is bounded by the OD support (occupied cell
+    pairs), so the wide step is footprint-sized. Hot users are bounded
+    by events-per-user exactly as in travel_stats.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.joins import _mix64
+    from .cells import lonlat_to_xy
+
+    def _tag(b: pa.Table) -> pa.Table:
+        ids = b.column("event_id").to_numpy().astype(np.int64)
+        uid = b.column("user_id").to_numpy().astype(np.int64)
+        lat, lon = geocode_doc_ids(ids)
+        x, y = lonlat_to_xy(lat, lon, res)
+        return pa.table({
+            "_b": pa.array((_mix64(uid) % np.uint64(num_buckets))
+                           .astype(np.int64)),
+            "user_id": pa.array(uid), "ts": b.column("ts"),
+            "event_id": pa.array(ids),
+            "cx": pa.array(x.astype(np.int64)),
+            "cy": pa.array(y.astype(np.int64)),
+        })
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        cx = df["cx"].to_numpy()
+        cy = df["cy"].to_numpy()
+        same = np.zeros(len(df), dtype=bool)
+        if len(df) > 1:
+            same[1:] = uid[1:] == uid[:-1]
+        i = np.flatnonzero(same)
+        out = pd.DataFrame({
+            "from_x": cx[i - 1], "from_y": cy[i - 1],
+            "to_x": cx[i], "to_y": cy[i]})
+        g = (out.groupby(["from_x", "from_y", "to_x", "to_y"],
+                         sort=False).size().rename("n_moves")
+             .reset_index())
+        return g.astype(np.int64)
+
+    from ray.data.aggregate import Sum
+
+    partial = (events_ds.map_batches(_tag, batch_format="pyarrow")
+               .groupby("_b").map_groups(_bucket, batch_format="pandas"))
+    agg = partial.groupby(["from_x", "from_y", "to_x", "to_y"]).aggregate(
+        Sum("n_moves", alias_name="n_moves"))
+    import pyarrow.compute as pc
+    return agg.map_batches(
+        lambda b: pa.table({c: pc.cast(b.column(c), pa.int64())
+                            for c in ["from_x", "from_y", "to_x", "to_y",
+                                      "n_moves"]}),
+        batch_format="pyarrow")

@@ -164,3 +164,43 @@ def test_getis_ord_hotspot_ranks_dense_cells_highest():
     top = got.nlargest(3, "gi_z")
     assert (top["gi_z"] > got["gi_z"].median()).all()
     assert top["focal_sum"].min() >= 40
+
+
+def test_cell_blob_labels_matches_flood_fill():
+    from geoflow.stages.compaction import cell_blob_labels
+
+    # hand-built occupancy: an L-blob, a diagonal-touching pair
+    # (8-connectivity joins them), and an isolated singleton
+    pts = [(1, 1), (1, 2), (2, 1),          # L blob
+           (5, 5), (6, 6),                  # diagonal pair
+           (9, 1)]                          # singleton
+    cells = rd.from_arrow(pa.table({
+        "x": pa.array([p[0] for p in pts], pa.int64()),
+        "y": pa.array([p[1] for p in pts], pa.int64()),
+        "n_docs": pa.array([1] * len(pts), pa.int64())})).repartition(2)
+    got = cell_blob_labels(cells, 8).to_pandas()
+    gm = {(r.x, r.y): r.blob for r in got.itertuples()}
+    side = 256
+    assert gm[(1, 1)] == gm[(1, 2)] == gm[(2, 1)] == 1 * side + 1
+    assert gm[(5, 5)] == gm[(6, 6)] == 5 * side + 5
+    assert gm[(9, 1)] == 9 * side + 1
+    assert len(gm) == 6
+
+
+def test_od_matrix_conserves_transitions():
+    import pandas as pd
+
+    from geoflow.stages.geocode import od_matrix
+
+    rng = np.random.default_rng(21)
+    n = 300
+    eid = np.arange(n, dtype=np.int64)
+    uid = rng.integers(0, 20, n).astype(np.int64)
+    ts = pd.to_datetime(rng.integers(0, 5000, n), unit="s")
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array(eid), "user_id": pa.array(uid),
+        "ts": pa.array(ts)})).repartition(4)
+    got = od_matrix(ds, res=6, num_buckets=8).to_pandas()
+    n_users = len(np.unique(uid))
+    assert got["n_moves"].sum() == n - n_users  # one leg per event, minus firsts
+    assert (got["n_moves"] > 0).all()
