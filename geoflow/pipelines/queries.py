@@ -4676,6 +4676,86 @@ def cell_blob_labels(sf_dir: str):
     return cell_blob_labels(cell_counts(pts, 8), 8)
 
 
+_HYDRO_CACHE: dict = {}
+_HYDRO_HW = (192, 192)
+_HYDRO_TILE = 64
+
+
+def _hydro_flow():
+    """Flow-derived tile dataset + driver entry-graph solve (cached).
+
+    The entry graph spans only tile-boundary cells — O(perimeter) =
+    N / tile_side of the raster — see stages/hydrology.py scale notes.
+    """
+    import ray.data as rd
+    from ..sources import tiles as tsrc
+    from ..stages import hydrology as hy
+
+    if "flow" not in _HYDRO_CACHE:
+        H, W = _HYDRO_HW
+        dem = hy.hydro_dem(H, W)
+        tab = tsrc.raster_to_tile_table(dem[None].astype(np.float32),
+                                        dem.astype(np.float64),
+                                        raster_id="hydro0",
+                                        tile=_HYDRO_TILE)
+        fl = hy.flow_tiles(rd.from_arrow(tab), H, W,
+                           _HYDRO_TILE, _HYDRO_TILE).materialize()
+        sink_of, inflow = hy.entry_graph(fl.to_pandas(), _HYDRO_TILE,
+                                         _HYDRO_TILE, W)
+        _HYDRO_CACHE["flow"] = (fl, sink_of, inflow)
+    return _HYDRO_CACHE["flow"]
+
+
+def _hydro_basins_sql():
+    from ..stages.hydrology import basins_oracle_sql
+    return basins_oracle_sql(*_HYDRO_HW)
+
+
+def _hydro_acc_sql():
+    from ..stages.hydrology import accumulation_oracle_sql
+    return accumulation_oracle_sql(*_HYDRO_HW)
+
+
+@register("d8_flow_basins", lazy_sql=_hydro_basins_sql)
+def d8_flow_basins(sf_dir: str):
+    """D8 drainage basins over the integer DEM raster: steepest-descent
+    flow direction from each tile's own DEM halo (no neighbor join),
+    within-tile pointer doubling, cross-tile resolution through the
+    O(perimeter) entry graph, ONE broadcast dict — no shuffle. Oracle
+    replays flow direction (integer cross-multiplied slopes) and basin
+    assignment (materialized pointer-doubling CTEs) to the bit
+    (geoflow/stages/hydrology.py; O'Callaghan & Mark 1984)."""
+    from ..functions.agg import grouped_count_sum
+    from ..stages.hydrology import basin_labels
+
+    fl, sink_of, _ = _hydro_flow()
+    labeled = basin_labels(fl, sink_of, _HYDRO_TILE, _HYDRO_TILE,
+                           _HYDRO_HW[1])
+    out = grouped_count_sum(labeled, ["basin"], ["dem"],
+                            count_alias="n_cells",
+                            min_cols=["cell"]).to_pandas()
+    out = out.rename(columns={"dem_sum": "sum_dem", "cell_min": "min_cell"})
+    return out[["basin", "n_cells", "sum_dem", "min_cell"]]
+
+
+@register("d8_flow_accumulation", lazy_sql=_hydro_acc_sql)
+def d8_flow_accumulation(sf_dir: str):
+    """D8 flow accumulation (contributing-cell counts): tile-local visit
+    counting by vectorized mass push, entry inflows solved on the tiny
+    boundary graph by one descending-elevation sweep, then a second
+    stateless per-tile pass with the inflow dict broadcast (Wallis et
+    al. 2009 decomposition). Deterministic top-300 by (acc DESC, cell).
+    Oracle counts (origin, visited) pairs from the same doubling
+    closure."""
+    from ..stages.hydrology import accumulation
+
+    fl, _, inflow = _hydro_flow()
+    acc = accumulation(fl, inflow, _HYDRO_TILE, _HYDRO_TILE, *_HYDRO_HW)
+    out = acc.sort(["acc", "cell"], descending=[True, False]) \
+             .limit(300).to_pandas()
+    return out[["cell", "gy", "gx", "acc"]]
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver check order. The correctness driver hash-
 # verifies the FIRST 50 registered queries, so every window slot should
@@ -4812,6 +4892,13 @@ _PAST_WINDOW = [
     # flagship_zonal_verified); langid's decision replay is applied
     # AND replayed inside in-window corpus_curation.
     "decontaminated_docs", "pii_scrub_docs", "langid_docs",
+    # two demotions admitting the D8 hydrology pair: the sparse focal-
+    # density neighborhood machinery stays in-window via getis_ord_
+    # hotspots (Gi* IS a weighted focal sum over the same 8-offset
+    # scatter, plus the z-score on top); consecutive-leg movement
+    # rollups stay in-window via user_travel_stats (same LAG-pair
+    # machinery the OD matrix buckets by cell pair).
+    "cell_focal_density", "od_matrix_cells",
     # self-checking no-oracle entries
     "video_frame_embeddings", "ann_ivf_top5", "ann_lsh_top5",
     "flagship_zonal", "raster_pages_cell_join",
