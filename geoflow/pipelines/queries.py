@@ -4676,6 +4676,26 @@ def cell_blob_labels(sf_dir: str):
     return cell_blob_labels(cell_counts(pts, 8), 8)
 
 
+def _bm25_sql():
+    from ..stages.search import bm25_oracle_sql
+    return bm25_oracle_sql()
+
+
+@register("bm25_top_docs", lazy_sql=_bm25_sql)
+def bm25_top_docs(sf_dir: str):
+    """BM25 (Okapi) top-10 docs for 3 auto-derived 2-term queries (the
+    6 highest-DF corpus terms, chunked in DF-desc/term-asc order).
+    Distributed inverted index: slim posting rows, combiner-pattern DF,
+    broadcast query dictionary, two-level per-query top-k; ranking on
+    the ROUNDED score so a last-ulp ln() difference cannot reorder
+    (geoflow.stages.search.bm25_topk)."""
+    from ..stages.search import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, "doc_id", "text", n_queries=3,
+                     terms_per_query=2, k=10)
+
+
 _HYDRO_CACHE: dict = {}
 _HYDRO_HW = (192, 192)
 _HYDRO_TILE = 64
@@ -4892,6 +4912,12 @@ _PAST_WINDOW = [
     # flagship_zonal_verified); langid's decision replay is applied
     # AND replayed inside in-window corpus_curation.
     "decontaminated_docs", "pii_scrub_docs", "langid_docs",
+    # demotion admitting bm25_top_docs: exact-dedup's bucket-keyed
+    # shuffle plan stays hash-verified in-window TWICE — inside the
+    # flagship twin (flagship_zonal_verified runs the same dedup stage
+    # before its verified zonal rollup) and as url_dedup_pages (the
+    # same exact-dedup mechanism keyed on the canonicalized url).
+    "dedup_exact_docs",
     # two demotions admitting the D8 hydrology pair: the sparse focal-
     # density neighborhood machinery stays in-window via getis_ord_
     # hotspots (Gi* IS a weighted focal sum over the same 8-offset
