@@ -4676,6 +4676,27 @@ def cell_blob_labels(sf_dir: str):
     return cell_blob_labels(cell_counts(pts, 8), 8)
 
 
+def _cdc_sql():
+    from ..stages.cdc import cdc_oracle_sql
+    return cdc_oracle_sql()
+
+
+@register("cdc_chunk_dups", lazy_sql=_cdc_sql)
+def cdc_chunk_dups(sf_dir: str):
+    """Content-defined chunking dedup (LBFS-style, 32-bit buzhash
+    rolling window): identical substrings chunk identically anywhere
+    they appear, so cross-doc duplicated chunks fall out of ONE
+    combiner-pattern groupby over slim (h1, h2, len) rows — shuffle is
+    one 28-byte row per ~32-char chunk, never the text. Oracle replays
+    the buzhash bit-for-bit (bit_xor window + rotation identity) and
+    the dual polynomial chunk hashes fold-by-fold
+    (geoflow.stages.cdc)."""
+    from ..stages.cdc import cdc_dup_chunks
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return cdc_dup_chunks(ds)
+
+
 def _bm25_sql():
     from ..stages.search import bm25_oracle_sql
     return bm25_oracle_sql()
@@ -4912,6 +4933,12 @@ _PAST_WINDOW = [
     # flagship_zonal_verified); langid's decision replay is applied
     # AND replayed inside in-window corpus_curation.
     "decontaminated_docs", "pii_scrub_docs", "langid_docs",
+    # demotion admitting cdc_chunk_dups: min-label component machinery
+    # (dup_components) stays hash-verified in-window TWICE — grid_
+    # dbscan_docs builds its core components with it and cell_blob_
+    # labels replays the same recursive-CTE closure shape; candidate
+    # PAIR generation stays in-window via minhash_near_dup itself.
+    "minhash_dup_clusters",
     # demotion admitting bm25_top_docs: exact-dedup's bucket-keyed
     # shuffle plan stays hash-verified in-window TWICE — inside the
     # flagship twin (flagship_zonal_verified runs the same dedup stage
