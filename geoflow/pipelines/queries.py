@@ -4676,6 +4676,83 @@ def cell_blob_labels(sf_dir: str):
     return cell_blob_labels(cell_counts(pts, 8), 8)
 
 
+@register("cell_convex_hulls", sql=_GEO_SQL_CTE + """
+, pts AS (
+  SELECT min(doc_id) AS doc_id, ix, iy,
+         CAST(floor((ix / 1000000.0 + 180.0) / 360.0 * 8.0) AS BIGINT)
+           AS cell_x,
+         CAST(floor((90.0 - iy / 1000000.0) / 180.0 * 8.0) AS BIGINT)
+           AS cell_y
+  FROM (SELECT doc_id,
+               CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT) AS ix,
+               CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT) AS iy
+        FROM geo WHERE doc_id % 17 = 0) s
+  GROUP BY ix, iy
+),
+tric AS (
+  SELECT p.cell_x, p.cell_y, p.doc_id,
+    (b.ix - a.ix) * (p.iy - a.iy) - (b.iy - a.iy) * (p.ix - a.ix) AS s1,
+    (c.ix - b.ix) * (p.iy - b.iy) - (c.iy - b.iy) * (p.ix - b.ix) AS s2,
+    (a.ix - c.ix) * (p.iy - c.iy) - (a.iy - c.iy) * (p.ix - c.ix) AS s3,
+    LEAST(a.ix, b.ix, c.ix) AS xlo, GREATEST(a.ix, b.ix, c.ix) AS xhi,
+    LEAST(a.iy, b.iy, c.iy) AS ylo, GREATEST(a.iy, b.iy, c.iy) AS yhi,
+    p.ix AS px, p.iy AS py
+  FROM pts p
+  JOIN pts a ON a.cell_x = p.cell_x AND a.cell_y = p.cell_y
+            AND a.doc_id <> p.doc_id
+  JOIN pts b ON b.cell_x = p.cell_x AND b.cell_y = p.cell_y
+            AND b.doc_id > a.doc_id AND b.doc_id <> p.doc_id
+  JOIN pts c ON c.cell_x = p.cell_x AND c.cell_y = p.cell_y
+            AND c.doc_id > b.doc_id AND c.doc_id <> p.doc_id
+),
+segv AS (
+  -- 2-point Caratheodory case: p exactly on a segment of two others
+  -- (the geocode map is affine in doc_id, so exact collinearity is
+  -- common, not a measure-zero fluke)
+  SELECT DISTINCT p.cell_x, p.cell_y, p.doc_id
+  FROM pts p
+  JOIN pts a ON a.cell_x = p.cell_x AND a.cell_y = p.cell_y
+            AND a.doc_id <> p.doc_id
+  JOIN pts b ON b.cell_x = p.cell_x AND b.cell_y = p.cell_y
+            AND b.doc_id > a.doc_id AND b.doc_id <> p.doc_id
+  WHERE (b.ix - a.ix) * (p.iy - a.iy)
+        - (b.iy - a.iy) * (p.ix - a.ix) = 0
+    AND p.ix >= LEAST(a.ix, b.ix) AND p.ix <= GREATEST(a.ix, b.ix)
+    AND p.iy >= LEAST(a.iy, b.iy) AND p.iy <= GREATEST(a.iy, b.iy)
+),
+nonv AS (
+  SELECT DISTINCT cell_x, cell_y, doc_id FROM tric
+  WHERE ((s1 >= 0 AND s2 >= 0 AND s3 >= 0)
+         OR (s1 <= 0 AND s2 <= 0 AND s3 <= 0))
+    AND NOT (s1 = 0 AND s2 = 0 AND s3 = 0
+             AND (px < xlo OR px > xhi OR py < ylo OR py > yhi))
+  UNION SELECT cell_x, cell_y, doc_id FROM segv
+)
+SELECT p.cell_x, p.cell_y, p.doc_id, p.ix, p.iy
+FROM pts p
+WHERE NOT EXISTS (SELECT 1 FROM nonv n
+                  WHERE n.cell_x = p.cell_x AND n.cell_y = p.cell_y
+                    AND n.doc_id = p.doc_id)
+""")
+def cell_convex_hulls_docs(sf_dir: str):
+    """Convex hull vertex set of the geocoded point cloud per 8x8
+    lon/lat cell (doc_id % 17 sample; microdegree integer snap so every
+    geometric predicate is EXACT int64; duplicate coords collapse to
+    min doc_id). Engine: Andrew's monotone chain per cell group after
+    ONE groupby. Oracle: Caratheodory — a point is a non-vertex iff a
+    triangle of three OTHER cell points (or, degenerately, a segment
+    of two) contains it — hull membership replayed without replaying
+    the chain (geoflow.stages.geocluster.cell_convex_hulls)."""
+    from ..stages.geocluster import cell_convex_hulls
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    sampled = ds.map_batches(
+        lambda b: b.filter(pa.array(b.column("doc_id").to_numpy() % 17 == 0)),
+        batch_format="pyarrow")
+    pts = sampled.map_batches(_geocode_batch, batch_format="pyarrow")
+    return cell_convex_hulls(pts, nx=8, ny=8)
+
+
 def _cdc_sql():
     from ..stages.cdc import cdc_oracle_sql
     return cdc_oracle_sql()
@@ -4933,6 +5010,12 @@ _PAST_WINDOW = [
     # flagship_zonal_verified); langid's decision replay is applied
     # AND replayed inside in-window corpus_curation.
     "decontaminated_docs", "pii_scrub_docs", "langid_docs",
+    # demotion admitting cell_convex_hulls: the shoelace/centroid
+    # measures ride the SAME full-precision polygon edge tables the
+    # in-window PIP join (pip_polygon_docs) replays VALUES-for-VALUES;
+    # per-edge partial-sum machinery is the standard combiner shape a
+    # dozen in-window queries already pin.
+    "polygon_metrics",
     # demotion admitting cdc_chunk_dups: min-label component machinery
     # (dup_components) stays hash-verified in-window TWICE — grid_
     # dbscan_docs builds its core components with it and cell_blob_

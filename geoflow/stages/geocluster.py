@@ -254,3 +254,74 @@ def grid_dbscan(points_ds, eps: float, min_pts: int,
             "is_core": pa.array(isc)})
 
     return merged.map_batches(_decode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Per-cell convex hulls
+# ---------------------------------------------------------------------------
+
+def _monotone_chain(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain over INTEGER coordinates; returns indices
+    of hull VERTICES only (strict turns — collinear boundary points are
+    dropped). Integer cross products make the orientation predicate
+    exact, so the chain agrees with the SQL Caratheodory oracle on
+    every degenerate input (exact collinearity is COMMON here: the
+    geocode map is affine in doc_id)."""
+    n = len(x)
+    if n <= 2:
+        return np.arange(n)
+    order = np.lexsort((y, x))
+
+    def cross(o, a, b):
+        return (x[a] - x[o]) * (y[b] - y[o]) - (y[a] - y[o]) * (x[b] - x[o])
+
+    def half(idx):
+        h = []
+        for i in idx:
+            while len(h) >= 2 and cross(h[-2], h[-1], i) <= 0:
+                h.pop()
+            h.append(i)
+        return h
+
+    lower = half(order)
+    upper = half(order[::-1])
+    return np.unique(np.array(lower[:-1] + upper[:-1], dtype=np.int64))
+
+
+def cell_convex_hulls(pts_ds, nx: int = 8, ny: int = 8):
+    """Convex hull VERTEX set of the point cloud inside every occupied
+    (nx x ny) lon/lat grid cell, on the microdegree integer grid
+    (ix = floor(lon*1e6 + 0.5), iy likewise) — snapping makes every
+    geometric predicate exact int64 arithmetic, bit-reproducible
+    against SQL regardless of expression order.
+
+    Exact-coordinate duplicates collapse to the min doc_id first (a
+    duplicated corner would otherwise be vertex-or-not ambiguous).
+    Cells are independent — one groupby, then a vectorized monotone
+    chain per cell group; hull output is ~O(log n) vertices per cell,
+    so hot metro cells stay bounded.
+
+    Output: (cell_x, cell_y, doc_id, ix, iy) — one row per vertex.
+    """
+
+    def _cells(b: pa.Table) -> pa.Table:
+        lat = b.column("lat").to_numpy()
+        lon = b.column("lon").to_numpy()
+        cx = np.floor((lon + 180.0) / 360.0 * nx).astype(np.int64)
+        cy = np.floor((90.0 - lat) / 180.0 * ny).astype(np.int64)
+        ix = np.floor(lon * 1e6 + 0.5).astype(np.int64)
+        iy = np.floor(lat * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"cell_x": pa.array(cx), "cell_y": pa.array(cy),
+                         "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                         "ix": pa.array(ix), "iy": pa.array(iy)})
+
+    def _hull(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        g = g.drop_duplicates(["ix", "iy"], keep="first")
+        idx = _monotone_chain(g["ix"].to_numpy(), g["iy"].to_numpy())
+        out = g.iloc[idx]
+        return out[["cell_x", "cell_y", "doc_id", "ix", "iy"]]
+
+    return pts_ds.map_batches(_cells, batch_format="pyarrow") \
+        .groupby(["cell_x", "cell_y"]) \
+        .map_groups(_hull, batch_format="pandas")
