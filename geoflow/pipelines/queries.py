@@ -4824,6 +4824,39 @@ def _hydro_flow():
     return _HYDRO_CACHE["flow"]
 
 
+_VIEW_OBS = (96, 96)
+
+
+def _viewshed_sql():
+    from ..stages.hydrology import hydro_dem_sql
+    from ..stages.viewshed import viewshed_oracle_sql
+    return viewshed_oracle_sql(*_VIEW_OBS,
+                               "WITH " + hydro_dem_sql(*_HYDRO_HW).strip())
+
+
+@register("viewshed_visible", lazy_sql=_viewshed_sql)
+def viewshed_visible(sf_dir: str):
+    """Observer viewshed over the integer DEM (Franklin & Ray line-of-
+    sight): deterministic midpoint rays, elevation angles compared by
+    EXACT cross-multiplied squares (no float ever), target tiles
+    streamed with the DEM broadcast once via ray.put (sector
+    decomposition at true scale — stages/viewshed.py). The oracle
+    replays rays and comparisons bit-for-bit."""
+    import ray.data as rd
+    from ..sources import tiles as tsrc
+    from ..stages import hydrology as hy
+    from ..stages.viewshed import viewshed
+
+    H, W = _HYDRO_HW
+    dem = hy.hydro_dem(H, W)
+    if "table" not in _HYDRO_CACHE:
+        _HYDRO_CACHE["table"] = tsrc.raster_to_tile_table(
+            dem[None].astype(np.float32), dem.astype(np.float64),
+            raster_id="hydro0", tile=_HYDRO_TILE)
+    tiles = rd.from_arrow(_HYDRO_CACHE["table"])
+    return viewshed(tiles, dem, *_VIEW_OBS, _HYDRO_TILE, _HYDRO_TILE)
+
+
 def _hydro_basins_sql():
     from ..stages.hydrology import basins_oracle_sql
     return basins_oracle_sql(*_HYDRO_HW)
@@ -5010,6 +5043,13 @@ _PAST_WINDOW = [
     # flagship_zonal_verified); langid's decision replay is applied
     # AND replayed inside in-window corpus_curation.
     "decontaminated_docs", "pii_scrub_docs", "langid_docs",
+    # demotion admitting viewshed_visible: cross-run near-dup ingest's
+    # decision chain (band LSH + exact-Jaccard verify) is the SAME
+    # hash-verified plan as in-window minhash_near_dup over the same
+    # corpus; the persistence half (idempotent atomic commits, novelty
+    # against the persisted index) is pinned by test_near_ingest and
+    # mirrors the exact-ingest twin already outside the window.
+    "near_ingest_docs",
     # demotion admitting cell_convex_hulls: the shoelace/centroid
     # measures ride the SAME full-precision polygon edge tables the
     # in-window PIP join (pip_polygon_docs) replays VALUES-for-VALUES;
