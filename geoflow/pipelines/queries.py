@@ -4824,6 +4824,71 @@ def _hydro_flow():
     return _HYDRO_CACHE["flow"]
 
 
+@register("stay_points_events", sql="""
+WITH eg AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 2654435761 + 17) % 4294967296 AS h1,
+         (event_id * 2246822519 + 101) % 4294967296 AS h2,
+         event_id % 10 AS sel
+  FROM events
+), egeo AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN sel = 0 THEN 40.7 + (h1 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 1 THEN 51.5 + (h1 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 2 THEN 35.7 + (h1 / 4294967296.0 - 0.5) * 0.5
+         ELSE h1 / 4294967296.0 * 130.0 - 60.0 END AS lat,
+    CASE WHEN sel = 0 THEN -74.0 + (h2 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 1 THEN -0.1 + (h2 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 2 THEN 139.7 + (h2 / 4294967296.0 - 0.5) * 0.5
+         ELSE h2 / 4294967296.0 * 360.0 - 180.0 END AS lon
+  FROM eg
+), lagged AS (
+  SELECT user_id, ts, event_id, lat, lon,
+         lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+  FROM egeo WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), flags AS (
+  SELECT user_id, ts, event_id, lat, lon,
+    CASE WHEN plat IS NULL THEN 1
+         WHEN 2 * 6371.0088 * asin(sqrt(
+             pow(sin(radians(lat - plat) / 2), 2)
+             + cos(radians(plat)) * cos(radians(lat))
+               * pow(sin(radians(lon - plon) / 2), 2))) < 60.0 THEN 0
+         ELSE 1 END AS newrun
+  FROM lagged
+), isl AS (
+  SELECT user_id, ts, event_id, lat, lon,
+     SUM(newrun) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS island
+  FROM flags
+), rn AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, island
+                               ORDER BY ts, event_id) AS rk
+  FROM isl
+)
+SELECT user_id,
+       MAX(CASE WHEN rk = 1 THEN event_id END) AS start_event_id,
+       count(*) AS n_events,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS dur_s,
+       CAST(SUM(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_ilat,
+       CAST(SUM(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_ilon
+FROM rn GROUP BY user_id, island HAVING count(*) >= 2
+""")
+def stay_points_events(sf_dir: str):
+    """Stay-point detection (Li et al. 2008 run variant): per-user
+    maximal runs of consecutive events whose successive legs are all
+    < 60 km; runs >= 2 events are stays, with exact microdegree
+    centroid sums. Same ONE user-keyed bucket shuffle as travel_stats,
+    vectorized gaps-and-islands per bucket. Oracle: geocode + LAG +
+    trig + window prefix-sum island ids replayed in SQL
+    (geoflow.stages.geocode.stay_points)."""
+    from ..stages.geocode import stay_points
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    return stay_points(ev)
+
+
 _VIEW_OBS = (96, 96)
 
 
@@ -5043,6 +5108,14 @@ _PAST_WINDOW = [
     # flagship_zonal_verified); langid's decision replay is applied
     # AND replayed inside in-window corpus_curation.
     "decontaminated_docs", "pii_scrub_docs", "langid_docs",
+    # demotion admitting stay_points_events: batch sessionization's
+    # LAG-gap + islands machinery is the same shape stay_points
+    # replays (spatial instead of temporal break predicate, PLUS the
+    # island prefix-sum the session query never exercised); session
+    # semantics remain pinned by the streaming twin (user_sessions_
+    # streaming, validated locally on the SAME oracle output) and by
+    # in-window events_hourly_streaming.
+    "user_sessions",
     # demotion admitting viewshed_visible: cross-run near-dup ingest's
     # decision chain (band LSH + exact-Jaccard verify) is the SAME
     # hash-verified plan as in-window minhash_near_dup over the same

@@ -216,3 +216,82 @@ def od_matrix(events_ds, res: int = 6, num_buckets: int = 32):
                             for c in ["from_x", "from_y", "to_x", "to_y",
                                       "n_moves"]}),
         batch_format="pyarrow")
+
+
+def stay_points(events_ds, radius_km: float = 60.0,
+                num_buckets: int = 32):
+    """Stay-point detection (Li et al. 2008, run-based variant): per
+    user, maximal runs of consecutive events (in (ts, event_id) order)
+    whose successive legs are all < radius_km apart; runs of >= 2
+    events are stays.
+
+    Same ONE user-keyed bucket shuffle as travel_stats, then a fully
+    vectorized per-bucket pass: sort, shifted-array haversine, island
+    ids by cumulative sum of run breaks (gaps-and-islands), one pandas
+    groupby. Centroid sums stay EXACT via microdegree integer coords;
+    only the leg-length threshold touches floats (same-operation-order
+    trig as the SQL oracle).
+
+    Output: (user_id, start_event_id, n_events, dur_s,
+    sum_ilat, sum_ilon) per stay.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.joins import _mix64
+    from .knn import haversine_km
+
+    def _tag(b: pa.Table) -> pa.Table:
+        ids = b.column("event_id").to_numpy().astype(np.int64)
+        uid = b.column("user_id").to_numpy().astype(np.int64)
+        lat, lon = geocode_doc_ids(ids)
+        return pa.table({
+            "_b": pa.array((_mix64(uid) % np.uint64(num_buckets))
+                           .astype(np.int64)),
+            "user_id": pa.array(uid),
+            "ts": b.column("ts"),
+            "event_id": pa.array(ids),
+            "lat": pa.array(lat), "lon": pa.array(lon),
+        })
+
+    empty = pd.DataFrame({
+        "user_id": pd.Series([], dtype=np.int64),
+        "start_event_id": pd.Series([], dtype=np.int64),
+        "n_events": pd.Series([], dtype=np.int64),
+        "dur_s": pd.Series([], dtype=np.int64),
+        "sum_ilat": pd.Series([], dtype=np.int64),
+        "sum_ilon": pd.Series([], dtype=np.int64)})
+
+    def _bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return empty.copy()
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        lat = df["lat"].to_numpy()
+        lon = df["lon"].to_numpy()
+        uid = df["user_id"].to_numpy()
+        newrun = np.ones(len(df), dtype=np.int64)
+        if len(df) > 1:
+            same = uid[1:] == uid[:-1]
+            km = haversine_km(lat[:-1], lon[:-1], lat[1:], lon[1:])
+            newrun[1:] = np.where(same & (km < radius_km), 0, 1)
+        df["_isl"] = np.cumsum(newrun)
+        df["_ilat"] = np.floor(lat * 1e6 + 0.5).astype(np.int64)
+        df["_ilon"] = np.floor(lon * 1e6 + 0.5).astype(np.int64)
+        g = df.groupby("_isl", sort=False)
+        out = g.agg(user_id=("user_id", "first"),
+                    start_event_id=("event_id", "first"),
+                    n_events=("event_id", "size"),
+                    ts_min=("ts", "min"), ts_max=("ts", "max"),
+                    sum_ilat=("_ilat", "sum"), sum_ilon=("_ilon", "sum"))
+        out = out[out["n_events"] >= 2]
+        if not len(out):
+            return empty.copy()
+        out["dur_s"] = ((out["ts_max"] - out["ts_min"])
+                        // pd.Timedelta("1s")).astype(np.int64)
+        out = out.reset_index(drop=True)
+        return out[["user_id", "start_event_id", "n_events", "dur_s",
+                    "sum_ilat", "sum_ilon"]]
+
+    return events_ds.map_batches(_tag, batch_format="pyarrow") \
+        .groupby("_b").map_groups(_bucket, batch_format="pandas")
