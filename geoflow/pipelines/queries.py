@@ -4824,6 +4824,48 @@ def _hydro_flow():
     return _HYDRO_CACHE["flow"]
 
 
+def _pyramid_sql():
+    from ..stages.hydrology import hydro_dem_sql
+    return ("WITH " + hydro_dem_sql(*_HYDRO_HW).strip() + """
+SELECT 2 AS level, y // 4 AS y, x // 4 AS x,
+       CAST(SUM(dem) AS BIGINT) AS pix_sum
+FROM cells GROUP BY 2, 3
+UNION ALL
+SELECT 4 AS level, y // 16 AS y, x // 16 AS x,
+       CAST(SUM(dem) AS BIGINT) AS pix_sum
+FROM cells GROUP BY 2, 3""")
+
+
+@register("raster_pyramid_cells", lazy_sql=_pyramid_sql)
+def raster_pyramid_cells(sf_dir: str):
+    """Overview pyramid (gdaladdo/COG reduced-resolution levels) of the
+    integer DEM raster: per level ONE stateless in-tile 2x2 pooling map
+    + ONE shrinking regroup shuffle on (tile_y//2, tile_x//2); data
+    volume quarters each level so the full pyramid costs ~1.33x one
+    base pass. Levels carry exact block SUMS (bit-mergeable). Output:
+    levels 2 and 4 as (level, y, x, pix_sum); oracle is the closed-form
+    2^k-block GROUP BY (geoflow.stages.pyramid)."""
+    import ray.data as rd
+    from ..sources import tiles as tsrc
+    from ..stages import hydrology as hy
+    from ..stages.pyramid import build_pyramid, pyramid_cells
+
+    H, W = _HYDRO_HW
+    if "table" not in _HYDRO_CACHE:
+        dem = hy.hydro_dem(H, W)
+        _HYDRO_CACHE["table"] = tsrc.raster_to_tile_table(
+            dem[None].astype(np.float32), dem.astype(np.float64),
+            raster_id="hydro0", tile=_HYDRO_TILE)
+    tiles = rd.from_arrow(_HYDRO_CACHE["table"])
+    pyr = build_pyramid(tiles, levels=4, tile=_HYDRO_TILE)
+    outs = []
+    for lv in (2, 4):
+        df = pyramid_cells(pyr[lv], lv, tile=_HYDRO_TILE).to_pandas()
+        df.insert(0, "level", np.int64(lv))
+        outs.append(df)
+    return pd.concat(outs, ignore_index=True)
+
+
 @register("stay_points_events", sql="""
 WITH eg AS (
   SELECT user_id, ts, event_id,
@@ -5108,6 +5150,13 @@ _PAST_WINDOW = [
     # flagship_zonal_verified); langid's decision replay is applied
     # AND replayed inside in-window corpus_curation.
     "decontaminated_docs", "pii_scrub_docs", "langid_docs",
+    # demotion admitting raster_pyramid_cells: the raster zonal table
+    # stays hash-checked in-window VERBATIM — raster_pages_cell_join_
+    # verified embeds the SAME zonal rows as its golden VALUES side
+    # (oracle/fixture_goldens.golden_raster_zonal_join_side) and
+    # replays the cell join on top; the standalone query also keeps
+    # its pytest brute-force parity.
+    "raster_zonal_cells",
     # demotion admitting stay_points_events: batch sessionization's
     # LAG-gap + islands machinery is the same shape stay_points
     # replays (spatial instead of temporal break predicate, PLUS the

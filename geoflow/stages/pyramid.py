@@ -1,0 +1,136 @@
+"""Raster overview pyramid (gdaladdo/COG-style reduced-resolution
+levels) over the tile table.
+
+Level k holds one cell per 2^k x 2^k block of the base raster, carrying
+the EXACT integer SUM (and implicitly count) of its base pixels — the
+mean is sum/4^k, but sums keep every level bit-exact and mergeable.
+
+Ray plan per level: (1) a stateless in-tile 2x2 pooling map (tile dims
+halve), then (2) ONE regroup shuffle keyed on (tile_y//2, tile_x//2)
+that assembles four half-tiles back into a full-size tile via
+map_groups. Each level's data volume shrinks 4x, so the whole pyramid
+costs ~1.33x one base pass — the standard overview-build bound. Tiles
+stay fixed-size across levels, which is what keeps the per-task batch
+shape stable on a cluster.
+
+Requires base dims divisible by 2^levels (pad the edge tiles upstream
+otherwise — the synthetic fixtures are aligned)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _pool_batch(batch: pa.Table) -> pa.Table:
+    """2x2 in-tile pooling: sums column halves in each dimension."""
+    from .terrain import _rows_as_arrays
+
+    hs = batch.column("height").to_numpy()
+    ws = batch.column("width").to_numpy()
+    sums = _rows_as_arrays(batch.column("psum"))
+    pooled = []
+    for h, w, s in zip(hs, ws, sums):
+        h, w = int(h), int(w)
+        a = np.asarray(s, dtype=np.int64).reshape(h, w)
+        p = a[0::2, 0::2] + a[0::2, 1::2] + a[1::2, 0::2] + a[1::2, 1::2]
+        pooled.append(p.ravel())
+    return pa.table({
+        "tile_y": batch.column("tile_y"),
+        "tile_x": batch.column("tile_x"),
+        "height": pa.array((hs // 2).astype(np.int32), pa.int32()),
+        "width": pa.array((ws // 2).astype(np.int32), pa.int32()),
+        "psum": pa.array(pooled, pa.list_(pa.int64()))})
+
+
+def _regroup(g: pd.DataFrame) -> pd.DataFrame:
+    """Assemble up to 4 half-size sibling tiles into one parent tile."""
+    h = int(g["height"].max())
+    w = int(g["width"].max())
+    pty = int(g["tile_y"].min()) // 2
+    ptx = int(g["tile_x"].min()) // 2
+    full = np.zeros((2 * h, 2 * w), dtype=np.int64)
+    have_h = h
+    have_w = w
+    for r in g.itertuples(index=False):
+        qy, qx = int(r.tile_y) % 2, int(r.tile_x) % 2
+        a = np.asarray(r.psum, dtype=np.int64).reshape(int(r.height),
+                                                       int(r.width))
+        full[qy * h:qy * h + a.shape[0], qx * w:qx * w + a.shape[1]] = a
+        have_h = max(have_h, qy * h + a.shape[0])
+        have_w = max(have_w, qx * w + a.shape[1])
+    full = full[:have_h, :have_w]
+    # plain Python list => Arrow list<int64> (an ndarray cell would
+    # become Ray's tensor extension type, unreadable by the pooling map)
+    return pd.DataFrame({
+        "tile_y": [pty], "tile_x": [ptx],
+        "height": np.array([full.shape[0]], dtype=np.int32),
+        "width": np.array([full.shape[1]], dtype=np.int32),
+        "psum": [full.ravel().tolist()]})
+
+
+def base_sums(tiles_ds):
+    """Base level-0 (tile_y, tile_x, height, width, psum) from the tile
+    table's integer DEM (band-0 rows)."""
+    from .terrain import _rows_as_arrays
+
+    def _b(batch: pa.Table) -> pa.Table:
+        halos = _rows_as_arrays(batch.column("dem_halo"))
+        hs = batch.column("height").to_numpy()
+        ws = batch.column("width").to_numpy()
+        out = []
+        for h, w, halo in zip(hs, ws, halos):
+            out.append(np.rint(np.asarray(halo))
+                       .astype(np.int64).reshape(h + 2, w + 2)[1:-1, 1:-1]
+                       .ravel())
+        return pa.table({
+            "tile_y": batch.column("tile_y"),
+            "tile_x": batch.column("tile_x"),
+            "height": batch.column("height"),
+            "width": batch.column("width"),
+            "psum": pa.array(out, pa.list_(pa.int64()))})
+
+    return tiles_ds.filter(lambda r: r["band"] == 0) \
+        .map_batches(_b, batch_format="pyarrow")
+
+
+def build_pyramid(tiles_ds, levels: int, tile: int = 64):
+    """Return {level: Dataset of pyramid tiles}, level 1..levels."""
+    cur = base_sums(tiles_ds)
+    out = {}
+    for lv in range(1, levels + 1):
+        pooled = cur.map_batches(_pool_batch, batch_format="pyarrow")
+        # regroup 2x2 sibling tiles into full-size parents
+        cur = pooled.map_batches(
+            lambda b: b.append_column(
+                "_gy", pa.array(b.column("tile_y").to_numpy() // 2)
+            ).append_column(
+                "_gx", pa.array(b.column("tile_x").to_numpy() // 2)),
+            batch_format="pyarrow") \
+            .groupby(["_gy", "_gx"]) \
+            .map_groups(_regroup, batch_format="pandas")
+        out[lv] = cur
+    return out
+
+
+def pyramid_cells(level_ds, level: int, tile: int = 64):
+    """Explode one pyramid level into (y, x, pix_sum) rows."""
+
+    def _e(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in g.itertuples(index=False):
+            h, w = int(r.height), int(r.width)
+            a = np.asarray(r.psum, dtype=np.int64).reshape(h, w)
+            # non-edge tiles are exactly `tile` by construction, so
+            # the origin is index * nominal size (edge = remainder)
+            y0 = int(r.tile_y) * tile
+            x0 = int(r.tile_x) * tile
+            gy, gx = np.mgrid[y0:y0 + h, x0:x0 + w]
+            rows.append(pd.DataFrame({
+                "y": gy.ravel().astype(np.int64),
+                "x": gx.ravel().astype(np.int64),
+                "pix_sum": a.ravel()}))
+        return pd.concat(rows, ignore_index=True)
+
+    return level_ds.map_batches(_e, batch_format="pandas")
