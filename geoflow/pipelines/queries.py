@@ -4824,6 +4824,50 @@ def _hydro_flow():
     return _HYDRO_CACHE["flow"]
 
 
+@register("agg_view_hourly", sql="""
+SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+       count(*) AS n_events, round(sum(value), 4) AS value_sum
+FROM events GROUP BY event_type, hour_bucket
+""")
+def agg_view_hourly(sf_dir: str):
+    """Incrementally maintained hourly rollup (state.aggview): shard A
+    refreshed, shard B refreshed TWICE (idempotence exercised live),
+    one partition compacted (crash-safe base + manifest), then merge-
+    on-read. The oracle recomputes from ALL events — equality proves
+    delta application, exactly-once re-runs and compaction change
+    nothing. Deltas are hour-level pre-aggregates; the merge never
+    touches event rows."""
+    import tempfile
+
+    from ..state.aggview import compact_partition, read_view, refresh
+
+    work = tempfile.mkdtemp(prefix="aggview_", dir="/tmp")
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+
+    def _split(keep_mod0: bool):
+        def _f(b: pa.Table) -> pa.Table:
+            m = b.column("event_id").to_numpy() % 3 == 0
+            return b.filter(pa.array(m if keep_mod0 else ~m)) \
+                .drop_columns(["event_id"])
+        return _f
+
+    refresh(ev.map_batches(_split(False), batch_format="pyarrow"),
+            work, "shardA")
+    refresh(ev.map_batches(_split(True), batch_format="pyarrow"),
+            work, "shardB")
+    # idempotent re-run of shard B must not double-count
+    refresh(ev.map_batches(_split(True), batch_format="pyarrow"),
+            work, "shardB")
+    import os as _os
+    parts = sorted(int(d.split("=")[1])
+                   for d in _os.listdir(f"{work}/agg"))
+    compact_partition(work, parts[0])
+    out = read_view(work)
+    out["value_sum"] = out["value_sum"].round(4)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return out
+
+
 def _pyramid_sql():
     from ..stages.hydrology import hydro_dem_sql
     return ("WITH " + hydro_dem_sql(*_HYDRO_HW).strip() + """
@@ -5150,6 +5194,12 @@ _PAST_WINDOW = [
     # flagship_zonal_verified); langid's decision replay is applied
     # AND replayed inside in-window corpus_curation.
     "decontaminated_docs", "pii_scrub_docs", "langid_docs",
+    # demotion admitting agg_view_hourly: tf-idf's two mechanisms stay
+    # in-window through STRONGER twins — combiner-pattern DF counting
+    # inside bm25_top_docs (which additionally replays ln-idf scoring
+    # on the same tokenization), per-entity top-k via
+    # top_parts_per_brand and bm25's per-query ranked cut.
+    "tfidf_top_terms",
     # demotion admitting raster_pyramid_cells: the raster zonal table
     # stays hash-checked in-window VERBATIM — raster_pages_cell_join_
     # verified embeds the SAME zonal rows as its golden VALUES side
