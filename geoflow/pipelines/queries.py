@@ -4824,6 +4824,46 @@ def _hydro_flow():
     return _HYDRO_CACHE["flow"]
 
 
+@register("skyline_docs", sql=r"""
+WITH m AS (
+  SELECT doc_id, lang, n_chars,
+         len(regexp_extract_all(text, '\S+')) AS n_tokens
+  FROM documents
+)
+SELECT p.lang, p.doc_id, p.n_chars, p.n_tokens
+FROM m p
+WHERE NOT EXISTS (
+  SELECT 1 FROM m q
+  WHERE q.lang = p.lang AND q.n_chars >= p.n_chars
+    AND q.n_tokens >= p.n_tokens
+    AND (q.n_chars > p.n_chars OR q.n_tokens > p.n_tokens))
+""")
+def skyline_docs(sf_dir: str):
+    """Per-language Pareto skyline of documents over (n_chars,
+    n_tokens), maximizing both: two-phase dominance pruning — local
+    skylines per batch (the skyline of a union is the skyline of the
+    per-part skylines), then one pass over the tiny survivor set, so
+    the shuffle carries O(skyline) rows. Identical points co-survive;
+    the oracle is the textbook NOT EXISTS dominance query
+    (geoflow.stages.webquality.pareto_skyline)."""
+    from ..stages.webquality import pareto_skyline
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars", "text"])
+
+    def _m(b: pa.Table) -> pa.Table:
+        texts = b.column("text").to_pylist()
+        ntok = np.fromiter((len((t or "").split()) for t in texts),
+                           dtype=np.int64, count=len(texts))
+        return pa.table({
+            "lang": b.column("lang"),
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "n_chars": pc.cast(b.column("n_chars"), pa.int64()),
+            "n_tokens": pa.array(ntok)})
+
+    m = ds.map_batches(_m, batch_format="pyarrow")
+    return pareto_skyline(m, "lang", "n_chars", "n_tokens", "doc_id")
+
+
 @register("agg_view_hourly", sql="""
 SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
        count(*) AS n_events, round(sum(value), 4) AS value_sum
@@ -5194,6 +5234,13 @@ _PAST_WINDOW = [
     # flagship_zonal_verified); langid's decision replay is applied
     # AND replayed inside in-window corpus_curation.
     "decontaminated_docs", "pii_scrub_docs", "langid_docs",
+    # demotion admitting skyline_docs: brute cosine top-k's machinery
+    # stays in-window — the SAME normalized-matmul batch kernel runs
+    # inside embedding_close_pairs (threshold instead of ranked cut),
+    # ranked per-entity cuts via bm25_top_docs / top_parts_per_brand,
+    # and the ANN queries' recall floors recompute the brute top-k
+    # in-query as their own reference.
+    "knn_cosine_top5",
     # demotion admitting agg_view_hourly: tf-idf's two mechanisms stay
     # in-window through STRONGER twins — combiner-pattern DF counting
     # inside bm25_top_docs (which additionally replays ln-idf scoring
