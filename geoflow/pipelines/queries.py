@@ -4824,6 +4824,73 @@ def _hydro_flow():
     return _HYDRO_CACHE["flow"]
 
 
+def _geohash_sql():
+    from ..stages.cells import GEOHASH_ALPHABET, geohash_spread_sql_fragment
+    a = GEOHASH_ALPHABET
+    chars = " || ".join(
+        f"substr('{a}', 1 + CAST((ib >> {35 - 5 * (k + 1)}) & 31 "
+        f"AS INTEGER), 1)" for k in range(7))
+    return _GEO_SQL_CTE + f"""
+, {geohash_spread_sql_fragment()},
+bits AS (
+  SELECT doc_id,
+    CAST(least(greatest(floor((lon + 180.0) / 360.0 * 262144.0),
+                        0), 262143.0) AS BIGINT) AS bx,
+    CAST(least(greatest(floor((lat + 90.0) / 180.0 * 131072.0),
+                        0), 131071.0) AS BIGINT) AS by
+  FROM geo
+),
+ib AS (
+  SELECT doc_id,
+    (x0.s + x1.s * 1024 + x2.s * 1048576
+     + x3.s * CAST(1073741824 AS BIGINT))
+    + 2 * (y0.s + y1.s * 1024 + y2.s * 1048576
+           + y3.s * CAST(1073741824 AS BIGINT)) AS ib
+  FROM bits
+  JOIN sp x0 ON x0.v = bx % 32
+  JOIN sp x1 ON x1.v = (bx // 32) % 32
+  JOIN sp x2 ON x2.v = (bx // 1024) % 32
+  JOIN sp x3 ON x3.v = (bx // 32768) % 32
+  JOIN sp y0 ON y0.v = by % 32
+  JOIN sp y1 ON y1.v = (by // 32) % 32
+  JOIN sp y2 ON y2.v = (by // 1024) % 32
+  JOIN sp y3 ON y3.v = (by // 32768) % 32
+)
+SELECT {chars} AS gh7, count(*) AS n_docs,
+       MIN(doc_id) AS min_doc
+FROM ib GROUP BY 1
+"""
+
+
+@register("geohash_cells", lazy_sql=_geohash_sql)
+def geohash_cells(sf_dir: str):
+    """Standard geohash-7 encoding of every geocoded doc (Niemeyer
+    base-32, lon bit first), computed the integer way — floor-scaled
+    indices + ONE Morton spread + table lookup, no bisection loop —
+    then a combiner-pattern rollup per geohash cell. The oracle
+    replays the spread with the shared 5-bit table and rebuilds the
+    strings char-by-char (geoflow.stages.cells.geohash_encode;
+    canonical test vector pinned in pytest)."""
+    from ..stages.cells import geohash_encode
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    pts = ds.map_batches(_geocode_batch, batch_format="pyarrow")
+
+    def _gh(b: pa.Table) -> pa.Table:
+        gh = geohash_encode(b.column("lat").to_numpy(),
+                            b.column("lon").to_numpy(), 7)
+        return pa.table({
+            "gh7": pa.array([g.decode() for g in gh], pa.string()),
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64())})
+
+    from ..functions.agg import grouped_count_sum
+    out = grouped_count_sum(pts.map_batches(_gh, batch_format="pyarrow"),
+                            ["gh7"], [], count_alias="n_docs",
+                            min_cols=["doc_id"]).to_pandas()
+    return out.rename(columns={"doc_id_min": "min_doc"})[
+        ["gh7", "n_docs", "min_doc"]]
+
+
 @register("skyline_docs", sql=r"""
 WITH m AS (
   SELECT doc_id, lang, n_chars,
@@ -5234,6 +5301,12 @@ _PAST_WINDOW = [
     # flagship_zonal_verified); langid's decision replay is applied
     # AND replayed inside in-window corpus_curation.
     "decontaminated_docs", "pii_scrub_docs", "langid_docs",
+    # demotion admitting geohash_cells: IDW's two mechanisms each keep
+    # an in-window rep — the same-operation-order haversine trig is
+    # replayed by knn_haversine_shuffle_docs AND stay_points_events;
+    # the broadcast-small-side + vectorized (batch x refs) matrix
+    # kernel is the plan shape the kNN/ANN family pins.
+    "idw_interpolation_docs",
     # demotion admitting skyline_docs: brute cosine top-k's machinery
     # stays in-window — the SAME normalized-matmul batch kernel runs
     # inside embedding_close_pairs (threshold instead of ranked cut),

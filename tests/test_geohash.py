@@ -1,0 +1,64 @@
+"""Geohash encode: canonical vectors, bisection-reference parity,
+boundary cells."""
+
+import numpy as np
+
+from geoflow.stages.cells import geohash_encode
+
+
+def ref_geohash(lat, lon, p):
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lo_lat, hi_lat, lo_lon, hi_lon = -90.0, 90.0, -180.0, 180.0
+    bits, out, even = [], [], True
+    while len(out) < p:
+        if even:
+            mid = (lo_lon + hi_lon) / 2
+            bits.append(1 if lon >= mid else 0)
+            if lon >= mid:
+                lo_lon = mid
+            else:
+                hi_lon = mid
+        else:
+            mid = (lo_lat + hi_lat) / 2
+            bits.append(1 if lat >= mid else 0)
+            if lat >= mid:
+                lo_lat = mid
+            else:
+                hi_lat = mid
+        even = not even
+        if len(bits) == 5:
+            out.append(alpha[int("".join(map(str, bits)), 2)])
+            bits = []
+    return "".join(out)
+
+
+def test_canonical_vectors():
+    cases = [((57.64911, 10.40744), "u4pruyd"),
+             ((40.689247, -74.044502), "dr5regy"),
+             ((-33.86, 151.21), "r3gx2ux"),
+             ((0.0, 0.0), "s000000")]
+    for (la, lo), want in cases:
+        got = geohash_encode(np.array([la]), np.array([lo]), 7)[0]
+        assert got.decode() == want, (la, lo, got, want)
+
+
+def test_matches_bisection_reference():
+    rng = np.random.default_rng(2)
+    lats = rng.uniform(-90, 90, 300)
+    lons = rng.uniform(-180, 180, 300)
+    for p in (1, 4, 7):
+        got = geohash_encode(lats, lons, p)
+        for la, lo, g in zip(lats, lons, got):
+            assert g.decode() == ref_geohash(la, lo, p)
+
+
+def test_boundaries_clamped():
+    lats = np.array([-90.0, 90.0, 89.999999])
+    lons = np.array([-180.0, 179.999999, -180.0])
+    got = geohash_encode(lats, lons, 7)
+    for la, lo, g in zip(lats, lons, got):
+        if la < 90.0 and lo < 180.0:
+            assert g.decode() == ref_geohash(la, lo, 7)
+    # the exact north/east edge clamps into the last cell, not past it
+    top = geohash_encode(np.array([90.0]), np.array([180.0]), 7)[0]
+    assert top.decode() == "zzzzzzz"
