@@ -183,9 +183,13 @@ def geohash_encode(lat: np.ndarray, lon: np.ndarray,
                   / 180.0 * float(1 << nlat)).astype(np.int64)
     bx = np.clip(bx, 0, (1 << nlon) - 1).astype(np.uint64)
     by = np.clip(by, 0, (1 << nlat) - 1).astype(np.uint64)
-    # lon occupies even positions counted from bit 0 of the PAIRED
-    # value; with nlon = nlat + 1 the lon MSB lands on the global MSB
-    ib = _spread_bits(bx) | (_spread_bits(by) << np.uint64(1))
+    # the MSB is always a lon bit; alternation therefore puts lon on
+    # even bit positions (from the LSB) when the total 5p is odd, and
+    # on odd positions when it is even
+    if (5 * precision) % 2 == 1:
+        ib = _spread_bits(bx) | (_spread_bits(by) << np.uint64(1))
+    else:
+        ib = _spread_bits(by) | (_spread_bits(bx) << np.uint64(1))
     alpha = np.frombuffer(GEOHASH_ALPHABET.encode(), dtype=np.uint8)
     total = 5 * precision
     codes = np.empty((len(bx), precision), dtype=np.uint8)

@@ -33,13 +33,16 @@ def ref_geohash(lat, lon, p):
 
 
 def test_canonical_vectors():
-    cases = [((57.64911, 10.40744), "u4pruyd"),
-             ((40.689247, -74.044502), "dr5regy"),
-             ((-33.86, 151.21), "r3gx2ux"),
-             ((0.0, 0.0), "s000000")]
-    for (la, lo), want in cases:
-        got = geohash_encode(np.array([la]), np.array([lo]), 7)[0]
-        assert got.decode() == want, (la, lo, got, want)
+    # u4pruyd and ezs42 are the published examples; the rest are
+    # pinned via the independent bisection reference below
+    cases = [((57.64911, 10.40744), 7, "u4pruyd"),
+             ((42.605, -5.603), 5, "ezs42"),
+             ((40.689247, -74.044502), 7, "dr5r7p6"),
+             ((0.0, 0.0), 7, "s000000")]
+    for (la, lo), p, want in cases:
+        got = geohash_encode(np.array([la]), np.array([lo]), p)[0]
+        assert got.decode() == want == ref_geohash(la, lo, p), \
+            (la, lo, got, want)
 
 
 def test_matches_bisection_reference():
