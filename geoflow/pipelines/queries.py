@@ -4824,6 +4824,42 @@ def _hydro_flow():
     return _HYDRO_CACHE["flow"]
 
 
+def _fuzzy_sql():
+    from ..stages.textstats import fuzzy_pairs_oracle_sql
+    return fuzzy_pairs_oracle_sql(min_df=1)
+
+
+@register("fuzzy_token_pairs", lazy_sql=_fuzzy_sql)
+def fuzzy_token_pairs_docs(sf_dir: str):
+    """Typo mining / fuzzy vocabulary join: every pair of corpus terms
+    at edit distance EXACTLY 1, found by deletion-neighborhood
+    blocking (FastSS) — one groupby over O(vocab x len) deletion keys,
+    never vocab^2 — with exact in-bucket verification. The oracle
+    replays the SAME blocking but verifies with DuckDB's builtin
+    levenshtein(), independently pinning the engine's edit-distance
+    code (geoflow.stages.textstats.fuzzy_token_pairs)."""
+    from ..stages.textstats import fuzzy_token_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _inject_typo(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        texts = b.column("text").to_pylist()
+        out = []
+        for d, t in zip(ids, texts):
+            toks = (t or "").split()
+            if d % 13 == 0 and toks and len(toks[0]) > 1:
+                p = int((d // 13) % len(toks[0]))
+                toks[0] = toks[0][:p] + toks[0][p + 1:]
+                t = " ".join(toks)
+            out.append(t)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text": pa.array(out, pa.string())})
+
+    return fuzzy_token_pairs(
+        ds.map_batches(_inject_typo, batch_format="pyarrow"), min_df=1)
+
+
 def _geohash_sql():
     from ..stages.cells import GEOHASH_ALPHABET, geohash_spread_sql_fragment
     a = GEOHASH_ALPHABET
@@ -5301,6 +5337,13 @@ _PAST_WINDOW = [
     # flagship_zonal_verified); langid's decision replay is applied
     # AND replayed inside in-window corpus_curation.
     "decontaminated_docs", "pii_scrub_docs", "langid_docs",
+    # demotion admitting fuzzy_token_pairs: the winnowing fingerprint's
+    # char-polynomial fold is replayed in-window by cdc_chunk_dups
+    # (same list_reduce fold idiom, dual sub-2^31 primes) and its
+    # window-hash machinery by dedup_windows_docs (8-token windows
+    # with power-table folds); doc_fingerprints stays locally
+    # validated at 3 scales.
+    "doc_fingerprints",
     # demotion admitting geohash_cells: IDW's two mechanisms each keep
     # an in-window rep — the same-operation-order haversine trig is
     # replayed by knn_haversine_shuffle_docs AND stay_points_events;

@@ -193,3 +193,157 @@ def fingerprint_poly_batch(batch: pa.Table, text_col: str = "text",
             fps[i] = int(acc.min())
     return batch.append_column("fingerprint_poly",
                                pa.array(fps, pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy vocabulary join (edit-distance-1 pairs via deletion blocking)
+# ---------------------------------------------------------------------------
+
+FUZZY_MIN_DF = 5
+FUZZY_MAX_LEN = 20
+
+
+def _edit1(a: str, b: str) -> bool:
+    """Exact levenshtein(a, b) == 1 (lengths within 1 by contract)."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) == 1
+    if la < lb:
+        a, b, la, lb = b, a, lb, la
+    # la == lb + 1: b must be a one-deletion of a
+    i = j = 0
+    skipped = False
+    while i < la and j < lb:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+        elif skipped:
+            return False
+        else:
+            skipped = True
+            i += 1
+    return True
+
+
+def fuzzy_token_pairs(ds, text_col: str = "text",
+                      min_df: int = FUZZY_MIN_DF,
+                      max_len: int = FUZZY_MAX_LEN):
+    """All vocabulary pairs at edit distance EXACTLY 1 (typo mining /
+    data cleaning), via deletion-neighborhood blocking (Mor & Fraenkel
+    1982 / FastSS): every term emits itself plus its one-char
+    deletions as block keys; any distance-1 pair (deletion OR
+    substitution) shares >= 1 key, so candidates come from ONE groupby
+    over O(vocab x len) short key rows — never vocab^2. Exact verify
+    inside the bucket; pairs dedup on (t1 < t2).
+
+    Vocabulary = terms with df >= min_df and len <= max_len (both
+    replayed by the oracle). Output: (t1, t2, df1, df2).
+    """
+    import pandas as pd
+
+    from ..functions.agg import grouped_count_sum
+    from ..stages.curation import tf_rows
+
+    tf = ds.map_batches(lambda b: tf_rows(b, "doc_id", text_col),
+                        batch_format="pyarrow")
+    df_ds = grouped_count_sum(tf, ["term"], [], count_alias="df")
+
+    def _vocab_filter(b: pa.Table) -> pa.Table:
+        terms = b.column("term").to_pylist()
+        dfv = b.column("df").to_numpy()
+        keep = np.fromiter(
+            (len(t) <= max_len and d >= min_df
+             for t, d in zip(terms, dfv)), dtype=bool, count=len(terms))
+        return b.filter(pa.array(keep))
+
+    vocab = df_ds.map_batches(_vocab_filter, batch_format="pyarrow")
+
+    def _keys(b: pa.Table) -> pa.Table:
+        terms = b.column("term").to_pylist()
+        dfv = b.column("df").to_numpy()
+        ks, ts, ds_ = [], [], []
+        for t, d in zip(terms, dfv):
+            ks.append(t)
+            ts.append(t)
+            ds_.append(d)
+            for i in range(len(t)):
+                ks.append(t[:i] + t[i + 1:])
+                ts.append(t)
+                ds_.append(d)
+        return pa.table({"k": pa.array(ks, pa.string()),
+                         "term": pa.array(ts, pa.string()),
+                         "df": pa.array(ds_, pa.int64())})
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["k", "term"])
+        rows = []
+        for _, grp in g.groupby("k", sort=False):
+            if len(grp) < 2:
+                continue
+            recs = list(grp[["term", "df"]].itertuples(index=False))
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    a, b_ = recs[i], recs[j]
+                    if a.term == b_.term:
+                        continue
+                    t1, t2 = sorted((a, b_), key=lambda r: r.term)
+                    if abs(len(t1.term) - len(t2.term)) <= 1 and \
+                            _edit1(t1.term, t2.term):
+                        rows.append((t1.term, t2.term,
+                                     int(t1.df), int(t2.df)))
+        return pd.DataFrame(rows, columns=["t1", "t2", "df1", "df2"]) \
+            .drop_duplicates()
+
+    cand = vocab.map_batches(_keys, batch_format="pyarrow") \
+        .groupby("k").map_groups(_pairs, batch_format="pandas")
+    # cross-bucket dedup (a pair can share several keys)
+    out = cand.to_pandas()
+    if "t1" not in out.columns:
+        out = pd.DataFrame({"t1": [], "t2": [], "df1": [], "df2": []})
+    out = out.drop_duplicates().reset_index(drop=True)
+    return out.astype({"df1": np.int64, "df2": np.int64})
+
+
+def fuzzy_pairs_oracle_sql(table: str = "documents",
+                           min_df: int = FUZZY_MIN_DF,
+                           max_len: int = FUZZY_MAX_LEN) -> str:
+    """DuckDB twin: SAME deletion blocking, then the builtin
+    levenshtein() == 1 as an INDEPENDENT verifier of the engine's
+    edit-distance code."""
+    return rf"""
+WITH tokd AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM {table}
+),
+tokp AS (
+  SELECT doc_id, u.i AS pos, toks[u.i] AS term
+  FROM tokd, unnest(range(1, len(toks) + 1)) u(i)
+),
+tok AS (
+  -- deterministic typo injection: docs with doc_id % 13 = 0 get one
+  -- char deleted from their FIRST token (position doc_id//13 mod len)
+  SELECT doc_id,
+    CASE WHEN doc_id % 13 = 0 AND pos = 1 AND len(term) > 1
+         THEN substr(term, 1,
+                     CAST((doc_id // 13) % len(term) AS INTEGER))
+              || substr(term,
+                        CAST((doc_id // 13) % len(term) AS INTEGER) + 2)
+         ELSE term END AS term
+  FROM tokp
+),
+tf AS (SELECT doc_id, term FROM tok GROUP BY 1, 2),
+vocab AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+  HAVING count(*) >= {min_df} AND len(term) <= {max_len}
+),
+keys AS (
+  SELECT term, df, term AS k FROM vocab
+  UNION
+  SELECT term, df,
+         substr(term, 1, u.i - 1) || substr(term, u.i + 1) AS k
+  FROM vocab, unnest(range(1, len(term) + 1)) u(i)
+),
+cand AS (
+  SELECT DISTINCT a.term AS t1, b.term AS t2, a.df AS df1, b.df AS df2
+  FROM keys a JOIN keys b ON a.k = b.k AND a.term < b.term
+)
+SELECT t1, t2, df1, df2 FROM cand WHERE levenshtein(t1, t2) = 1"""
