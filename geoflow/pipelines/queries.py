@@ -4824,6 +4824,27 @@ def _hydro_flow():
     return _HYDRO_CACHE["flow"]
 
 
+def _corridor_sql():
+    from ..stages.geocode import corridor_sql
+    return _GEO_SQL_CTE + ", " + corridor_sql().lstrip()
+
+
+@register("corridor_docs", lazy_sql=_corridor_sql)
+def corridor_docs(sf_dir: str):
+    """Corridor / route-buffer query: all docs within 8 degrees of the
+    NYC->London->Tokyo polyline. Point-to-segment distance is EXACT
+    integer (centidegree snap; endpoint cases compare squared
+    distances, interior case cross-multiplies |AP|^2|AB|^2 - dot^2 <=
+    r^2|AB|^2 — no sqrt/division ever), segments broadcast as literals
+    shared verbatim with the SQL twin; one stateless scan, zero
+    shuffles (geoflow.stages.geocode.corridor_hits)."""
+    from ..stages.geocode import corridor_hits
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    pts = ds.map_batches(_geocode_batch, batch_format="pyarrow")
+    return corridor_hits(pts)
+
+
 def _fuzzy_sql():
     from ..stages.textstats import fuzzy_pairs_oracle_sql
     return fuzzy_pairs_oracle_sql(min_df=1)
@@ -5337,6 +5358,13 @@ _PAST_WINDOW = [
     # flagship_zonal_verified); langid's decision replay is applied
     # AND replayed inside in-window corpus_curation.
     "decontaminated_docs", "pii_scrub_docs", "langid_docs",
+    # demotion admitting corridor_docs: the quad-hierarchy machinery
+    # compaction exercises keeps TWO in-window reps — bbox_cover_scan_
+    # docs (quad-descent cover, Morton ranges, pruned scan + exact
+    # refine) and cell_blob_labels (occupied-cell-set algebra);
+    # compaction's per-level chained-CTE replay stays locally
+    # validated plus its conservation/cascade pytest suite.
+    "compact_cells_docs",
     # demotion admitting fuzzy_token_pairs: the winnowing fingerprint's
     # char-polynomial fold is replayed in-window by cdc_chunk_dups
     # (same list_reduce fold idiom, dual sub-2^31 primes) and its

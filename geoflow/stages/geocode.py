@@ -295,3 +295,114 @@ def stay_points(events_ds, radius_km: float = 60.0,
 
     return events_ds.map_batches(_tag, batch_format="pyarrow") \
         .groupby("_b").map_groups(_bucket, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Corridor query: points within a radius of a polyline
+# ---------------------------------------------------------------------------
+
+def corridor_segments(step_deg: int = 18) -> list[tuple[int, int, int, int]]:
+    """Deterministic route (NYC -> London -> Tokyo waypoints) as
+    centidegree integer segments, each subdivided to <= step_deg so
+    every cross-multiplied distance comparison stays inside int64."""
+    way = [(-7400, 4070), (-10, 5150), (13970, 3570)]
+    segs = []
+    for (x0, y0), (x1, y1) in zip(way, way[1:]):
+        n = max(1, int(np.ceil(max(abs(x1 - x0), abs(y1 - y0))
+                               / (step_deg * 100))))
+        for i in range(n):
+            ax = x0 + (x1 - x0) * i // n
+            ay = y0 + (y1 - y0) * i // n
+            bx = x0 + (x1 - x0) * (i + 1) // n
+            by = y0 + (y1 - y0) * (i + 1) // n
+            segs.append((ax, ay, bx, by))
+    return segs
+
+
+def corridor_hits(pts_ds, radius_cd: int = 800):
+    """Docs within ``radius_cd`` centidegrees of the route polyline.
+
+    EXACT integer point-to-segment test per (point, segment):
+    endpoint cases compare squared distances directly; the interior
+    case cross-multiplies (|AP|^2 * |AB|^2 - dot^2 <= r^2 * |AB|^2) so
+    no division or sqrt ever happens — bit-identical to the SQL twin.
+    Segments broadcast in the closure (a handful of literals); the
+    scan is one stateless vectorized pass, zero shuffles.
+
+    Output: (doc_id, n_seg_hits, first_seg) for docs with >= 1 hit.
+    """
+    import pyarrow as pa
+
+    segs = np.array(corridor_segments(), dtype=np.int64)
+    r2 = np.int64(radius_cd) ** 2
+
+    def _scan(b: pa.Table) -> pa.Table:
+        lat = b.column("lat").to_numpy()
+        lon = b.column("lon").to_numpy()
+        px = np.floor(lon * 100.0 + 0.5).astype(np.int64)
+        py = np.floor(lat * 100.0 + 0.5).astype(np.int64)
+        nhits = np.zeros(len(px), dtype=np.int64)
+        first = np.full(len(px), -1, dtype=np.int64)
+        for si, (ax, ay, bx, by) in enumerate(segs):
+            apx, apy = px - ax, py - ay
+            abx, aby = bx - ax, by - ay
+            ab2 = abx * abx + aby * aby
+            dot = apx * abx + apy * aby
+            ap2 = apx * apx + apy * apy
+            bp2 = (px - bx) ** 2 + (py - by) ** 2
+            inside = np.where(
+                dot <= 0, ap2 <= r2,
+                np.where(dot >= ab2, bp2 <= r2,
+                         ap2 * ab2 - dot * dot <= r2 * ab2))
+            first = np.where(inside & (first < 0), si, first)
+            nhits += inside.astype(np.int64)
+        keep = nhits > 0
+        return pa.table({
+            "doc_id": pa.array(
+                b.column("doc_id").to_numpy()[keep].astype(np.int64)),
+            "n_seg_hits": pa.array(nhits[keep]),
+            "first_seg": pa.array(first[keep])})
+
+    return pts_ds.map_batches(_scan, batch_format="pyarrow")
+
+
+def corridor_sql(radius_cd: int = 800) -> str:
+    """SQL twin fragment: VALUES segments + the same integer test.
+    Expects a ``geo(doc_id, lat, lon)`` CTE in scope."""
+    rows = ", ".join(
+        f"({i}, CAST({a} AS BIGINT), CAST({b} AS BIGINT), "
+        f"CAST({c} AS BIGINT), CAST({d} AS BIGINT))"
+        for i, (a, b, c, d) in enumerate(corridor_segments()))
+    r2 = f"CAST({radius_cd * radius_cd} AS BIGINT)"
+
+    return f"""
+segs(si, ax, ay, bx, by) AS (VALUES {rows}),
+ipts AS (
+  SELECT doc_id,
+         CAST(floor(lon * 100.0 + 0.5) AS BIGINT) AS px,
+         CAST(floor(lat * 100.0 + 0.5) AS BIGINT) AS py
+  FROM geo
+),
+hits AS (
+  SELECT p.doc_id, s.si
+  FROM ipts p CROSS JOIN segs s
+  WHERE CASE
+    WHEN (p.px - s.ax) * (s.bx - s.ax) + (p.py - s.ay) * (s.by - s.ay)
+         <= 0
+    THEN (p.px - s.ax) * (p.px - s.ax) + (p.py - s.ay) * (p.py - s.ay)
+         <= {r2}
+    WHEN (p.px - s.ax) * (s.bx - s.ax) + (p.py - s.ay) * (s.by - s.ay)
+         >= (s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay)
+    THEN (p.px - s.bx) * (p.px - s.bx) + (p.py - s.by) * (p.py - s.by)
+         <= {r2}
+    ELSE ((p.px - s.ax) * (p.px - s.ax) + (p.py - s.ay) * (p.py - s.ay))
+         * ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay))
+         - ((p.px - s.ax) * (s.bx - s.ax) + (p.py - s.ay) * (s.by - s.ay))
+           * ((p.px - s.ax) * (s.bx - s.ax) + (p.py - s.ay) * (s.by - s.ay))
+         <= {r2} * ((s.bx - s.ax) * (s.bx - s.ax)
+                    + (s.by - s.ay) * (s.by - s.ay))
+    END
+)
+SELECT doc_id, count(*) AS n_seg_hits,
+       CAST(min(si) AS BIGINT) AS first_seg
+FROM hits GROUP BY doc_id"""
