@@ -4824,6 +4824,100 @@ def _hydro_flow():
     return _HYDRO_CACHE["flow"]
 
 
+def _equalize_sql():
+    from ..stages.hydrology import hydro_dem_sql
+    from ..stages.pyramid import equalize_oracle_sql
+    return equalize_oracle_sql("WITH " + hydro_dem_sql(*_HYDRO_HW).strip())
+
+
+@register("equalized_histogram", lazy_sql=_equalize_sql)
+def equalized_histogram(sf_dir: str):
+    """Histogram equalization of the DEM raster (global-CDF contrast
+    remap, the classic imaging op): ONE combiner groupby builds the
+    value histogram (distinct-value-sized), the (value, cdf) LUT
+    broadcasts via ray.put, then a stateless searchsorted remap per
+    tile — all integer, bit-exact vs the SQL window-cumsum twin
+    (geoflow.stages.pyramid.equalize_histogram)."""
+    import ray.data as rd
+    from ..sources import tiles as tsrc
+    from ..stages import hydrology as hy
+    from ..stages.pyramid import equalize_histogram
+
+    H, W = _HYDRO_HW
+    if "table" not in _HYDRO_CACHE:
+        dem = hy.hydro_dem(H, W)
+        _HYDRO_CACHE["table"] = tsrc.raster_to_tile_table(
+            dem[None].astype(np.float32), dem.astype(np.float64),
+            raster_id="hydro0", tile=_HYDRO_TILE)
+    return equalize_histogram(rd.from_arrow(_HYDRO_CACHE["table"]))
+
+
+@register("cell_top_lang", sql=_GEO_SQL_CTE + """
+, cl AS (
+  SELECT CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT) AS cell_x,
+         CAST(floor((90.0 - lat) / 180.0 * 64.0) AS BIGINT) AS cell_y,
+         d.lang, count(*) AS n
+  FROM geo JOIN documents d USING (doc_id)
+  GROUP BY 1, 2, 3
+),
+rk AS (
+  SELECT cell_x, cell_y, lang, n,
+         SUM(n) OVER (PARTITION BY cell_x, cell_y) AS n_docs,
+         row_number() OVER (PARTITION BY cell_x, cell_y
+                            ORDER BY n DESC, lang ASC) AS r
+  FROM cl
+)
+SELECT cell_x, cell_y, lang AS top_lang, n AS n_top,
+       CAST(n_docs AS BIGINT) AS n_docs
+FROM rk WHERE r = 1
+""")
+def cell_top_lang(sf_dir: str):
+    """Per-cell modal category (majority vote): the most frequent doc
+    language per 64x64 zonal cell, ties broken lexicographically —
+    the categorical zonal statistic (raster 'majority' resample rule).
+    One combiner groupby to (cell, lang) counter rows, then per-cell
+    argmax inside hash(cell) buckets (geoflow pattern: footprint-sized
+    wide steps only)."""
+    from ..functions.agg import grouped_count_sum
+    from ..stages.dedup import _mix_cols
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def _cells(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy()
+        lat, lon = geocode_doc_ids(ids)
+        return pa.table({
+            "cell_x": pa.array(np.floor((lon + 180.0) / 360.0 * 64.0)
+                               .astype(np.int64)),
+            "cell_y": pa.array(np.floor((90.0 - lat) / 180.0 * 64.0)
+                               .astype(np.int64)),
+            "lang": b.column("lang")})
+
+    counts = grouped_count_sum(
+        ds.map_batches(_cells, batch_format="pyarrow"),
+        ["cell_x", "cell_y", "lang"], [], count_alias="n")
+
+    def _tag(b: pa.Table) -> pa.Table:
+        key = (b.column("cell_x").to_numpy() * 64
+               + b.column("cell_y").to_numpy())
+        gb = (_mix_cols(key) % np.uint64(16)).astype(np.int32)
+        return b.append_column("_gb", pa.array(gb))
+
+    def _top1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cell_x", "cell_y", "n", "lang"],
+                          ascending=[True, True, False, True],
+                          kind="mergesort")
+        tot = g.groupby(["cell_x", "cell_y"], sort=False)["n"] \
+            .transform("sum")
+        g = g.assign(n_docs=tot.astype(np.int64))
+        g = g.drop_duplicates(["cell_x", "cell_y"], keep="first")
+        g = g.rename(columns={"lang": "top_lang", "n": "n_top"})
+        return g[["cell_x", "cell_y", "top_lang", "n_top", "n_docs"]]
+
+    return counts.map_batches(_tag, batch_format="pyarrow") \
+        .groupby("_gb").map_groups(_top1, batch_format="pandas")
+
+
 def _corridor_sql():
     from ..stages.geocode import corridor_sql
     return _GEO_SQL_CTE + ", " + corridor_sql().lstrip()
@@ -5358,6 +5452,17 @@ _PAST_WINDOW = [
     # flagship_zonal_verified); langid's decision replay is applied
     # AND replayed inside in-window corpus_curation.
     "decontaminated_docs", "pii_scrub_docs", "langid_docs",
+    # demotion admitting equalized_histogram: exact grouped quantiles'
+    # machinery (distinct-value histogram + cumulative counts + integer
+    # cuts) is the SAME shape the equalization query hash-checks
+    # in-window (window cumsum over the value histogram); grouped
+    # quantiles stay locally validated at 3 scales, with the KLL
+    # sketch's self-check covering the approximate path.
+    "quantity_quantiles",
+    # demotion admitting cell_top_lang: the degree rollup is strictly
+    # contained in the in-window PageRank plan (extraction + outdegree
+    # feed the rank iterations its bit-exact oracle replays).
+    "link_graph_degrees",
     # demotion admitting corridor_docs: the quad-hierarchy machinery
     # compaction exercises keeps TWO in-window reps — bbox_cover_scan_
     # docs (quad-descent cover, Morton ranges, pruned scan + exact

@@ -134,3 +134,88 @@ def pyramid_cells(level_ds, level: int, tile: int = 64):
         return pd.concat(rows, ignore_index=True)
 
     return level_ds.map_batches(_e, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Histogram equalization (global-CDF contrast remap)
+# ---------------------------------------------------------------------------
+
+def equalize_histogram(tiles_ds, levels: int = 256):
+    """Classic histogram equalization of the integer DEM band:
+    ``eq(v) = (cdf(v) - cdf_min) * (levels-1) // (N - cdf_min)`` — all
+    integer, bit-exact against the SQL window-cumsum twin.
+
+    Plan: ONE combiner-pattern groupby builds the value histogram
+    (distinct-value-sized, tiny vs pixels), the sorted (value, cdf)
+    table broadcasts via ``ray.put``, then a stateless searchsorted
+    remap per tile. Returns the (level, n_pixels) histogram of the
+    equalized raster.
+    """
+    import ray
+
+    from ..functions.agg import grouped_count_sum
+    from .terrain import _rows_as_arrays
+
+    def _vals(batch: pa.Table) -> pa.Table:
+        halos = _rows_as_arrays(batch.column("dem_halo"))
+        hs = batch.column("height").to_numpy()
+        ws = batch.column("width").to_numpy()
+        out = []
+        for h, w, halo in zip(hs, ws, halos):
+            out.append(np.rint(np.asarray(halo)).astype(np.int64)
+                       .reshape(h + 2, w + 2)[1:-1, 1:-1].ravel())
+        v = np.concatenate(out) if out else np.array([], np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(u), "n": pa.array(c)})
+
+    base = tiles_ds.filter(lambda r: r["band"] == 0)
+    hist = grouped_count_sum(
+        base.map_batches(_vals, batch_format="pyarrow"),
+        ["v"], ["n"]).to_pandas().sort_values("v")
+    vals = hist["v"].to_numpy()
+    cdf = np.cumsum(hist["n_sum"].to_numpy())
+    n_total = int(cdf[-1])
+    cdf_min = int(cdf[0])
+    eq_of_val = ((cdf - cdf_min) * (levels - 1)
+                 // max(n_total - cdf_min, 1)).astype(np.int64)
+    lut = ray.put((vals, eq_of_val))
+
+    def _remap(batch: pa.Table) -> pa.Table:
+        v_sorted, eq = ray.get(lut) if not isinstance(lut, tuple) else lut
+        halos = _rows_as_arrays(batch.column("dem_halo"))
+        hs = batch.column("height").to_numpy()
+        ws = batch.column("width").to_numpy()
+        parts = []
+        for h, w, halo in zip(hs, ws, halos):
+            px = np.rint(np.asarray(halo)).astype(np.int64) \
+                .reshape(h + 2, w + 2)[1:-1, 1:-1].ravel()
+            parts.append(eq[np.searchsorted(v_sorted, px)])
+        e = np.concatenate(parts) if parts else np.array([], np.int64)
+        u, c = np.unique(e, return_counts=True)
+        return pa.table({"level": pa.array(u), "n": pa.array(c)})
+
+    out = grouped_count_sum(
+        base.map_batches(_remap, batch_format="pyarrow"),
+        ["level"], ["n"]).to_pandas()
+    out = out.rename(columns={"n_sum": "n_pixels"})
+    return out[["level", "n_pixels"]].astype(np.int64)
+
+
+def equalize_oracle_sql(dem_cte: str, levels: int = 256) -> str:
+    """SQL twin: histogram + window cumsum CDF + integer remap."""
+    return f"""{dem_cte},
+hist AS (SELECT dem AS v, COUNT(*) AS n FROM cells GROUP BY dem),
+cdf AS (
+  SELECT v, SUM(n) OVER (ORDER BY v) AS c FROM hist
+),
+bounds AS (SELECT MIN(c) AS cmin, MAX(c) AS ctot FROM cdf),
+remap AS (
+  SELECT h.v,
+         (d.c - b.cmin) * {levels - 1} // GREATEST(b.ctot - b.cmin, 1)
+           AS level,
+         h.n
+  FROM hist h JOIN cdf d USING (v) CROSS JOIN bounds b
+)
+SELECT CAST(level AS BIGINT) AS level,
+       CAST(SUM(n) AS BIGINT) AS n_pixels
+FROM remap GROUP BY 1"""
