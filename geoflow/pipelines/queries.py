@@ -4824,6 +4824,111 @@ def _hydro_flow():
     return _HYDRO_CACHE["flow"]
 
 
+@register("colocation_pairs", sql="""
+WITH eg AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 2654435761 + 17) % 4294967296 AS h1,
+         (event_id * 2246822519 + 101) % 4294967296 AS h2,
+         event_id % 10 AS sel
+  FROM events
+), egeo AS (
+  SELECT user_id, ts,
+    CASE WHEN sel = 0 THEN 40.7 + (h1 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 1 THEN 51.5 + (h1 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 2 THEN 35.7 + (h1 / 4294967296.0 - 0.5) * 0.5
+         ELSE h1 / 4294967296.0 * 130.0 - 60.0 END AS lat,
+    CASE WHEN sel = 0 THEN -74.0 + (h2 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 1 THEN -0.1 + (h2 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 2 THEN 139.7 + (h2 / 4294967296.0 - 0.5) * 0.5
+         ELSE h2 / 4294967296.0 * 360.0 - 180.0 END AS lon
+  FROM eg
+), visits AS (
+  SELECT DISTINCT user_id,
+    CAST(floor((lon + 180.0) / 360.0 * 256.0) AS BIGINT) AS cx,
+    CAST(floor((90.0 - lat) / 180.0 * 256.0) AS BIGINT) AS cy,
+    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket
+  FROM egeo
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       count(*) AS n_cooccur
+FROM visits a
+JOIN visits b ON a.cx = b.cx AND a.cy = b.cy
+            AND a.hour_bucket = b.hour_bucket
+            AND a.user_id < b.user_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+""")
+def colocation_pairs(sf_dir: str):
+    """Co-location contact graph: user pairs sharing >= 2 distinct
+    (256-grid cell, hour) visits — the spatiotemporal self-join at the
+    heart of contact tracing / companionship mining. Plan: distinct
+    (user, cell, hour) visit rows (one combiner dedup), ONE groupby on
+    the (cell, hour) key, vectorized in-bucket pair emission, then a
+    pair-keyed count. Group fan-in is bounded by co-present users per
+    cell-hour — the natural partition key; hot venues would be capped
+    + exact-recounted like the heavy-hitter path."""
+    from ..functions.agg import grouped_count_sum
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def _visits(b: pa.Table) -> pa.Table:
+        ids = b.column("event_id").to_numpy().astype(np.int64)
+        uid = b.column("user_id").to_numpy().astype(np.int64)
+        lat, lon = geocode_doc_ids(ids)
+        us = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").view("int64")
+        t = pa.table({
+            "user_id": pa.array(uid),
+            "cx": pa.array(np.floor((lon + 180.0) / 360.0 * 256.0)
+                           .astype(np.int64)),
+            "cy": pa.array(np.floor((90.0 - lat) / 180.0 * 256.0)
+                           .astype(np.int64)),
+            "hour_bucket": pa.array(us // 3_600_000_000)})
+        gb = pa.TableGroupBy(t, ["user_id", "cx", "cy", "hour_bucket"])
+        return gb.aggregate([]).select(
+            ["user_id", "cx", "cy", "hour_bucket"])
+
+    visits = ev.map_batches(_visits, batch_format="pyarrow")
+    # global dedup of (user, cell, hour): one grouped pass
+    visits = grouped_count_sum(
+        visits, ["user_id", "cx", "cy", "hour_bucket"], []) \
+        .drop_columns(["n"])
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, grp in g.groupby(["cx", "cy", "hour_bucket"], sort=False):
+            u = np.sort(grp["user_id"].to_numpy())
+            if len(u) < 2:
+                continue
+            i, j = np.triu_indices(len(u), k=1)
+            out.append(pd.DataFrame({"user_a": u[i], "user_b": u[j]}))
+        if not out:
+            return pd.DataFrame({"user_a": pd.Series([], dtype=np.int64),
+                                 "user_b": pd.Series([], dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    from ..stages.dedup import _mix_cols
+
+    def _tag(b: pa.Table) -> pa.Table:
+        key = (b.column("cx").to_numpy() * 131072
+               + b.column("cy").to_numpy() * 512
+               + b.column("hour_bucket").to_numpy() % 512)
+        gb = (_mix_cols(key) % np.uint64(64)).astype(np.int32)
+        return b.append_column("_gb", pa.array(gb))
+
+    # bucket the (cell, hour) keys: 64 reducer groups, each running the
+    # per-key pair emission vectorized inside one pandas pass
+    pairs = visits.map_batches(_tag, batch_format="pyarrow") \
+        .groupby("_gb").map_groups(_pairs, batch_format="pandas")
+    counts = grouped_count_sum(pairs, ["user_a", "user_b"], [],
+                               count_alias="n_cooccur")
+    out = counts.filter(expr="n_cooccur >= 2").to_pandas()
+    if "user_a" not in out.columns:
+        out = pd.DataFrame({"user_a": pd.Series([], dtype=np.int64),
+                            "user_b": pd.Series([], dtype=np.int64),
+                            "n_cooccur": pd.Series([], dtype=np.int64)})
+    return out[["user_a", "user_b", "n_cooccur"]]
+
+
 def _equalize_sql():
     from ..stages.hydrology import hydro_dem_sql
     from ..stages.pyramid import equalize_oracle_sql
@@ -5452,6 +5557,12 @@ _PAST_WINDOW = [
     # flagship_zonal_verified); langid's decision replay is applied
     # AND replayed inside in-window corpus_curation.
     "decontaminated_docs", "pii_scrub_docs", "langid_docs",
+    # demotion admitting colocation_pairs: the per-user movement rollup
+    # keeps its full chain in-window via stay_points_events (same
+    # geocode + LAG + same-operation-order haversine, PLUS the island
+    # machinery travel never had); travel_stats stays locally
+    # validated at 3 scales.
+    "user_travel_stats",
     # demotion admitting equalized_histogram: exact grouped quantiles'
     # machinery (distinct-value histogram + cumulative counts + integer
     # cuts) is the SAME shape the equalization query hash-checks

@@ -36,7 +36,10 @@ def value_hash(df: pd.DataFrame) -> str:
         if df[c].dtype.kind == "f":
             df[c] = df[c].round(8)
         df[c] = df[c].astype(str)
-    rows = sorted(df.apply("|".join, axis=1).tolist())
+    if len(df) == 0:
+        rows = []
+    else:
+        rows = sorted(df.apply("|".join, axis=1).tolist())
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
 
 
