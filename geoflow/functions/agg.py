@@ -77,6 +77,53 @@ def grouped_count_sum(ds, key_cols: list[str], sum_cols: list[str],
     return partials.groupby(key).aggregate(*aggs)
 
 
+def grouped_count_sum_bucketed(ds, key_cols: list[str],
+                               sum_cols: list[str],
+                               count_alias: str = "n",
+                               num_buckets: int = 64):
+    """Same result as ``grouped_count_sum`` but the final combine is a
+    hash-bucket shuffle + ONE vectorized Arrow hash-aggregate per
+    bucket, instead of Ray's per-key sort-based ``groupby.aggregate``.
+
+    Right when the post-combine key cardinality is still large (most
+    keys appear in few batches, so batch-level pre-aggregation barely
+    shrinks the data): Ray's sort-aggregate over ~10^6 mostly-unique
+    composite keys measured ~25x slower than this plan on the two-hop
+    OD query; the bucketed form moves identical bytes but replaces the
+    global key sort + per-key reduce with nbuckets independent Arrow
+    group-bys. Same trick the flagship dedup shuffle uses. Key columns
+    must be integers (bucket = splitmix64 fold over the key columns).
+    """
+    import numpy as np
+
+    from .joins import _mix64
+
+    partial = partial_group_sums(key_cols, sum_cols)
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def _bucket(b: pa.Table) -> pa.Table:
+        h = _mix64(b.column(key_cols[0]).to_numpy().astype(np.int64))
+        for c in key_cols[1:]:
+            h = _mix64(h ^ b.column(c).to_numpy().astype(np.uint64))
+        return b.append_column(
+            "_b", pa.array((h % np.uint64(num_buckets)).astype(np.int32)))
+
+    sum_names = [f"{c}_sum" for c in sum_cols]
+
+    def _combine_bucket(t: pa.Table) -> pa.Table:
+        specs = [(n, "sum") for n in sum_names] + [("_n", "sum")]
+        out = pa.TableGroupBy(t, key_cols).aggregate(specs)
+        cols = {k: out.column(k) for k in key_cols}
+        for n in sum_names:
+            cols[n] = out.column(f"{n}_sum")
+        cols[count_alias] = out.column("_n_sum")
+        return pa.table(cols)
+
+    return (partials.map_batches(_bucket, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(_combine_bucket, batch_format="pyarrow"))
+
+
 def grouped_count_sum_driver(ds, key_cols: list[str], sum_cols: list[str],
                              count_alias: str = "n",
                              min_cols: list[str] | None = None,

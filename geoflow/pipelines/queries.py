@@ -4824,6 +4824,105 @@ def _hydro_flow():
     return _HYDRO_CACHE["flow"]
 
 
+@register("od_two_hop", sql="""
+WITH eg AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 2654435761 + 17) % 4294967296 AS h1,
+         (event_id * 2246822519 + 101) % 4294967296 AS h2,
+         event_id % 10 AS sel
+  FROM events
+), egeo AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN sel = 0 THEN 40.7 + (h1 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 1 THEN 51.5 + (h1 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 2 THEN 35.7 + (h1 / 4294967296.0 - 0.5) * 0.5
+         ELSE h1 / 4294967296.0 * 130.0 - 60.0 END AS lat,
+    CASE WHEN sel = 0 THEN -74.0 + (h2 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 1 THEN -0.1 + (h2 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 2 THEN 139.7 + (h2 / 4294967296.0 - 0.5) * 0.5
+         ELSE h2 / 4294967296.0 * 360.0 - 180.0 END AS lon
+  FROM eg
+), cells6 AS (
+  SELECT user_id, ts, event_id,
+    CAST(least(greatest(floor((lon + 180.0) / 360.0 * 64.0), 0), 63.0)
+         AS BIGINT) AS cx,
+    CAST(least(greatest(floor((90.0 - lat) / 180.0 * 64.0), 0), 63.0)
+         AS BIGINT) AS cy
+  FROM egeo
+), moves AS (
+  SELECT user_id, cx AS to_x, cy AS to_y,
+         lag(cx) OVER w AS from_x, lag(cy) OVER w AS from_y
+  FROM cells6 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), od AS (
+  SELECT from_x, from_y, to_x, to_y, count(*) AS n_moves
+  FROM moves WHERE from_x IS NOT NULL GROUP BY 1, 2, 3, 4
+)
+SELECT a.from_x, a.from_y, b.to_x, b.to_y,
+       CAST(SUM(a.n_moves * b.n_moves) AS BIGINT) AS n_paths
+FROM od a JOIN od b ON a.to_x = b.from_x AND a.to_y = b.from_y
+GROUP BY 1, 2, 3, 4
+ORDER BY 5 DESC, 1, 2, 3, 4
+LIMIT 1000
+""")
+def od_two_hop(sf_dir: str):
+    """Two-hop flow composition — the OD transition matrix SQUARED,
+    computed relationally: sparse matrix multiply as ONE bucketed hash
+    join on the mid cell + a grouped sum of count products. The OD
+    support (occupied cell pairs) bounds both the join and the output;
+    n_paths composes exactly in int64 (geoflow.stages.geocode.od_matrix
+    feeding functions.joins.bucketed_hash_join)."""
+    from ..functions.agg import grouped_count_sum_bucketed
+    from ..functions.joins import bucketed_hash_join
+    from ..stages.geocode import od_matrix
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    # The OD support is bounded by the occupied-cell-pair count (at
+    # res 6 at most 64^4 rows, ~8e3 here) INDEPENDENT of input rows, so
+    # materializing stops the two join branches re-running the full
+    # geocode+lag plan once each.
+    od = od_matrix(ev, res=6).materialize()
+
+    def _mid_out(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "_mid": pa.array(b.column("to_x").to_numpy() * 64
+                             + b.column("to_y").to_numpy()),
+            "from_x": b.column("from_x"), "from_y": b.column("from_y"),
+            "na": b.column("n_moves")})
+
+    def _mid_in(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "_min": pa.array(b.column("from_x").to_numpy() * 64
+                             + b.column("from_y").to_numpy()),
+            "to_x": b.column("to_x"), "to_y": b.column("to_y"),
+            "nb": b.column("n_moves")})
+
+    j = bucketed_hash_join(
+        od.map_batches(_mid_out, batch_format="pyarrow"),
+        od.map_batches(_mid_in, batch_format="pyarrow"),
+        "_mid", "_min")
+
+    def _prod(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "from_x": b.column("from_x"), "from_y": b.column("from_y"),
+            "to_x": b.column("to_x"), "to_y": b.column("to_y"),
+            "np_": pa.array(b.column("na").to_numpy()
+                            * b.column("nb").to_numpy())})
+
+    # post-join key cardinality ~= row count (barely any pre-combine
+    # shrink), where Ray's sort-aggregate is ~25x slower than the
+    # hash-bucketed Arrow combine
+    sums = grouped_count_sum_bucketed(
+        j.map_batches(_prod, batch_format="pyarrow"),
+        ["from_x", "from_y", "to_x", "to_y"], ["np_"])
+    # deterministic strongest-flows cut keeps output driver-sized
+    out = sums.sort(["np__sum", "from_x", "from_y", "to_x", "to_y"],
+                    descending=[True, False, False, False, False]) \
+        .limit(1000).to_pandas()
+    out = out.rename(columns={"np__sum": "n_paths"})
+    return out[["from_x", "from_y", "to_x", "to_y", "n_paths"]] \
+        .astype(np.int64)
+
+
 @register("colocation_pairs", sql="""
 WITH eg AS (
   SELECT user_id, ts, event_id,
@@ -5557,6 +5656,13 @@ _PAST_WINDOW = [
     # flagship_zonal_verified); langid's decision replay is applied
     # AND replayed inside in-window corpus_curation.
     "decontaminated_docs", "pii_scrub_docs", "langid_docs",
+    # demotion admitting od_two_hop: the global-order POSITION check
+    # epoch shuffle pins stays in-window via crawl_frontier_docs
+    # (distributed dense rank with exact global positions — a strictly
+    # harder ordering contract) and deterministic hash-rank selection
+    # via token_budget_docs; epoch_shuffled_docs stays locally
+    # validated at 3 scales.
+    "epoch_shuffled_docs",
     # demotion admitting colocation_pairs: the per-user movement rollup
     # keeps its full chain in-window via stay_points_events (same
     # geocode + LAG + same-operation-order haversine, PLUS the island

@@ -234,3 +234,33 @@ def test_jaccard_df_cap_empty_result_schema(ray_session):
     # seed block guarantees even when every pair is capped away
     assert ds.schema().names == ["id_a", "id_b", "jaccard"]
     assert ds.count() == 0
+
+
+def test_grouped_count_sum_bucketed_parity(ray_session):
+    """The hash-bucketed combine must agree exactly with the Ray-native
+    sort-aggregate path on a multi-key, mostly-unique-key input (the
+    regime it exists for)."""
+    import pandas as pd
+    import ray.data as rd
+    from geoflow.functions.agg import (grouped_count_sum,
+                                       grouped_count_sum_bucketed)
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    df = pd.DataFrame({
+        "a": rng.integers(0, 40, n),
+        "b": rng.integers(0, 40, n),
+        "c": rng.integers(0, 7, n),
+        "v": rng.integers(-1000, 1000, n),
+    })
+    ds = rd.from_pandas(df).repartition(8)
+
+    def _norm(out):
+        return (out.to_pandas()[["a", "b", "c", "n", "v_sum"]]
+                .sort_values(["a", "b", "c"]).reset_index(drop=True)
+                .astype(np.int64))
+
+    native = _norm(grouped_count_sum(ds, ["a", "b", "c"], ["v"]))
+    bucketed = _norm(grouped_count_sum_bucketed(ds, ["a", "b", "c"],
+                                                ["v"], num_buckets=5))
+    pd.testing.assert_frame_equal(native, bucketed)
