@@ -5246,6 +5246,70 @@ def geohash_cells(sf_dir: str):
         ["gh7", "n_docs", "min_doc"]]
 
 
+def _hilbert_sql():
+    from ..stages.cells import hilbert_sql_levels
+    levels = hilbert_sql_levels(6, "cells",
+                                carry="doc_id, n_chars, cx0, cy0")
+    return _GEO_SQL_CTE + f"""
+, cells AS (
+  SELECT doc_id, n_chars,
+    CAST(least(greatest(floor((lon + 180.0) / 360.0 * 64.0), 0), 63.0)
+         AS BIGINT) AS cx,
+    CAST(least(greatest(floor((90.0 - lat) / 180.0 * 64.0), 0), 63.0)
+         AS BIGINT) AS cy,
+    CAST(least(greatest(floor((lon + 180.0) / 360.0 * 64.0), 0), 63.0)
+         AS BIGINT) AS cx0,
+    CAST(least(greatest(floor((90.0 - lat) / 180.0 * 64.0), 0), 63.0)
+         AS BIGINT) AS cy0
+  FROM geo
+),
+{levels}
+SELECT hd AS hilbert_d, MIN(cx0) AS cell_x, MIN(cy0) AS cell_y,
+       count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum
+FROM h6 GROUP BY hd
+"""
+
+
+@register("hilbert_cells", lazy_sql=_hilbert_sql)
+def hilbert_cells(sf_dir: str):
+    """Hilbert-curve cell encoding of the geocoded corpus: unlike the
+    Morton/geohash interleave (geohash_cells), the Hilbert order has
+    state-dependent per-level rotations and NO long diagonal jumps —
+    consecutive indices are always grid-adjacent (pinned by a
+    property test over every cell), which is what makes it the better
+    clustered-layout key for range scans. Vectorized one-pass rotate/
+    flip transform per doc + a combiner rollup per index; the oracle
+    replays the transform bit-for-bit as a linear CTE chain, one level
+    per bit (geoflow.stages.cells.hilbert_xy_to_d /
+    hilbert_sql_levels)."""
+    from ..functions.agg import grouped_count_sum
+    from ..stages.cells import hilbert_xy_to_d
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def _hd(b: pa.Table) -> pa.Table:
+        b = _geocode_batch(b)
+        lat = b.column("lat").to_numpy()
+        lon = b.column("lon").to_numpy()
+        cx = np.clip(np.floor((lon + 180.0) / 360.0 * 64.0),
+                     0, 63).astype(np.int64)
+        cy = np.clip(np.floor((90.0 - lat) / 180.0 * 64.0),
+                     0, 63).astype(np.int64)
+        return pa.table({
+            "hilbert_d": pa.array(hilbert_xy_to_d(cx, cy, 6)),
+            "cell_x": pa.array(cx), "cell_y": pa.array(cy),
+            "n_chars": b.column("n_chars")})
+
+    out = grouped_count_sum(
+        ds.map_batches(_hd, batch_format="pyarrow"),
+        ["hilbert_d"], ["n_chars"], count_alias="n_docs",
+        min_cols=["cell_x", "cell_y"]).to_pandas()
+    out = out.rename(columns={"cell_x_min": "cell_x",
+                              "cell_y_min": "cell_y"})
+    return out[["hilbert_d", "cell_x", "cell_y", "n_docs",
+                "n_chars_sum"]]
+
+
 @register("skyline_docs", sql=r"""
 WITH m AS (
   SELECT doc_id, lang, n_chars,
@@ -5760,6 +5824,14 @@ _PAST_WINDOW = [
     # rollups stay in-window via user_travel_stats (same LAG-pair
     # machinery the OD matrix buckets by cell pair).
     "cell_focal_density", "od_matrix_cells",
+    # demotion admitting hilbert_cells: the geohash encode's two
+    # mechanisms both keep in-window reps — the Morton bit-spread is
+    # replayed by bbox_cover_scan_docs' Morton range pruning, and the
+    # floor-scaled integer cell derivation by every geo query's shared
+    # CTE; base-32 string assembly stays pinned by the canonical test
+    # vectors. The Hilbert rotation chain is machinery no other query
+    # exercises.
+    "geohash_cells",
     # self-checking no-oracle entries
     "video_frame_embeddings", "ann_ivf_top5", "ann_lsh_top5",
     "flagship_zonal", "raster_pages_cell_join",

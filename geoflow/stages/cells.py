@@ -207,3 +207,93 @@ def geohash_spread_sql_fragment() -> str:
         f"({v}, {int(_spread_bits(np.array([v], dtype=np.uint64))[0])})"
         for v in range(32))
     return f"sp(v, s) AS (VALUES {vals})"
+
+
+# ---------------------------------------------------------------------------
+# Hilbert curve (state-dependent rotations — locality-preserving order
+# with no long diagonal jumps, unlike the Morton/geohash interleave)
+# ---------------------------------------------------------------------------
+
+
+def hilbert_xy_to_d(x: np.ndarray, y: np.ndarray, order: int) -> np.ndarray:
+    """Hilbert index of (x, y) on a 2^order x 2^order grid, vectorized.
+
+    The textbook iterative form (one rotate/flip per bit level, MSB
+    down): per level s = 2^k the quadrant digit is (3*rx) XOR ry and
+    the frame is re-oriented before descending. Level count is
+    ``order`` — replayable bit-for-bit in SQL as a linear chain of
+    CTEs (``hilbert_sql_levels``)."""
+    x = np.asarray(x, dtype=np.int64).copy()
+    y = np.asarray(y, dtype=np.int64).copy()
+    d = np.zeros(len(x), dtype=np.int64)
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate the sub-square: only when ry == 0, flipping when rx == 1
+        m = ry == 0
+        fl = m & (rx == 1)
+        x[fl] = s - 1 - x[fl]
+        y[fl] = s - 1 - y[fl]
+        tx = x[m].copy()
+        x[m] = y[m]
+        y[m] = tx
+        s >>= 1
+    return d
+
+
+def hilbert_d_to_xy(d: np.ndarray, order: int) -> tuple[np.ndarray,
+                                                        np.ndarray]:
+    """Inverse transform (LSB up), for round-trip/adjacency tests."""
+    d = np.asarray(d, dtype=np.int64)
+    x = np.zeros(len(d), dtype=np.int64)
+    y = np.zeros(len(d), dtype=np.int64)
+    t = d.copy()
+    s = 1
+    while s < (1 << order):
+        rx = (t // 2) & 1
+        ry = (t ^ rx) & 1
+        m = ry == 0
+        fl = m & (rx == 1)
+        x[fl] = s - 1 - x[fl]
+        y[fl] = s - 1 - y[fl]
+        tx = x[m].copy()
+        x[m] = y[m]
+        y[m] = tx
+        x += s * rx
+        y += s * ry
+        t //= 4
+        s *= 2
+    return x, y
+
+
+def hilbert_sql_levels(order: int, src: str,
+                       x_col: str = "cx", y_col: str = "cy",
+                       carry: str = "doc_id") -> str:
+    """SQL CTE chain replaying hilbert_xy_to_d level by level.
+
+    Emits ``h0 .. h{order}`` where ``h{order}(carry.., hd)`` holds the
+    final index; each level references only its predecessor (linear
+    chain — no exponential re-inlining risk). XOR of the two one-bit
+    flags is spelled arithmetically ((a + b) % 2 on 3*rx's low bit,
+    rx on its high bit) so the fragment stays ANSI-portable."""
+    parts = [f"h0 AS (SELECT {carry}, CAST({x_col} AS BIGINT) AS x,"
+             f" CAST({y_col} AS BIGINT) AS y,"
+             f" CAST(0 AS BIGINT) AS hd FROM {src})"]
+    for i in range(order):
+        s = 1 << (order - 1 - i)
+        # digit = (3*rx) XOR ry with rx,ry in {0,1}:
+        #   rx=0 -> ry ; rx=1 -> 3 - ry   (since 3 = 0b11 flips the low bit)
+        parts.append(f"""h{i + 1} AS (
+  SELECT {carry},
+    CASE WHEN (y // {s}) % 2 = 1 THEN x
+         WHEN (x // {s}) % 2 = 1 THEN {s} - 1 - (y % {s})
+         ELSE y % {s} END AS x,
+    CASE WHEN (y // {s}) % 2 = 1 THEN y
+         WHEN (x // {s}) % 2 = 1 THEN {s} - 1 - (x % {s})
+         ELSE x % {s} END AS y,
+    hd + {s * s} * (CASE WHEN (x // {s}) % 2 = 0 THEN (y // {s}) % 2
+                         ELSE 3 - ((y // {s}) % 2) END) AS hd
+  FROM h{i})""")
+    return ",\n".join(parts)

@@ -65,3 +65,49 @@ def test_boundaries_clamped():
     # the exact north/east edge clamps into the last cell, not past it
     top = geohash_encode(np.array([90.0]), np.array([180.0]), 7)[0]
     assert top.decode() == "zzzzzzz"
+
+
+def test_hilbert_canonical_order2():
+    """Canonical order-2 Hilbert walk (standard orientation, as on
+    the published curve): d=0..15 visits these cells in order."""
+    from geoflow.stages.cells import hilbert_d_to_xy, hilbert_xy_to_d
+
+    want = [(0, 0), (1, 0), (1, 1), (0, 1), (0, 2), (0, 3), (1, 3),
+            (1, 2), (2, 2), (2, 3), (3, 3), (3, 2), (3, 1), (2, 1),
+            (2, 0), (3, 0)]
+    x, y = hilbert_d_to_xy(np.arange(16), 2)
+    assert list(zip(x.tolist(), y.tolist())) == want
+    assert hilbert_xy_to_d(x, y, 2).tolist() == list(range(16))
+
+
+def test_hilbert_bijection_and_adjacency():
+    """THE Hilbert property: the order-6 curve is a bijection on the
+    64x64 grid and every consecutive pair of indices is grid-adjacent
+    (unit Manhattan step) — independent signal the SQL replay oracle
+    (same algorithm) cannot provide."""
+    from geoflow.stages.cells import hilbert_d_to_xy, hilbert_xy_to_d
+
+    d = np.arange(64 * 64)
+    x, y = hilbert_d_to_xy(d, 6)
+    assert (hilbert_xy_to_d(x, y, 6) == d).all()
+    assert len({(a, b) for a, b in zip(x.tolist(), y.tolist())}) == 4096
+    assert (np.abs(np.diff(x)) + np.abs(np.diff(y)) == 1).all()
+
+
+def test_hilbert_sql_levels_match_numpy():
+    import duckdb
+
+    from geoflow.stages.cells import hilbert_sql_levels, hilbert_xy_to_d
+
+    xs, ys = np.meshgrid(np.arange(64), np.arange(64))
+    xs, ys = xs.ravel(), ys.ravel()
+    want = hilbert_xy_to_d(xs, ys, 6)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE cells AS SELECT unnest(?) cx, unnest(?) cy,"
+        " unnest(?) doc_id",
+        [xs.tolist(), ys.tolist(), list(range(len(xs)))])
+    sql = ("WITH " + hilbert_sql_levels(6, "cells")
+           + " SELECT hd FROM h6 ORDER BY doc_id")
+    got = con.execute(sql).df()["hd"].to_numpy()
+    assert (got == want).all()
