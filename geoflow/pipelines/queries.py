@@ -3996,6 +3996,56 @@ def warc_roundtrip_docs(sf_dir: str):
         _reduce, batch_format="pyarrow").sort("doc_id")
 
 
+@register("jsonl_roundtrip_docs", sql="""
+SELECT doc_id, lang, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id
+""")
+def jsonl_roundtrip_docs(sf_dir: str):
+    """JSONL source round-trip (sources/jsonl.py): every 7th document
+    is dumped as newline-delimited JSON, then read back by the RANGED
+    reader with a deliberately tiny range size (16 KiB) so thousands
+    of byte ranges start mid-line and must resynchronize at the next
+    newline — the mechanism that makes NDJSON splittable without an
+    index at 100 TB. The oracle measures the ORIGINAL table, so a
+    hash match proves writer escaping, the range/resync partition
+    (each line owned by exactly one range) and the vectorized C++
+    parse are all lossless. (Fixture written driver-side by necessity;
+    the operator under test, read_jsonl, is the distributed path.)"""
+    import tempfile
+
+    from ..sources.jsonl import read_jsonl, write_jsonl
+
+    docs = (_read(sf_dir, "documents", ["doc_id", "lang", "text"])
+            .map_batches(
+                lambda b: b.filter(pa.array(
+                    b.column("doc_id").to_numpy() % 7 == 0)),
+                batch_format="pyarrow").to_pandas())
+    rows = [{"doc_id": int(i), "lang": la, "text": t or ""}
+            for i, la, t in zip(docs["doc_id"], docs["lang"],
+                                docs["text"])]
+    d = tempfile.mkdtemp(prefix="jsonl_", dir="/tmp")
+    half = len(rows) // 2
+    write_jsonl(f"{d}/a.jsonl", rows[:half])
+    write_jsonl(f"{d}/b.jsonl", rows[half:])
+
+    def _reduce(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "lang": pa.array([], pa.string()),
+                             "n_bytes": pa.array([], pa.int64())})
+        lens = [len(t.encode("utf-8"))
+                for t in b.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "lang": b.column("lang"),
+            "n_bytes": pa.array(lens, pa.int64())})
+
+    return read_jsonl([f"{d}/a.jsonl", f"{d}/b.jsonl"],
+                      columns=["doc_id", "lang", "text"],
+                      range_bytes=16 << 10) \
+        .map_batches(_reduce, batch_format="pyarrow").sort("doc_id")
+
+
 @register("approx_quantiles_price")
 def approx_quantiles_price(sf_dir: str):
     """Mergeable KLL-style quantile sketch (functions/sketch.py) over
@@ -5824,6 +5874,13 @@ _PAST_WINDOW = [
     # rollups stay in-window via user_travel_stats (same LAG-pair
     # machinery the OD matrix buckets by cell pair).
     "cell_focal_density", "od_matrix_cells",
+    # demotion admitting jsonl_roundtrip_docs: per-cell argmax keeps
+    # BOTH its mechanisms in-window — the shared geo-cell CTE through
+    # every geo query (zonal_split_docs, getis_ord_hotspots, ...) and
+    # the per-group ranked cut through top_parts_per_brand and
+    # bm25_top_docs; the JSONL ranged reader's mid-line resync is
+    # machinery nothing else exercises.
+    "cell_top_lang",
     # demotion admitting hilbert_cells: the geohash encode's two
     # mechanisms both keep in-window reps — the Morton bit-spread is
     # replayed by bbox_cover_scan_docs' Morton range pruning, and the
