@@ -4874,6 +4874,59 @@ def _hydro_flow():
     return _HYDRO_CACHE["flow"]
 
 
+def _contours_sql():
+    from ..stages.contours import contour_case_sql_values
+    from ..stages.hydrology import hydro_dem_sql
+
+    H, W = _HYDRO_HW
+    return ("WITH " + hydro_dem_sql(H, W).strip() + f""",
+{contour_case_sql_values()},
+lv(level) AS (VALUES (3000), (12000), (30000)),
+cs AS (
+  SELECT lv.level, a.y, a.x,
+    (CASE WHEN a.dem >= lv.level THEN 1 ELSE 0 END
+     + 2 * CASE WHEN b.dem >= lv.level THEN 1 ELSE 0 END
+     + 4 * CASE WHEN c.dem >= lv.level THEN 1 ELSE 0 END
+     + 8 * CASE WHEN d.dem >= lv.level THEN 1 ELSE 0 END) AS cse
+  FROM cells a
+  JOIN cells b ON b.y = a.y AND b.x = a.x + 1
+  JOIN cells c ON c.y = a.y + 1 AND c.x = a.x + 1
+  JOIN cells d ON d.y = a.y + 1 AND d.x = a.x
+  CROSS JOIN lv
+)
+SELECT cs.level, 2 * cs.x + s.ax2 AS x1, 2 * cs.y + s.ay2 AS y1,
+       2 * cs.x + s.bx2 AS x2, 2 * cs.y + s.by2 AS y2
+FROM cs JOIN seg s ON s.cse = cs.cse
+""")
+
+
+@register("contour_segments_dem", lazy_sql=_contours_sql)
+def contour_segments_dem(sf_dir: str):
+    """Marching-squares contour extraction (gdal_contour's vector-
+    from-raster op) at three levels over the integer hydro DEM:
+    mid-edge variant in doubled integer coordinates, so the geometry
+    is EXACT and the oracle replays the same case table (shared
+    VALUES, stages.contours.contour_case_sql_values) over the
+    closed-form DEM. One stateless map over the tile table — the 1-px
+    halo supplies every cross-tile corner, no neighbor join; tiled ==
+    full-raster bit-parity and the degree-2 topology invariant are
+    pinned in pytest (geoflow.stages.contours)."""
+    import ray.data as rd
+    from ..sources import tiles as tsrc
+    from ..stages import hydrology as hy
+    from ..stages.contours import contour_segments
+
+    H, W = _HYDRO_HW
+    if "table" not in _HYDRO_CACHE:
+        dem = hy.hydro_dem(H, W)
+        _HYDRO_CACHE["table"] = tsrc.raster_to_tile_table(
+            dem[None].astype(np.float32), dem.astype(np.float64),
+            raster_id="hydro0", tile=_HYDRO_TILE)
+    tiles = rd.from_arrow(_HYDRO_CACHE["table"])
+    return contour_segments(tiles, [3000, 12000, 30000], H, W,
+                            tile=_HYDRO_TILE)
+
+
 @register("od_two_hop", sql="""
 WITH eg AS (
   SELECT user_id, ts, event_id,
@@ -5874,6 +5927,12 @@ _PAST_WINDOW = [
     # rollups stay in-window via user_travel_stats (same LAG-pair
     # machinery the OD matrix buckets by cell pair).
     "cell_focal_density", "od_matrix_cells",
+    # demotion admitting contour_segments_dem: flow ACCUMULATION rides
+    # the same D8 pointer graph whose solve d8_flow_basins keeps
+    # in-window (identical fdir chain, pointer doubling and entry-graph
+    # machinery; accumulation adds only the per-path count rollup);
+    # marching squares is geometry machinery nothing else exercises.
+    "d8_flow_accumulation",
     # demotion admitting jsonl_roundtrip_docs: per-cell argmax keeps
     # BOTH its mechanisms in-window — the shared geo-cell CTE through
     # every geo query (zonal_split_docs, getis_ord_hotspots, ...) and
