@@ -4874,6 +4874,54 @@ def _hydro_flow():
     return _HYDRO_CACHE["flow"]
 
 
+def _rasterize_sql():
+    return f"""
+WITH edges(region_id, name, x1, y1, x2, y2) AS (VALUES {_pip_edges_sql()}),
+cells AS (
+  SELECT iy.range AS iy, ix.range AS ix,
+         -90.0 + (iy.range + 0.5) * 180.0 / 256 AS lat,
+         -180.0 + (ix.range + 0.5) * 360.0 / 512 AS lon
+  FROM range(0, 256) iy, range(0, 512) ix
+),
+hits AS (
+  SELECT region_id, iy, ix, count(*) AS crossings
+  FROM cells JOIN edges
+    ON ((y1 > lat) <> (y2 > lat))
+   AND lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+  GROUP BY 1, 2, 3
+)
+SELECT region_id, count(*) AS n_cells,
+       CAST(SUM(iy * 512 + ix) AS BIGINT) AS cell_checksum
+FROM hits WHERE crossings % 2 = 1 GROUP BY region_id
+"""
+
+
+@register("rasterized_polygons", lazy_sql=_rasterize_sql)
+def rasterized_polygons(sf_dir: str):
+    """Polygon rasterization (vector-to-raster, the inverse of
+    contour_segments_dem): even-odd SCANLINE fill of the 64-polygon
+    fixture onto a 512x256 global grid. Per grid row each crossing
+    edge contributes the same float crossing expression the per-point
+    even-odd test uses — identical operand order — so run spans equal
+    the per-cell point test EXACTLY, and the oracle replays the point
+    test cell by cell against the same edge VALUES. Covered cells are
+    never materialized: spans reduce to counts/checksums by closed-
+    form arithmetic series, rows stream in blocks, polygons broadcast
+    once (geoflow.stages.rasterize)."""
+    from ..functions.agg import grouped_count_sum
+    from ..stages.pip_join import make_polygons
+    from ..stages.rasterize import rasterize_polygons
+
+    parts = rasterize_polygons(make_polygons(64, seed=42),
+                               grid_w=512, grid_h=256)
+    out = grouped_count_sum(parts, ["region_id"],
+                            ["n_cells", "cell_checksum"],
+                            count_alias="_nb").to_pandas()
+    out["n_cells"] = out["n_cells_sum"].astype(np.int64)
+    out["cell_checksum"] = out["cell_checksum_sum"].astype(np.int64)
+    return out[["region_id", "n_cells", "cell_checksum"]]
+
+
 @register("robots_filter_docs", sql="""
 WITH hosts AS (SELECT range AS k FROM range(0, 999)),
 rules AS (
@@ -6001,6 +6049,14 @@ _PAST_WINDOW = [
     # rollups stay in-window via user_travel_stats (same LAG-pair
     # machinery the OD matrix buckets by cell pair).
     "cell_focal_density", "od_matrix_cells",
+    # demotion admitting rasterized_polygons: the WARC round-trip's
+    # CONTRACT (byte-faithful write -> distributed read -> hash match
+    # against the original table) stays in-window verbatim via
+    # jsonl_roundtrip_docs; WARC's record framing and per-member gzip
+    # parse keep their own pytest suite (test_warc) and local 3-scale
+    # validation. Scanline fill is machinery nothing else runs, and
+    # its oracle reuses the pip even-odd replay on a 131k-cell grid.
+    "warc_roundtrip_docs",
     # demotion admitting robots_filter_docs: the co-location pair
     # query's machinery keeps in-window reps twice over — its bucketed
     # self-join on composite cell keys is the SAME plan od_two_hop
