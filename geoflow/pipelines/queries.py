@@ -4874,6 +4874,42 @@ def _hydro_flow():
     return _HYDRO_CACHE["flow"]
 
 
+@register("funnel_conversions", sql="""
+WITH v AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+c AS (
+  SELECT v.user_id, t0, min(e.ts) AS t1 FROM v
+  JOIN events e ON e.user_id = v.user_id
+   AND e.event_type = 'click' AND e.ts > v.t0
+  GROUP BY 1, 2),
+p AS (
+  SELECT c.user_id, t0, t1, min(e.ts) AS t2 FROM c
+  JOIN events e ON e.user_id = c.user_id
+   AND e.event_type = 'purchase' AND e.ts > c.t1
+  GROUP BY 1, 2, 3)
+SELECT user_id, CAST(epoch_us(t0) AS BIGINT) AS step0_ts,
+       CAST(epoch_us(t1) AS BIGINT) AS step1_ts,
+       CAST(epoch_us(t2) AS BIGINT) AS step2_ts
+FROM p
+WHERE epoch_us(t2) - epoch_us(t0) <= CAST(72 * 3600 AS BIGINT) * 1000000
+""")
+def funnel_conversions(sf_dir: str):
+    """Ordered-sequence funnel (MATCH_RECOGNIZE-lite): first-touch
+    view -> click -> purchase chains per user, each step the first
+    event of its type STRICTLY after the previous step, completing
+    within 72 h of the anchor. One hash-bucket shuffle on user, then
+    each step is one vectorized forward merge_asof inside the bucket
+    (allow_exact_matches=False == the oracle's ts > predicate); the
+    oracle replays the greedy chain as min-over-later-events
+    aggregates (geoflow.stages.funnel)."""
+    from ..stages.funnel import funnel_first_completion
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_first_completion(
+        ev, ["view", "click", "purchase"], window_s=72 * 3600)
+
+
 def _rasterize_sql():
     return f"""
 WITH edges(region_id, name, x1, y1, x2, y2) AS (VALUES {_pip_edges_sql()}),
@@ -6049,6 +6085,13 @@ _PAST_WINDOW = [
     # rollups stay in-window via user_travel_stats (same LAG-pair
     # machinery the OD matrix buckets by cell pair).
     "cell_focal_density", "od_matrix_cells",
+    # demotion admitting funnel_conversions: the as-of join mechanism
+    # keeps an in-window rep through the funnel itself — two CHAINED
+    # forward strict merge_asofs inside the same bucketed-by-key plan
+    # (a strictly harder multi-step ordered-match contract than the
+    # single backward as-of); the orders as-of variant keeps its
+    # pytest suite (test_asof_quantiles) and local 3-scale validation.
+    "events_asof_orders",
     # demotion admitting rasterized_polygons: the WARC round-trip's
     # CONTRACT (byte-faithful write -> distributed read -> hash match
     # against the original table) stays in-window verbatim via

@@ -129,3 +129,45 @@ def test_attach_customer_dim_dataset_path(ray_session, monkeypatch):
     assert b["n_name"].tolist() == s["n_name"].tolist()
     assert (b["n_orders"].to_numpy() == s["n_orders"].to_numpy()).all()
     assert (b["total_cents"].to_numpy() == s["total_cents"].to_numpy()).all()
+
+
+def test_funnel_strictness_and_window(ray_session):
+    """Strict 'after' (equal ts does NOT match) and the completion
+    window boundary (== window passes, +1us fails)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from geoflow.stages.funnel import funnel_first_completion
+
+    W = 3600
+    base = pd.Timestamp("2024-01-01")
+    us = pd.Timedelta(microseconds=1)
+
+    def ev(uid, t, typ):
+        return {"user_id": uid, "ts": t, "event_type": typ}
+
+    rows = [
+        # u1: clean chain, completes exactly AT the window bound
+        ev(1, base, "view"), ev(1, base + us, "click"),
+        ev(1, base + pd.Timedelta(seconds=W), "purchase"),
+        # u2: click at SAME ts as view -> not after -> no chain
+        ev(2, base, "view"), ev(2, base, "click"),
+        # u3: completes one microsecond past the window -> rejected
+        ev(3, base, "view"), ev(3, base + us, "click"),
+        ev(3, base + pd.Timedelta(seconds=W) + us, "purchase"),
+        # u4: steps out of order (purchase before click) -> no chain
+        ev(4, base, "view"), ev(4, base + 2 * us, "purchase"),
+        ev(4, base + 3 * us, "click"),
+        # u5: anchor is the FIRST view; a later view that would
+        # complete must not be used
+        ev(5, base, "view"),
+        ev(5, base + pd.Timedelta(days=30), "view"),
+        ev(5, base + pd.Timedelta(days=30) + us, "click"),
+        ev(5, base + pd.Timedelta(days=30) + 2 * us, "purchase"),
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = funnel_first_completion(ds, ["view", "click", "purchase"],
+                                  window_s=W).to_pandas()
+    assert out["user_id"].tolist() == [1]
+    t0 = out["step0_ts"].iloc[0]
+    assert out["step2_ts"].iloc[0] - t0 == W * 1_000_000
