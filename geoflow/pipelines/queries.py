@@ -4874,6 +4874,37 @@ def _hydro_flow():
     return _HYDRO_CACHE["flow"]
 
 
+@register("resampled_user_values", sql="""
+WITH b AS (
+  SELECT user_id, epoch_us(min(ts)) // 86400000000 + 1 AS d0,
+         epoch_us(max(ts)) // 86400000000 AS dn
+  FROM events GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(d0, dn)) AS step FROM b),
+ranked AS (
+  SELECT g.user_id, g.step, e.value,
+         row_number() OVER (PARTITION BY g.user_id, g.step
+                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
+  FROM grid g JOIN events e ON e.user_id = g.user_id
+   AND epoch_us(e.ts) <= g.step * 86400000000)
+SELECT user_id, step, value AS last_value
+FROM ranked WHERE rn = 1
+""")
+def resampled_user_values(sf_dir: str):
+    """Regular-grid resampling with forward fill (the time-series
+    normalization step gap-ridden logs need before any per-step
+    comparison): one daily grid point per user between their first
+    and last event, carrying the latest value at-or-before each
+    midnight. Grid rows are materialized arithmetically (cumsum-offset
+    arange, no per-key loop) and filled by ONE backward merge_asof per
+    bucket; the oracle replays the fill as a window rank over
+    grid x earlier-events (geoflow.stages.windows.resample_ffill)."""
+    from ..stages.windows import resample_ffill
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return resample_ffill(ev)
+
+
 @register("funnel_conversions", sql="""
 WITH v AS (
   SELECT user_id, min(ts) AS t0 FROM events
@@ -6085,6 +6116,12 @@ _PAST_WINDOW = [
     # rollups stay in-window via user_travel_stats (same LAG-pair
     # machinery the OD matrix buckets by cell pair).
     "cell_focal_density", "od_matrix_cells",
+    # self-demotion (window at capacity, no weaker slot): the LOCF
+    # resample's two mechanisms keep in-window reps — the bucketed
+    # backward/forward as-of fill via funnel_conversions (chained
+    # strict as-ofs in the same bucket plan) and grid/time bucketing
+    # via events_hourly_streaming; validated locally at 3 scales.
+    "resampled_user_values",
     # demotion admitting funnel_conversions: the as-of join mechanism
     # keeps an in-window rep through the funnel itself — two CHAINED
     # forward strict merge_asofs inside the same bucketed-by-key plan

@@ -120,3 +120,67 @@ def lag_delta(events_ds, key_col: str = "user_id", ts_col: str = "ts",
 
     return events_ds.map_batches(_prep, batch_format="pyarrow") \
         .groupby("_gb").map_groups(_delta, batch_format="pandas")
+
+
+def resample_ffill(events_ds, key_col: str = "user_id",
+                   ts_col: str = "ts", value_col: str = "value",
+                   step_us: int = 86_400_000_000,
+                   num_buckets: int = 32):
+    """Regular-grid resample with forward fill (last observation
+    carried forward): per key, one grid point at every multiple of
+    ``step_us`` strictly after the key's first event and at or before
+    its last, valued by the latest event at-or-before the grid point
+    (ties on ts broken by highest event_id, matching the SQL window
+    rank's ts DESC, event_id DESC).
+
+    Rows (key, step index, last_value). One hash-bucket shuffle, then
+    per bucket the grid is materialized arithmetically (cumsum-offset
+    arange — no per-key Python) and filled by ONE backward merge_asof.
+    Grid size is (span / step) per key — choose step so key-grids stay
+    bounded; events never leave their bucket.
+    """
+    import pandas as pd
+
+    from ..functions.joins import _mix64
+
+    def _bucket(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_numpy().astype(np.int64)
+        return b.append_column(
+            "_b", pa.array((_mix64(keys) % np.uint64(num_buckets))
+                           .astype(np.int32)))
+
+    def _fill(g: pd.DataFrame) -> pd.DataFrame:
+        us = g[ts_col].to_numpy().astype("datetime64[us]").view("int64")
+        ev = pd.DataFrame({key_col: g[key_col].to_numpy(), "_t": us,
+                           "_v": g[value_col].to_numpy(),
+                           "_e": g["event_id"].to_numpy()})
+        ev = ev.sort_values([key_col, "_t", "_e"],
+                            kind="stable")
+        b = ev.groupby(key_col, as_index=False).agg(
+            mn=("_t", "min"), mx=("_t", "max"))
+        d0 = b["mn"].to_numpy() // step_us + 1
+        dn = b["mx"].to_numpy() // step_us
+        cnt = np.maximum(dn - d0 + 1, 0)
+        if cnt.sum() == 0:
+            return pd.DataFrame({key_col: np.array([], np.int64),
+                                 "step": np.array([], np.int64),
+                                 "last_value": np.array([], np.float64)})
+        keys_rep = np.repeat(b[key_col].to_numpy(), cnt)
+        offs = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        day = (np.arange(cnt.sum()) - np.repeat(offs, cnt)
+               + np.repeat(d0, cnt))
+        grid = pd.DataFrame({key_col: keys_rep, "_gt": day * step_us,
+                             "step": day}).sort_values("_gt",
+                                                       kind="stable")
+        ev2 = ev.sort_values(["_t", "_e"], kind="stable")
+        m = pd.merge_asof(grid, ev2[[key_col, "_t", "_v"]],
+                          left_on="_gt", right_on="_t", by=key_col,
+                          direction="backward",
+                          allow_exact_matches=True)
+        out = pd.DataFrame({key_col: m[key_col].astype(np.int64),
+                            "step": m["step"].astype(np.int64),
+                            "last_value": m["_v"].astype(np.float64)})
+        return out.reset_index(drop=True)
+
+    return (events_ds.map_batches(_bucket, batch_format="pyarrow")
+            .groupby("_b").map_groups(_fill, batch_format="pandas"))

@@ -171,3 +171,38 @@ def test_funnel_strictness_and_window(ray_session):
     assert out["user_id"].tolist() == [1]
     t0 = out["step0_ts"].iloc[0]
     assert out["step2_ts"].iloc[0] - t0 == W * 1_000_000
+
+
+def test_resample_ffill_ties_and_bounds(ray_session):
+    """Grid covers midnights strictly after the first event and at or
+    before the last; a grid point exactly at an event takes it; equal
+    timestamps resolve to the highest event_id."""
+    import pandas as pd
+    import ray.data as rd
+
+    from geoflow.stages.windows import resample_ffill
+
+    day = 86_400_000_000
+    mk = pd.Timestamp
+    rows = [
+        # u1: events on day 0 and an exact-midnight event on day 2
+        {"event_id": 1, "user_id": 1,
+         "ts": mk("2024-01-01 05:00"), "value": 10.0},
+        {"event_id": 2, "user_id": 1,
+         "ts": mk("2024-01-03 00:00"), "value": 20.0},
+        # tie at the same microsecond: higher event_id wins
+        {"event_id": 4, "user_id": 1,
+         "ts": mk("2024-01-03 00:00"), "value": 30.0},
+        {"event_id": 3, "user_id": 1,
+         "ts": mk("2024-01-04 12:00"), "value": 40.0},
+        # u2: single event -> empty grid (no midnight in (mn, mx])
+        {"event_id": 5, "user_id": 2,
+         "ts": mk("2024-01-02 09:00"), "value": 7.0},
+    ]
+    out = resample_ffill(rd.from_pandas(pd.DataFrame(rows))) \
+        .to_pandas().sort_values(["user_id", "step"])
+    d0 = mk("2024-01-02").value // 1000 // day
+    assert out["user_id"].tolist() == [1, 1, 1]
+    assert out["step"].tolist() == [d0, d0 + 1, d0 + 2]
+    # day 2 midnight: the exact-match tie resolves to event_id 4
+    assert out["last_value"].tolist() == [10.0, 30.0, 30.0]
