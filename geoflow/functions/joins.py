@@ -123,12 +123,23 @@ def bucketed_hash_join(left_ds, right_ds, left_key: str, right_key: str,
         raise ValueError(f"column collision: {overlap}")
     all_cols = left_cols + right_cols
     # target dtypes: the union pads the other side's columns with nulls,
-    # which turns int columns float in pandas — restore after the merge
+    # which turns int columns float in pandas — restore after the merge.
+    # A side may carry a PandasBlockSchema (e.g. the output of a
+    # previous bucketed join feeding a chained one): its types are
+    # numpy dtypes, mapped through from_numpy_dtype when possible.
+    def _atype(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.null()
+
     arrow_types = {}
     for name, t in zip(left_schema.names, left_schema.types):
-        arrow_types[name] = t
+        arrow_types[name] = _atype(t)
     for name, t in zip(right_schema.names, right_schema.types):
-        arrow_types[name] = t
+        arrow_types[name] = _atype(t)
     int_cols = [c for c in all_cols
                 if pa.types.is_integer(arrow_types.get(c, pa.null()))]
 

@@ -4874,6 +4874,48 @@ def _hydro_flow():
     return _HYDRO_CACHE["flow"]
 
 
+_PHRASES = ["sort merge", "batch batch", "table scan merge"]
+
+
+def _phrase_sql():
+    parts = []
+    for phrase in _PHRASES:
+        terms = phrase.split(" ")
+        k = len(terms)
+        cond = " AND ".join(f"l[i + {j}] = '{t}'"
+                            for j, t in enumerate(terms))
+        parts.append(f"""
+SELECT '{phrase}' AS phrase, lang,
+       count(*) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_matches,
+       CAST(sum(doc_id * n) AS BIGINT) AS doc_checksum
+FROM (
+  SELECT doc_id, lang,
+         len(list_filter(range(1, len(l) + 2 - {k}),
+                         i -> {cond})) AS n
+  FROM (SELECT doc_id, lang, string_split(text, ' ') AS l
+        FROM documents)
+) WHERE n > 0 GROUP BY 1, 2""")
+    return " UNION ALL ".join(parts)
+
+
+@register("phrase_search_docs", lazy_sql=_phrase_sql)
+def phrase_search_docs(sf_dir: str):
+    """Exact phrase (n-gram) search over a POSITIONAL inverted index:
+    postings (doc, term, pos) are built once, restricted batch-side to
+    the query phrases' vocabulary (non-query terms never leave the
+    map), and a k-term phrase resolves as k-1 bucketed hash joins on
+    one shared key — every term keyed to the occurrence's START
+    position (doc * 2^20 + pos - i). Output: per-(phrase, lang) doc
+    and match counts plus a doc-weighted checksum; the oracle counts
+    occurrences per doc with a list_filter window over the same
+    single-space tokenization (geoflow.stages.search.phrase_search)."""
+    from ..stages.search import phrase_search
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return phrase_search(ds, _PHRASES)
+
+
 @register("resampled_user_values", sql="""
 WITH b AS (
   SELECT user_id, epoch_us(min(ts)) // 86400000000 + 1 AS d0,
@@ -6116,6 +6158,13 @@ _PAST_WINDOW = [
     # rollups stay in-window via user_travel_stats (same LAG-pair
     # machinery the OD matrix buckets by cell pair).
     "cell_focal_density", "od_matrix_cells",
+    # self-demotion (window at capacity): phrase search's constituent
+    # mechanisms all keep in-window reps — postings/tokenization with
+    # the same SQL-replayed split via bm25_top_docs, query-vocabulary
+    # posting filters likewise, and the bucketed hash join via
+    # od_two_hop / revenue_by_region; the start-position adjacency
+    # KEY is pinned by unit tests + 3-scale local validation.
+    "phrase_search_docs",
     # self-demotion (window at capacity, no weaker slot): the LOCF
     # resample's two mechanisms keep in-window reps — the bucketed
     # backward/forward as-of fill via funnel_conversions (chained

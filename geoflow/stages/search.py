@@ -197,3 +197,134 @@ rk AS (SELECT q_id, {id_col}, round(w, 6) AS score,
        FROM sc)
 SELECT q_id, {id_col}, score, CAST(rk AS BIGINT) AS rk
 FROM rk WHERE rk <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (exact n-gram queries over a positional index)
+# ---------------------------------------------------------------------------
+
+POS_BITS = 20   # positions < 2^20 per doc; key = doc_id * 2^20 + pos
+
+
+def positional_postings(ds, phrases: list[str], id_col: str = "doc_id",
+                        text_col: str = "text", carry: str = "lang"):
+    """Slim (doc, carry, term, pos) postings restricted to the query
+    phrases' vocabulary — the selectivity that makes a positional
+    index usable at scale: non-query terms never leave the map task.
+    Tokenization is the single-space split the SQL twin replays
+    (string_split(text, ' ')); positions are 1-based."""
+    import pyarrow.compute as pc
+
+    vocab = pa.array(sorted({t for p in phrases for t in p.split(" ")}),
+                     pa.string())
+
+    def _post(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b.column(id_col), pa.int64())
+        toks = pc.split_pattern(pc.cast(b.column(text_col), pa.string()),
+                                " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)          # offset-aware (slices ok)
+        parent = pc.list_parent_indices(toks).to_numpy()
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        offs = offs - offs[0]                 # normalize sliced arrays
+        # 1-based position within the doc
+        pos = (np.arange(len(flat), dtype=np.int64)
+               - np.repeat(offs[:-1], np.diff(offs)) + 1)
+        m = pc.is_in(flat, value_set=vocab).to_numpy(
+            zero_copy_only=False)
+        carry_np = b.column(carry).combine_chunks().to_numpy(
+            zero_copy_only=False) \
+            if isinstance(b.column(carry), pa.ChunkedArray) \
+            else b.column(carry).to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(ids.to_numpy()[parent[m]], pa.int64()),
+            carry: pa.array(carry_np[parent[m]]),
+            "term": flat.filter(pa.array(m)),
+            "pos": pa.array(pos[m], pa.int64())})
+
+    return ds.map_batches(_post, batch_format="pyarrow")
+
+
+def phrase_match_counts(postings, phrase: str, id_col: str = "doc_id",
+                        carry: str = "lang"):
+    """Occurrence rows of ``phrase`` (one per match, with doc + carry)
+    via adjacency joins: every term of the phrase is keyed to the
+    occurrence's START position (doc*2^POS_BITS + pos - i), so a
+    k-term phrase is k-1 bucketed hash joins on ONE shared key.
+    Assumes doc_id < 2^43."""
+    import pyarrow.compute as pc
+
+    from ..functions.joins import bucketed_hash_join
+
+    terms = phrase.split(" ")
+
+    def _subset(i: int, t: str, keep_carry: bool):
+        def _f(b: pa.Table) -> pa.Table:
+            m = pc.equal(b.column("term"), pa.scalar(t))
+            s = b.filter(m)
+            key = (s.column(id_col).to_numpy()
+                   * np.int64(1 << POS_BITS)
+                   + s.column("pos").to_numpy() - i)
+            cols = {f"_k{i}": pa.array(key, pa.int64())}
+            if keep_carry:
+                cols[id_col] = s.column(id_col)
+                cols[carry] = s.column(carry)
+            return pa.table(cols)
+        return _f
+
+    cur = postings.map_batches(_subset(0, terms[0], True),
+                               batch_format="pyarrow")
+    left_key = "_k0"
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = postings.map_batches(_subset(i, t, False),
+                                   batch_format="pyarrow")
+        cur = bucketed_hash_join(cur, nxt, left_key, f"_k{i}")
+        left_key = "_key"
+
+    return cur
+
+
+def phrase_search(docs_ds, phrases: list[str], id_col: str = "doc_id",
+                  text_col: str = "text", carry: str = "lang"):
+    """Per-(phrase, carry) rollup: n_docs, n_matches and an exact
+    doc-weighted checksum. Postings built once for all phrases."""
+    import pandas as pd
+
+    from ..functions.agg import grouped_count_sum
+
+    postings = positional_postings(docs_ds, phrases, id_col, text_col,
+                                   carry).materialize()
+    outs = []
+    for p in phrases:
+        occ = phrase_match_counts(postings, p, id_col, carry)
+
+        def _slim(b: pa.Table) -> pa.Table:
+            return pa.table({id_col: b.column(id_col),
+                             carry: b.column(carry)})
+
+        per_doc = grouped_count_sum(
+            occ.map_batches(_slim, batch_format="pyarrow"),
+            [id_col, carry], [], count_alias="n")
+
+        def _w(b: pa.Table) -> pa.Table:
+            n = b.column("n").to_numpy().astype(np.int64)
+            d = b.column(id_col).to_numpy().astype(np.int64)
+            return pa.table({carry: b.column(carry),
+                             "one": pa.array(np.ones(len(n), np.int64)),
+                             "n": pa.array(n),
+                             "ck": pa.array(d * n)})
+
+        agg = grouped_count_sum(
+            per_doc.map_batches(_w, batch_format="pyarrow"),
+            [carry], ["one", "n", "ck"], count_alias="_g").to_pandas()
+        agg.insert(0, "phrase", p)
+        agg = agg.rename(columns={"one_sum": "n_docs",
+                                  "n_sum": "n_matches",
+                                  "ck_sum": "doc_checksum"})
+        outs.append(agg[["phrase", carry, "n_docs", "n_matches",
+                         "doc_checksum"]])
+    out = pd.concat(outs, ignore_index=True)
+    for c in ("n_docs", "n_matches", "doc_checksum"):
+        out[c] = out[c].astype(np.int64)
+    return out

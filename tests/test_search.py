@@ -78,3 +78,41 @@ def test_empty_docs_and_ties():
 def test_more_addends_rejected():
     with pytest.raises(AssertionError):
         run_engine({1: "a b"}, terms_per_query=3)
+
+
+def test_phrase_search_counts(ray_session):
+    """Occurrence counts vs a brute sliding-window reference,
+    including overlapping matches, repeated terms, and empty text."""
+    import pandas as pd
+    import ray.data as rd
+
+    from geoflow.stages.search import phrase_search
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "lang": ["en", "en", "de", "de", "en"],
+        "text": ["sort merge sort merge part", "merge sort",
+                 "sort merge", "", "a a a a"],
+    })
+    phrases = ["sort merge", "sort merge part", "a a"]
+    out = phrase_search(rd.from_pandas(docs), phrases)
+
+    def brute(t, p):
+        tk, pk = t.split(" "), p.split(" ")
+        return sum(1 for i in range(len(tk) - len(pk) + 1)
+                   if tk[i:i + len(pk)] == pk)
+
+    want = {}
+    for p in phrases:
+        for _, r in docs.iterrows():
+            n = brute(r["text"], p)
+            if n:
+                k = (p, r["lang"])
+                d, m, c = want.get(k, (0, 0, 0))
+                want[k] = (d + 1, m + n, c + r["doc_id"] * n)
+    got = {(r["phrase"], r["lang"]):
+           (r["n_docs"], r["n_matches"], r["doc_checksum"])
+           for _, r in out.iterrows()}
+    assert got == want
+    # overlapping "a a" in "a a a a" = 3 matches
+    assert got[("a a", "en")] == (1, 3, 12)
