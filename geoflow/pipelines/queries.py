@@ -5105,6 +5105,58 @@ def robots_filter_docs(sf_dir: str):
     return agg[["host", "n_allowed", "n_denied"]]
 
 
+def _upsample_sql():
+    from ..stages.hydrology import hydro_dem_sql
+
+    H, W = _HYDRO_HW
+
+    def _cl(expr, hi):
+        return f"least(greatest({expr}, 0), {hi})"
+
+    ny = _cl("gy.range // 2 + 2 * (gy.range % 2) - 1", H - 1)
+    nx = _cl("gx.range // 2 + 2 * (gx.range % 2) - 1", W - 1)
+    return ("WITH " + hydro_dem_sql(H, W).strip() + f""",
+ups AS (
+  SELECT gy.range AS gy, gx.range AS gx,
+         9 * c.dem + 3 * cy.dem + 3 * cx.dem + cxy.dem AS out16
+  FROM range(0, {2 * H}) gy, range(0, {2 * W}) gx
+  JOIN cells c   ON c.y = gy.range // 2 AND c.x = gx.range // 2
+  JOIN cells cy  ON cy.y = {ny} AND cy.x = gx.range // 2
+  JOIN cells cx  ON cx.y = gy.range // 2 AND cx.x = {nx}
+  JOIN cells cxy ON cxy.y = {ny} AND cxy.x = {nx}
+)
+SELECT gy // 32 AS by, gx // 32 AS bx, count(*) AS n_pix,
+       CAST(SUM(out16) AS BIGINT) AS out16_sum
+FROM ups GROUP BY 1, 2
+""")
+
+
+@register("upsampled_dem_blocks", lazy_sql=_upsample_sql)
+def upsampled_dem_blocks(sf_dir: str):
+    """Bilinear 2x raster upsample in EXACT integers (out16 = 16x the
+    interpolated value; the (9,3,3,1)/16 quadrant weights are constant
+    for a 2x resample): one stateless map over the tile table — the
+    1-px halo supplies every source neighbor, with raster-boundary
+    rings clamped to the resampler's replicate convention — emitting
+    per-32x32-block integer sums, never per-pixel rows. The oracle
+    recomputes every output pixel from the closed-form DEM with the
+    same clamped 2x2 gather (geoflow.stages.pyramid
+    .upsample_bilinear_2x)."""
+    import ray.data as rd
+    from ..sources import tiles as tsrc
+    from ..stages import hydrology as hy
+    from ..stages.pyramid import upsample_bilinear_2x
+
+    H, W = _HYDRO_HW
+    if "table" not in _HYDRO_CACHE:
+        dem = hy.hydro_dem(H, W)
+        _HYDRO_CACHE["table"] = tsrc.raster_to_tile_table(
+            dem[None].astype(np.float32), dem.astype(np.float64),
+            raster_id="hydro0", tile=_HYDRO_TILE)
+    tiles = rd.from_arrow(_HYDRO_CACHE["table"])
+    return upsample_bilinear_2x(tiles, H, W, tile=_HYDRO_TILE, block=32)
+
+
 def _contours_sql():
     from ..stages.contours import contour_case_sql_values
     from ..stages.hydrology import hydro_dem_sql
@@ -6158,6 +6210,13 @@ _PAST_WINDOW = [
     # rollups stay in-window via user_travel_stats (same LAG-pair
     # machinery the OD matrix buckets by cell pair).
     "cell_focal_density", "od_matrix_cells",
+    # self-demotion (window at capacity): the 2x upsample's mechanisms
+    # keep in-window reps — halo-fed stateless stencil maps via
+    # contour_segments_dem and the correction/terrain golden family,
+    # level-changing regroup/aggregation via raster_pyramid_cells;
+    # the (9,3,3,1)/16 quadrant gather + boundary clamp are pinned by
+    # tiled==full pytest parity and 3-scale local validation.
+    "upsampled_dem_blocks",
     # self-demotion (window at capacity): phrase search's constituent
     # mechanisms all keep in-window reps — postings/tokenization with
     # the same SQL-replayed split via bm25_top_docs, query-vocabulary

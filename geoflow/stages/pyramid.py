@@ -219,3 +219,86 @@ remap AS (
 SELECT CAST(level AS BIGINT) AS level,
        CAST(SUM(n) AS BIGINT) AS n_pixels
 FROM remap GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# Bilinear 2x upsample (the interpolating inverse of the overview pool)
+# ---------------------------------------------------------------------------
+
+
+def upsample_bilinear_2x(tiles_ds, height: int, width: int,
+                         tile: int = 64, block: int = 32):
+    """2x bilinear upsample in EXACT integers: output pixel (gy, gx)
+    samples source (gy+0.5)/2 - 0.5, whose 2x2 neighborhood weights
+    are always (9, 3, 3, 1)/16 — so ``out16 = 16 * bilinear`` is an
+    integer combination. Raster-boundary samples clamp (replicate
+    edge), the standard resampler convention.
+
+    Stateless per-tile map: the 1-px halo already holds every source
+    neighbor an output pixel needs; boundary tiles overwrite their
+    extrapolated halo ring with the clamped copy first. Output is
+    pre-aggregated to per-(block x block) sums of out16 — per-pixel
+    rows never exist.
+
+    Returns (by, bx, n_pix, out16_sum) rows; ``block`` must divide
+    2*tile so tile outputs align with the block grid.
+    """
+    if (2 * tile) % block:
+        raise ValueError("block must divide 2*tile")
+
+    def _f(b: pa.Table) -> pa.Table:
+        from .terrain import _rows_as_arrays
+
+        hs = b.column("height").to_numpy()
+        ws = b.column("width").to_numpy()
+        tys = b.column("tile_y").to_numpy()
+        txs = b.column("tile_x").to_numpy()
+        halos = _rows_as_arrays(b.column("dem_halo"))
+        by_o, bx_o, n_o, s_o = [], [], [], []
+        for i in range(len(hs)):
+            h, w = int(hs[i]), int(ws[i])
+            y0, x0 = int(tys[i]) * tile, int(txs[i]) * tile
+            p = halos[i].reshape(h + 2, w + 2).astype(np.int64)
+            # raster-boundary halo is extrapolated -> replace w/ clamp
+            if y0 == 0:
+                p[0, :] = p[1, :]
+            if y0 + h == height:
+                p[h + 1, :] = p[h, :]
+            if x0 == 0:
+                p[:, 0] = p[:, 1]
+            if x0 + w == width:
+                p[:, w + 1] = p[:, w]
+            z = p[1:h + 1, 1:w + 1]
+            out = np.empty((2 * h, 2 * w), dtype=np.int64)
+            for dy in (0, 1):
+                oy = 2 * dy - 1
+                zy = p[1 + oy:h + 1 + oy, 1:w + 1]
+                for dx in (0, 1):
+                    ox = 2 * dx - 1
+                    zx = p[1:h + 1, 1 + ox:w + 1 + ox]
+                    zxy = p[1 + oy:h + 1 + oy, 1 + ox:w + 1 + ox]
+                    out[dy::2, dx::2] = 9 * z + 3 * zy + 3 * zx + zxy
+            # per-block partial sums (tile origin is block-aligned)
+            oh, ow = 2 * h, 2 * w
+            if oh % block or ow % block:
+                raise ValueError(
+                    "ragged tile output not block-aligned; choose "
+                    "block dividing 2x the edge tile dims")
+            nby, nbx = oh // block, ow // block
+            s = out.reshape(nby, block, nbx, block).sum(axis=(1, 3))
+            cnt = np.full((nby, nbx), block * block, dtype=np.int64)
+            gy0 = 2 * y0 // block
+            gx0 = 2 * x0 // block
+            for yy in range(nby):
+                for xx in range(nbx):
+                    by_o.append(gy0 + yy)
+                    bx_o.append(gx0 + xx)
+                    n_o.append(int(cnt[yy, xx]))
+                    s_o.append(int(s[yy, xx]))
+        return pa.table({
+            "by": pa.array(by_o, pa.int64()),
+            "bx": pa.array(bx_o, pa.int64()),
+            "n_pix": pa.array(n_o, pa.int64()),
+            "out16_sum": pa.array(s_o, pa.int64())})
+
+    return tiles_ds.map_batches(_f, batch_format="pyarrow")

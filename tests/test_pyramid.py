@@ -52,3 +52,49 @@ def test_total_mass_conserved():
     pyr = run(dem, 32, 2)
     lv2 = pyramid_cells(pyr[2], 2, tile=32).to_pandas()
     assert lv2["pix_sum"].sum() == dem.sum()
+
+
+def test_upsample_bilinear_tiled_matches_full(ray_session):
+    """Tiled halo-fed 2x upsample == single-array reference (clamped
+    edges), block sum for block sum."""
+    import ray.data as rd
+
+    from geoflow.sources import tiles as tsrc
+    from geoflow.stages.hydrology import hydro_dem
+    from geoflow.stages.pyramid import upsample_bilinear_2x
+
+    H = W = 96
+    dem = hydro_dem(H, W).astype(np.int64)
+    t = tsrc.raster_to_tile_table(dem[None].astype(np.float32),
+                                  dem.astype(np.float64), tile=32)
+    got = upsample_bilinear_2x(rd.from_arrow(t), H, W, tile=32,
+                               block=16).to_pandas()
+    got = {(r.by, r.bx): (r.n_pix, r.out16_sum)
+           for r in got.itertuples(index=False)}
+
+    p = np.pad(dem, 1, mode="edge")
+    out = np.empty((2 * H, 2 * W), dtype=np.int64)
+    for dy in (0, 1):
+        oy = 2 * dy - 1
+        for dx in (0, 1):
+            ox = 2 * dx - 1
+            out[dy::2, dx::2] = (9 * p[1:H + 1, 1:W + 1]
+                                 + 3 * p[1 + oy:H + 1 + oy, 1:W + 1]
+                                 + 3 * p[1:H + 1, 1 + ox:W + 1 + ox]
+                                 + p[1 + oy:H + 1 + oy,
+                                     1 + ox:W + 1 + ox])
+    want = {}
+    s = out.reshape(2 * H // 16, 16, 2 * W // 16, 16).sum(axis=(1, 3))
+    for by in range(s.shape[0]):
+        for bx in range(s.shape[1]):
+            want[(by, bx)] = (256, int(s[by, bx]))
+    assert got == want
+    # interpolation sanity: total mass is near-preserved (clamp edges
+    # add boundary weight, so only near), and constant rasters are
+    # reproduced exactly
+    flat = np.full((8, 8), 7)
+    tf = tsrc.raster_to_tile_table(flat[None].astype(np.float32),
+                                   flat.astype(np.float64), tile=4)
+    g2 = upsample_bilinear_2x(rd.from_arrow(tf), 8, 8, tile=4,
+                              block=8).to_pandas()
+    assert (g2["out16_sum"] == 7 * 16 * 64).all()
