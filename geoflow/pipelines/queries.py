@@ -5105,6 +5105,52 @@ def robots_filter_docs(sf_dir: str):
     return agg[["host", "n_allowed", "n_denied"]]
 
 
+_COSTDIST_SOURCES = [(52, 48), (138, 150)]
+
+
+def _costdist_sql():
+    """GOLDEN oracle: an INDEPENDENT driver Dijkstra (heapq, different
+    algorithm and traversal order than the distributed label-
+    correcting sweeps) rendered as VALUES block sums."""
+    from ..stages import hydrology as hy
+    from ..stages.costdist import dijkstra_reference
+
+    H, W = _HYDRO_HW
+    dist = dijkstra_reference(hy.hydro_dem(H, W), _COSTDIST_SOURCES)
+    s = dist.reshape(H // 32, 32, W // 32, 32).sum(axis=(1, 3))
+    rows = []
+    for by in range(s.shape[0]):
+        for bx in range(s.shape[1]):
+            rows.append(f"({by}, {bx}, 1024, {int(s[by, bx])})")
+    return ("SELECT * FROM (VALUES " + ", ".join(rows)
+            + ") AS t(by, bx, n_pix, dist_sum)")
+
+
+@register("cost_distance_blocks", lazy_sql=_costdist_sql)
+def cost_distance_blocks(sf_dir: str):
+    """Cost-distance map (least-cost-path accumulation, 4-connected,
+    integer enter-cost semantics) from the DEM's two basin centers:
+    synchronous distributed label-correcting rounds — each tile
+    relaxes to local fixpoint with vectorized 4-shift minimum sweeps,
+    then 1-px boundary strips shuffle to neighbors, until no tile
+    improves. Exact integers end to end; the oracle is a golden
+    VALUES table from an independent heapq Dijkstra, so the hash
+    match checks the ALGORITHM, not a transcription
+    (geoflow.stages.costdist)."""
+    from ..stages import hydrology as hy
+    from ..stages.costdist import cost_distance_tiles
+
+    H, W = _HYDRO_HW
+    dist = cost_distance_tiles(hy.hydro_dem(H, W), _COSTDIST_SOURCES,
+                               tile=_HYDRO_TILE)
+    s = dist.reshape(H // 32, 32, W // 32, 32).sum(axis=(1, 3))
+    by, bx = np.divmod(np.arange(s.size), s.shape[1])
+    return pd.DataFrame({
+        "by": by.astype(np.int64), "bx": bx.astype(np.int64),
+        "n_pix": np.full(s.size, 1024, dtype=np.int64),
+        "dist_sum": s.ravel().astype(np.int64)})
+
+
 def _upsample_sql():
     from ..stages.hydrology import hydro_dem_sql
 
@@ -6210,6 +6256,15 @@ _PAST_WINDOW = [
     # rollups stay in-window via user_travel_stats (same LAG-pair
     # machinery the OD matrix buckets by cell pair).
     "cell_focal_density", "od_matrix_cells",
+    # demotion admitting cost_distance_blocks: the hourly-rollup
+    # CONTRACT of the incremental view stays in-window verbatim via
+    # events_hourly_streaming (same oracle shape over the same
+    # events); the view's state mechanics (idempotent deltas,
+    # crash-safe compaction, merge-on-read) keep their dedicated
+    # pytest suite (test_aggview) and 3-scale local validation.
+    # Iterative label-correcting relaxation is a distributed-algorithm
+    # family nothing else in the window exercises.
+    "agg_view_hourly",
     # self-demotion (window at capacity): the 2x upsample's mechanisms
     # keep in-window reps — halo-fed stateless stencil maps via
     # contour_segments_dem and the correction/terrain golden family,
