@@ -5105,6 +5105,84 @@ def robots_filter_docs(sf_dir: str):
     return agg[["host", "n_allowed", "n_denied"]]
 
 
+def _route_match_sql():
+    from ..stages.geocode import snap_route_sql
+    return """
+WITH eg AS (
+  SELECT user_id, event_id,
+         (event_id * 2654435761 + 17) % 4294967296 AS h1,
+         (event_id * 2246822519 + 101) % 4294967296 AS h2,
+         event_id % 10 AS sel
+  FROM events
+), egeo AS (
+  SELECT user_id, event_id,
+    CASE WHEN sel = 0 THEN 40.7 + (h1 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 1 THEN 51.5 + (h1 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 2 THEN 35.7 + (h1 / 4294967296.0 - 0.5) * 0.5
+         ELSE h1 / 4294967296.0 * 130.0 - 60.0 END AS lat,
+    CASE WHEN sel = 0 THEN -74.0 + (h2 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 1 THEN -0.1 + (h2 / 4294967296.0 - 0.5) * 0.5
+         WHEN sel = 2 THEN 139.7 + (h2 / 4294967296.0 - 0.5) * 0.5
+         ELSE h2 / 4294967296.0 * 360.0 - 180.0 END AS lon
+  FROM eg
+),
+""" + snap_route_sql().strip() + """
+SELECT seg, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS ev_checksum
+FROM snapped WHERE rn = 1 GROUP BY seg
+"""
+
+
+@register("route_matched_events", lazy_sql=_route_match_sql)
+def route_matched_events(sf_dir: str):
+    """Map matching: every geocoded event snaps to its nearest segment
+    of the patrol route. The argmin across segments is EXACT INTEGER —
+    all route legs share one squared length (Pythagorean vectors), so
+    every candidate distance is an int64 numerator over the common
+    denominator and ties resolve to the lowest segment id; the oracle
+    replays the same numerators in a window rank. One stateless
+    vectorized scan + a combiner rollup per segment
+    (geoflow.stages.geocode.snap_to_route / match_segments)."""
+    from ..functions.agg import grouped_count_sum
+    from ..stages.geocode import geocode_doc_ids, snap_to_route
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def _geo(b: pa.Table) -> pa.Table:
+        ids = b.column("event_id").to_numpy().astype(np.int64)
+        lat, lon = geocode_doc_ids(ids)
+        return pa.table({
+            "event_id": pa.array(ids, pa.int64()),
+            "user_id": pc.cast(b.column("user_id"), pa.int64()),
+            "lat": pa.array(lat), "lon": pa.array(lon)})
+
+    snapped = snap_to_route(ev.map_batches(_geo, batch_format="pyarrow"))
+
+    def _evsum(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "seg": b.column("seg"), "user_id": b.column("user_id"),
+            "ev": b.column("event_id")})
+
+    per_user = grouped_count_sum(
+        snapped.map_batches(_evsum, batch_format="pyarrow"),
+        ["seg", "user_id"], ["ev"], count_alias="n")
+
+    def _final(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "seg": b.column("seg"),
+            "one": pa.array(np.ones(b.num_rows, np.int64)),
+            "n": pc.cast(b.column("n"), pa.int64()),
+            "ev_sum": pc.cast(b.column("ev_sum"), pa.int64())})
+
+    out = grouped_count_sum(
+        per_user.map_batches(_final, batch_format="pyarrow"),
+        ["seg"], ["one", "n", "ev_sum"], count_alias="_g").to_pandas()
+    out["n_users"] = out["one_sum"].astype(np.int64)
+    out["n_events"] = out["n_sum"].astype(np.int64)
+    out["ev_checksum"] = out["ev_sum_sum"].astype(np.int64)
+    return out[["seg", "n_users", "n_events", "ev_checksum"]]
+
+
 _COSTDIST_SOURCES = [(52, 48), (138, 150)]
 
 
@@ -6256,6 +6334,13 @@ _PAST_WINDOW = [
     # rollups stay in-window via user_travel_stats (same LAG-pair
     # machinery the OD matrix buckets by cell pair).
     "cell_focal_density", "od_matrix_cells",
+    # self-demotion (window at capacity): map matching's mechanisms
+    # keep in-window reps — the exact integer point-to-segment cases
+    # via corridor_docs (same endpoint/interior algebra, bit-replayed)
+    # and per-entity argmin ranking via the in-window top-k family;
+    # the common-denominator cross-segment compare is pinned by a
+    # brute-force pytest + 3-scale local validation.
+    "route_matched_events",
     # demotion admitting cost_distance_blocks: the hourly-rollup
     # CONTRACT of the incremental view stays in-window verbatim via
     # events_hourly_streaming (same oracle shape over the same

@@ -406,3 +406,108 @@ hits AS (
 SELECT doc_id, count(*) AS n_seg_hits,
        CAST(min(si) AS BIGINT) AS first_seg
 FROM hits GROUP BY doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Map matching: snap points to the nearest route segment, EXACT integers
+# ---------------------------------------------------------------------------
+
+# Patrol route around the NYC event cluster: every leg is a Pythagorean
+# (300,400)/(500,0)-style vector of SQUARED LENGTH exactly 250000 cd^2,
+# so all interior-case distances share ONE denominator |AB|^2 and the
+# cross-segment argmin reduces to comparing int64 numerators — no
+# rationals, no floats, no overflow (nums <= ~2.6e9 * 2.5e5 = 6.5e14).
+MATCH_AB2 = 250_000
+
+
+def match_segments() -> list[tuple[int, int, int, int]]:
+    verts = [(-7600, 3900)]
+    for dx, dy in [(500, 0), (300, 400), (-400, 300), (-500, 0),
+                   (0, -500), (300, -400)]:
+        x, y = verts[-1]
+        verts.append((x + dx, y + dy))
+    segs = []
+    for (ax, ay), (bx, by) in zip(verts, verts[1:]):
+        assert (bx - ax) ** 2 + (by - ay) ** 2 == MATCH_AB2
+        segs.append((ax, ay, bx, by))
+    return segs
+
+
+def snap_to_route(pts_ds, id_col: str = "event_id",
+                  carry: str = "user_id"):
+    """(id, carry, seg) — nearest route segment per point, ties to the
+    lowest segment id. Distance ranking is EXACT: every candidate is
+    the integer numerator of dist^2 over the shared denominator
+    MATCH_AB2 (endpoint cases scaled up by MATCH_AB2). Segments ride
+    the closure (a handful of ints); one stateless vectorized pass."""
+    import pyarrow as pa
+
+    segs = np.array(match_segments(), dtype=np.int64)
+
+    def _scan(b: pa.Table) -> pa.Table:
+        lat = b.column("lat").to_numpy()
+        lon = b.column("lon").to_numpy()
+        px = np.floor(lon * 100.0 + 0.5).astype(np.int64)
+        py = np.floor(lat * 100.0 + 0.5).astype(np.int64)
+        nums = np.empty((len(px), len(segs)), dtype=np.int64)
+        for si, (ax, ay, bx, by) in enumerate(segs):
+            apx, apy = px - ax, py - ay
+            abx, aby = bx - ax, by - ay
+            dot = apx * abx + apy * aby
+            ap2 = apx * apx + apy * apy
+            bp2 = (px - bx) ** 2 + (py - by) ** 2
+            nums[:, si] = np.where(
+                dot <= 0, ap2 * MATCH_AB2,
+                np.where(dot >= MATCH_AB2, bp2 * MATCH_AB2,
+                         ap2 * MATCH_AB2 - dot * dot))
+        best = np.argmin(nums, axis=1).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(b.column(id_col).to_numpy()
+                             .astype(np.int64)),
+            carry: pa.array(b.column(carry).to_numpy()
+                            .astype(np.int64)),
+            "seg": pa.array(best)})
+
+    return pts_ds.map_batches(_scan, batch_format="pyarrow")
+
+
+def snap_route_sql() -> str:
+    """Oracle fragment: seg VALUES + the same integer numerator argmin
+    (expects an ``egeo`` CTE with event_id, user_id, lat, lon)."""
+    rows = ", ".join(f"({i}, {ax}, {ay}, {bx}, {by})"
+                     for i, (ax, ay, bx, by)
+                     in enumerate(match_segments()))
+    return f"""
+segs(seg, ax, ay, bx, by) AS (VALUES {rows}),
+pts AS (
+  SELECT event_id, user_id,
+         CAST(floor(lon * 100.0 + 0.5) AS BIGINT) AS px,
+         CAST(floor(lat * 100.0 + 0.5) AS BIGINT) AS py
+  FROM egeo
+),
+cand AS (
+  SELECT p.event_id, p.user_id, s.seg,
+    CASE WHEN (p.px - s.ax) * (s.bx - s.ax)
+              + (p.py - s.ay) * (s.by - s.ay) <= 0
+         THEN ((p.px - s.ax) * (p.px - s.ax)
+               + (p.py - s.ay) * (p.py - s.ay)) * {MATCH_AB2}
+         WHEN (p.px - s.ax) * (s.bx - s.ax)
+              + (p.py - s.ay) * (s.by - s.ay) >= {MATCH_AB2}
+         THEN ((p.px - s.bx) * (p.px - s.bx)
+               + (p.py - s.by) * (p.py - s.by)) * {MATCH_AB2}
+         ELSE ((p.px - s.ax) * (p.px - s.ax)
+               + (p.py - s.ay) * (p.py - s.ay)) * {MATCH_AB2}
+              - ((p.px - s.ax) * (s.bx - s.ax)
+                 + (p.py - s.ay) * (s.by - s.ay))
+                * ((p.px - s.ax) * (s.bx - s.ax)
+                   + (p.py - s.ay) * (s.by - s.ay))
+         END AS num
+  FROM pts p CROSS JOIN segs s
+),
+snapped AS (
+  SELECT event_id, user_id, seg,
+         row_number() OVER (PARTITION BY event_id
+                            ORDER BY num ASC, seg ASC) AS rn
+  FROM cand
+)
+"""

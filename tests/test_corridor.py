@@ -61,3 +61,41 @@ def test_endpoint_vs_interior_cases():
         "lon": [(ax - (bx - ax)) / 100.0, (ax + bx) / 2 / 100.0]})
     got = corridor_hits(rd.from_pandas(pts), radius_cd=800).to_pandas()
     assert 2 in set(got["doc_id"])
+
+
+def test_snap_to_route_matches_bruteforce(ray_session):
+    """Integer-numerator argmin == exact rational brute force (python
+    ints, no overflow) over random points, including ties."""
+    import pandas as pd
+    import ray.data as rd
+
+    from geoflow.stages.geocode import (MATCH_AB2, match_segments,
+                                        snap_to_route)
+
+    rng = np.random.default_rng(11)
+    lat = rng.uniform(35, 50, 400)
+    lon = rng.uniform(-80, -60, 400)
+    ds = rd.from_pandas(pd.DataFrame({
+        "event_id": np.arange(400), "user_id": np.arange(400) % 7,
+        "lat": lat, "lon": lon}))
+    got = snap_to_route(ds).to_pandas().sort_values("event_id")
+
+    segs = match_segments()
+    want = []
+    for la, lo in zip(lat, lon):
+        px = int(np.floor(lo * 100.0 + 0.5))
+        py = int(np.floor(la * 100.0 + 0.5))
+        best = None
+        for si, (ax, ay, bx, by) in enumerate(segs):
+            dot = (px - ax) * (bx - ax) + (py - ay) * (by - ay)
+            if dot <= 0:
+                num = ((px - ax) ** 2 + (py - ay) ** 2) * MATCH_AB2
+            elif dot >= MATCH_AB2:
+                num = ((px - bx) ** 2 + (py - by) ** 2) * MATCH_AB2
+            else:
+                num = (((px - ax) ** 2 + (py - ay) ** 2) * MATCH_AB2
+                       - dot * dot)
+            if best is None or num < best[0]:
+                best = (num, si)
+        want.append(best[1])
+    assert got["seg"].tolist() == want
