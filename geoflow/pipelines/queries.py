@@ -5105,6 +5105,50 @@ def robots_filter_docs(sf_dir: str):
     return agg[["host", "n_allowed", "n_denied"]]
 
 
+@register("triangle_histogram", sql=_LINKS_SQL_CTE + """,
+ue AS MATERIALIZED (
+  SELECT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM e GROUP BY 1, 2),
+tri AS MATERIALIZED (
+  SELECT a.u AS x, a.v AS y, b.v AS z
+  FROM ue a JOIN ue b ON b.u = a.v
+  JOIN ue c ON c.u = a.u AND c.v = b.v),
+pern AS (
+  SELECT node, count(*) AS n_tri FROM (
+    SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri) GROUP BY 1)
+SELECT n_tri, count(*) AS n_nodes,
+       CAST(sum(node) AS BIGINT) AS node_checksum
+FROM pern GROUP BY 1
+""")
+def triangle_histogram(sf_dir: str):
+    """Triangle counting over the extracted web link graph
+    (degree-oriented compact-forward): edges orient from the
+    (degree, id)-smaller endpoint so out-adjacencies stay O(sqrt(m))
+    and each triangle is generated once as a wedge at its smallest
+    vertex, closed by ONE bucketed semi-join of wedge keys against
+    oriented-edge keys. Output: the per-node triangle-count histogram
+    (its weighted sum is 3x the global count). The oracle is the
+    textbook ordered 3-way self-join over the same edge CTE — a
+    different algorithm, so the hash match checks the orientation
+    logic (geoflow.stages.graph.triangle_node_counts)."""
+    from ..functions.agg import grouped_count_sum
+    from ..stages.graph import triangle_node_counts
+
+    pairs, _docs = _link_pairs(sf_dir)
+    counts = triangle_node_counts(pairs)
+
+    def _h(b: pa.Table) -> pa.Table:
+        return pa.table({"n_tri": pc.cast(b.column("n_tri"), pa.int64()),
+                         "node": pc.cast(b.column("node"), pa.int64())})
+
+    out = grouped_count_sum(
+        counts.map_batches(_h, batch_format="pyarrow"),
+        ["n_tri"], ["node"], count_alias="n_nodes").to_pandas()
+    out = out.rename(columns={"node_sum": "node_checksum"})
+    return out[["n_tri", "n_nodes", "node_checksum"]].astype(np.int64)
+
+
 def _route_match_sql():
     from ..stages.geocode import snap_route_sql
     return """
@@ -6334,6 +6378,14 @@ _PAST_WINDOW = [
     # rollups stay in-window via user_travel_stats (same LAG-pair
     # machinery the OD matrix buckets by cell pair).
     "cell_focal_density", "od_matrix_cells",
+    # self-demotion (window at capacity): triangle counting's shuffle
+    # building blocks all keep in-window reps — bucketed hash joins
+    # via od_two_hop / revenue_by_region, counter groupbys everywhere,
+    # link extraction + the same edge CTE via pagerank_pages (which
+    # also pins the graph itself bit-exactly); the degree-orientation
+    # wedge logic is pinned by a brute-force pytest on adversarial
+    # graphs + 3-scale local validation against the 3-way-join oracle.
+    "triangle_histogram",
     # self-demotion (window at capacity): map matching's mechanisms
     # keep in-window reps — the exact integer point-to-segment cases
     # via corridor_docs (same endpoint/interior algebra, bit-replayed)

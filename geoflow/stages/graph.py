@@ -216,3 +216,168 @@ def pagerank_int(pairs_ds, nodes_ds, id_col: str = "doc_id",
         lambda b: pa.table({id_col: b.column("_rid"),
                             "pr": b.column("_r")}),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-oriented compact-forward)
+# ---------------------------------------------------------------------------
+
+_NODE_BITS = 31   # packed pair key = a * 2^31 + b; node ids < 2^31
+
+
+def _pack(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a * np.int64(1 << _NODE_BITS) + b
+
+
+def triangle_node_counts(pairs_ds, num_buckets: int = 64):
+    """(doc_id, n_tri) for every node in >= 1 triangle.
+
+    Degree-oriented wedge counting (Latapy's compact-forward): the
+    undirected edge set is oriented from the (degree, id)-SMALLER
+    endpoint to the larger, so every out-adjacency has O(sqrt(m))
+    size and every triangle is generated exactly once as a wedge at
+    its smallest vertex closed by one oriented edge.
+
+    Plan: symmetrize+dedup (one bucketed groupby), attach both
+    endpoint degrees (two bucketed joins), explode wedges per apex
+    (vectorized triu inside hash buckets), ONE bucketed semi-join of
+    wedge keys against oriented-edge keys, then a counter groupby per
+    node. Everything moves as slim int64 rows.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    from ..functions.agg import grouped_count_sum
+    from ..functions.joins import _mix64, bucketed_hash_join
+
+    # 1) undirected distinct edges u < v (self-loops already dropped)
+    def _undirect(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy().astype(np.int64)
+        d = b.column("dst").to_numpy().astype(np.int64)
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        return pa.table({"ek": pa.array(_pack(u, v), pa.int64())})
+
+    edges = grouped_count_sum(
+        pairs_ds.map_batches(_undirect, batch_format="pyarrow"),
+        ["ek"], [], count_alias="_m")
+
+    def _unpack(b: pa.Table) -> pa.Table:
+        ek = b.column("ek").to_numpy().astype(np.int64)
+        return pa.table({
+            "u": pa.array(ek >> _NODE_BITS, pa.int64()),
+            "v": pa.array(ek & np.int64((1 << _NODE_BITS) - 1),
+                          pa.int64())})
+
+    ue = edges.map_batches(_unpack, batch_format="pyarrow") \
+        .materialize()
+
+    # 2) degrees over the undirected set
+    def _deg_emit(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy()
+        v = b.column("v").to_numpy()
+        return pa.table({"node": pa.array(np.concatenate([u, v]),
+                                          pa.int64())})
+
+    deg = grouped_count_sum(
+        ue.map_batches(_deg_emit, batch_format="pyarrow"),
+        ["node"], [], count_alias="deg")
+
+    # attach deg(u), deg(v) via two bucketed joins (degree tables are
+    # node-sized — joined, never broadcast)
+    j1 = bucketed_hash_join(
+        ue, deg.map_batches(
+            lambda b: pa.table({"nu": b.column("node"),
+                                "du": pa.compute.cast(b.column("deg"),
+                                                      pa.int64())}),
+            batch_format="pyarrow"), "u", "nu")
+
+    def _rk1(b: pa.Table) -> pa.Table:
+        return pa.table({"u": b.column("_key"), "v": b.column("v"),
+                         "du": b.column("du")})
+
+    j2 = bucketed_hash_join(
+        j1.map_batches(_rk1, batch_format="pyarrow"),
+        deg.map_batches(
+            lambda b: pa.table({"nv": b.column("node"),
+                                "dv": pa.compute.cast(b.column("deg"),
+                                                      pa.int64())}),
+            batch_format="pyarrow"), "v", "nv")
+
+    # 3) orient: from (deg, id)-smaller to larger; key on the apex
+    def _orient(b: pa.Table) -> pa.Table:
+        v = b.column("_key").to_numpy().astype(np.int64)
+        u = b.column("u").to_numpy().astype(np.int64)
+        du = b.column("du").to_numpy().astype(np.int64)
+        dv = b.column("dv").to_numpy().astype(np.int64)
+        fwd = (du < dv) | ((du == dv) & (u < v))
+        a = np.where(fwd, u, v)
+        z = np.where(fwd, v, u)
+        return pa.table({"apex": pa.array(a, pa.int64()),
+                         "out": pa.array(z, pa.int64())})
+
+    oriented = j2.map_batches(_orient, batch_format="pyarrow") \
+        .materialize()
+
+    # 4) wedges per apex (sorted out-lists, vectorized triu per apex)
+    def _bucket(b: pa.Table) -> pa.Table:
+        a = b.column("apex").to_numpy().astype(np.int64)
+        return b.append_column(
+            "_b", pa.array((_mix64(a) % np.uint64(num_buckets))
+                           .astype(np.int32)))
+
+    def _wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["apex", "out"], kind="stable")
+        a = g["apex"].to_numpy()
+        o = g["out"].to_numpy()
+        starts = np.nonzero(np.append(True, a[1:] != a[:-1]))[0]
+        ends = np.append(starts[1:], len(a))
+        ap_out, w1, w2 = [], [], []
+        for s, e in zip(starts, ends):
+            k = e - s
+            if k < 2:
+                continue
+            i, j = np.triu_indices(k, k=1)
+            ap_out.append(np.full(len(i), a[s]))
+            w1.append(o[s + i])
+            w2.append(o[s + j])
+        if not ap_out:
+            return pd.DataFrame({"apex": np.array([], np.int64),
+                                 "wk": np.array([], np.int64)})
+        ap = np.concatenate(ap_out)
+        x = np.concatenate(w1)
+        y = np.concatenate(w2)
+        # out-lists are sorted by id; orientation order is (deg, id),
+        # so normalize the closing key to (min, max) by id — the
+        # oriented edge (x, y) is keyed the same way below
+        return pd.DataFrame({"apex": ap,
+                             "wk": _pack(np.minimum(x, y),
+                                         np.maximum(x, y))})
+
+    wedges = (oriented.map_batches(_bucket, batch_format="pyarrow")
+              .groupby("_b").map_groups(_wedges, batch_format="pandas"))
+
+    # 5) close wedges against oriented edges keyed by id-(min, max)
+    def _ekey(b: pa.Table) -> pa.Table:
+        a = b.column("apex").to_numpy().astype(np.int64)
+        z = b.column("out").to_numpy().astype(np.int64)
+        return pa.table({"wk2": pa.array(_pack(np.minimum(a, z),
+                                               np.maximum(a, z)),
+                                         pa.int64())})
+
+    closed = bucketed_hash_join(
+        wedges, oriented.map_batches(_ekey, batch_format="pyarrow"),
+        "wk", "wk2")
+
+    # 6) each triangle: apex + the closing edge's two endpoints
+    def _nodes(b: pa.Table) -> pa.Table:
+        ap = b.column("apex").to_numpy().astype(np.int64)
+        wk = b.column("_key").to_numpy().astype(np.int64)
+        x = wk >> _NODE_BITS
+        y = wk & np.int64((1 << _NODE_BITS) - 1)
+        return pa.table({"node": pa.array(
+            np.concatenate([ap, x, y]), pa.int64())})
+
+    return grouped_count_sum(
+        closed.map_batches(_nodes, batch_format="pyarrow"),
+        ["node"], [], count_alias="n_tri")

@@ -128,3 +128,36 @@ def test_degrees_conserve_edge_count():
     deg = link_degrees(pairs, docs.select_columns(["doc_id"])).to_pandas()
     assert deg["out_deg"].sum() == deg["in_deg"].sum() == len(
         _expected_edges(n))
+
+
+def test_triangle_counts_bruteforce(ray_session):
+    """Degree-oriented wedge counting == brute-force enumeration on
+    adversarial shapes: K5 (every node in C(4,2)=6 triangles), a
+    square with one diagonal, a star (0 triangles), duplicate and
+    reversed input edges."""
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from geoflow.stages.graph import triangle_node_counts
+
+    edges = []
+    k5 = [100, 101, 102, 103, 104]
+    edges += list(itertools.combinations(k5, 2))
+    edges += [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]   # square+diag
+    edges += [(50, i) for i in range(60, 70)]           # star
+    edges += [(2, 1), (3, 1)]                           # dupes/reversed
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    got = triangle_node_counts(rd.from_pandas(df)).to_pandas()
+    got = dict(zip(got["node"], got["n_tri"]))
+
+    und = {tuple(sorted(e)) for e in edges}
+    nodes = sorted({n for e in und for n in e})
+    want = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if {(a, b), (a, c), (b, c)} <= und:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert got == want
+    assert got[100] == 6 and got[1] == 2 and 50 not in got
