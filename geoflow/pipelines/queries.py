@@ -5105,6 +5105,85 @@ def robots_filter_docs(sf_dir: str):
     return agg[["host", "n_allowed", "n_denied"]]
 
 
+@register("behavior_near_dup_users", sql=r"""
+WITH base AS (
+  SELECT user_id, string_agg(event_type, ' ' ORDER BY ts, event_id)
+         AS text
+  FROM events GROUP BY user_id
+),
+docs AS (
+  SELECT user_id AS doc_id, text FROM base
+  UNION ALL
+  SELECT user_id + 1000000, text || ' click' FROM base
+  WHERE user_id % 5 = 0
+),
+tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM docs),
+sh AS (
+  SELECT doc_id, unnest(CASE WHEN len(toks) < 3
+       THEN CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                 ELSE [array_to_string(toks, ' ')] END
+       ELSE list_transform(range(1, len(toks) - 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       END) AS s
+  FROM tok
+),
+shd AS (SELECT DISTINCT doc_id, s FROM sh),
+cnt AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+FROM inter JOIN cnt ca ON ca.doc_id = id_a
+           JOIN cnt cb ON cb.doc_id = id_b
+WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+""")
+def behavior_near_dup_users(sf_dir: str):
+    """Behavioral near-dup detection: users whose ORDERED event-type
+    sequences are near-identical under trigram-shingle Jaccard — the
+    cross-domain reuse of the text dedup machinery on movement/click
+    logs (bot-farm and replay detection). Per-user behavior strings
+    come from one user-bucket shuffle with an ordered in-bucket join
+    (replayed by the oracle's ORDER BY string_agg); twin users with
+    one appended action are injected deterministically so true pairs
+    exist at every scale; pair discovery is the exact inverted-index
+    Jaccard plan (geoflow.stages.dedup.jaccard_pairs_exact)."""
+    from ..functions.joins import _mix64
+    from ..stages.dedup import jaccard_pairs_exact
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+
+    def _bucket(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy().astype(np.int64)
+        return b.append_column(
+            "_b", pa.array((_mix64(u) % np.uint64(32)).astype(np.int32)))
+
+    def _collect(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        base = g.groupby("user_id", sort=False)["event_type"] \
+            .agg(" ".join).reset_index()
+        base = base.rename(columns={"user_id": "doc_id",
+                                    "event_type": "text"})
+        twins = base[base["doc_id"] % 5 == 0].copy()
+        twins["doc_id"] += 1000000
+        twins["text"] += " click"
+        out = pd.concat([base, twins], ignore_index=True)
+        out["doc_id"] = out["doc_id"].astype(np.int64)
+        return out
+
+    docs = (ev.map_batches(_bucket, batch_format="pyarrow")
+            .groupby("_b").map_groups(_collect, batch_format="pandas"))
+    pairs = jaccard_pairs_exact(docs, "doc_id", threshold=0.5)
+    return pairs.map_batches(
+        lambda b: pa.table({
+            "id_a": pc.cast(b.column("id_a"), pa.int64()),
+            "id_b": pc.cast(b.column("id_b"), pa.int64()),
+            "jaccard": pa.array(
+                np.round(b.column("jaccard").to_numpy(), 6)),
+        }), batch_format="pyarrow")
+
+
 @register("triangle_histogram", sql=_LINKS_SQL_CTE + """,
 ue AS MATERIALIZED (
   SELECT least(src, dst) AS u, greatest(src, dst) AS v
@@ -6378,6 +6457,12 @@ _PAST_WINDOW = [
     # rollups stay in-window via user_travel_stats (same LAG-pair
     # machinery the OD matrix buckets by cell pair).
     "cell_focal_density", "od_matrix_cells",
+    # self-demotion (window at capacity): the behavioral near-dup is
+    # the text dedup machinery applied cross-domain — its inverted-
+    # index exact-Jaccard plan IS in-window (ngram_jaccard_pairs, same
+    # code path), and the per-user ordered collect is the stay_points/
+    # funnel bucket shape; validated locally at 3 scales.
+    "behavior_near_dup_users",
     # self-demotion (window at capacity): triangle counting's shuffle
     # building blocks all keep in-window reps — bucketed hash joins
     # via od_two_hop / revenue_by_region, counter groupbys everywhere,
