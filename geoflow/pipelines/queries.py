@@ -5105,6 +5105,77 @@ def robots_filter_docs(sf_dir: str):
     return agg[["host", "n_allowed", "n_denied"]]
 
 
+_MORAN_P = 2305843009213693951   # 2^61 - 1
+
+
+@register("moran_autocorrelation", sql=_GEO_SQL_CTE + f""",
+cellcounts AS (
+  SELECT CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT) AS cx,
+         CAST(floor((90.0 - lat) / 180.0 * 64.0) AS BIGINT) AS cy,
+         count(*) AS x
+  FROM geo GROUP BY 1, 2),
+mom AS (SELECT count(*) AS n, sum(x) AS s FROM cellcounts),
+zt AS (
+  SELECT cx, cy,
+         (SELECT n FROM mom) * x - (SELECT s FROM mom) AS z
+  FROM cellcounts),
+offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                        (1,-1),(1,0),(1,1)),
+nbr AS (
+  SELECT a.cx, a.cy, sum(b.z) AS nz, count(*) AS w
+  FROM zt a JOIN offs o ON true
+  JOIN zt b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+  GROUP BY 1, 2),
+red AS (
+  SELECT (SELECT n FROM mom) AS n,
+         (SELECT coalesce(sum(w), 0) FROM nbr) AS w_links,
+         (SELECT coalesce(sum(a.z * nbr.nz), 0)
+          FROM zt a JOIN nbr ON a.cx = nbr.cx AND a.cy = nbr.cy) AS num,
+         (SELECT sum(z * z) FROM zt) AS den)
+SELECT CAST(n AS BIGINT) AS n_cells,
+       CAST(w_links AS BIGINT) AS w_links,
+       CAST(((num % {_MORAN_P}) + {_MORAN_P}) % {_MORAN_P} AS BIGINT)
+           AS num_mod,
+       CAST(((den % {_MORAN_P}) + {_MORAN_P}) % {_MORAN_P} AS BIGINT)
+           AS den_mod,
+       round(CAST(n * num AS DOUBLE) / CAST(w_links * den AS DOUBLE), 6)
+           AS moran_i
+FROM red
+""")
+def moran_autocorrelation(sf_dir: str):
+    """Global Moran's I spatial autocorrelation of per-cell document
+    counts (8-neighbor binary weights over occupied cells) — THE
+    clustered-vs-dispersed statistic of spatial analysis, here
+    strongly positive (hot-cluster geocoding). All moments are EXACT:
+    scaled deviations n*x_i - S are integers, the neighbor-sum pass is
+    the Gi*-style scatter shuffle, and the big-int reductions are
+    emitted as 2^61-1 residues so the hash check is exact; only the
+    final division is float, rounded identically
+    (geoflow.stages.compaction.moran_i)."""
+    from ..stages.compaction import moran_i
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def _cell(b: pa.Table) -> pa.Table:
+        g = _geocode_batch(b)
+        lat = g.column("lat").to_numpy()
+        lon = g.column("lon").to_numpy()
+        cx = np.floor((lon + 180.0) / 360.0 * 64.0).astype(np.int64)
+        cy = np.floor((90.0 - lat) / 180.0 * 64.0).astype(np.int64)
+        return pa.table({"x": pa.array(cx), "y": pa.array(cy)})
+
+    cells = grouped_count_sum(
+        ds.map_batches(_cell, batch_format="pyarrow"),
+        ["x", "y"], [], count_alias="n_docs")
+    r = moran_i(cells)
+    return pd.DataFrame([{
+        "n_cells": np.int64(r["n_cells"]),
+        "w_links": np.int64(r["w_links"]),
+        "num_mod": np.int64(r["moran_num"] % _MORAN_P),
+        "den_mod": np.int64(r["moran_den"] % _MORAN_P),
+        "moran_i": round(r["moran_i"], 6)}])
+
+
 @register("behavior_near_dup_users", sql=r"""
 WITH base AS (
   SELECT user_id, string_agg(event_type, ' ' ORDER BY ts, event_id)
@@ -6457,6 +6528,12 @@ _PAST_WINDOW = [
     # rollups stay in-window via user_travel_stats (same LAG-pair
     # machinery the OD matrix buckets by cell pair).
     "cell_focal_density", "od_matrix_cells",
+    # self-demotion (window at capacity): Moran's I rides machinery
+    # with in-window reps throughout — the 8-offset scatter shuffle is
+    # getis_ord_hotspots' focal pass (in-window) and the cell rollup
+    # is the shared geo CTE shape; its exact-moment algebra is itself
+    # hash-checked locally at 3 scales via the 2^61-1 residues.
+    "moran_autocorrelation",
     # self-demotion (window at capacity): the behavioral near-dup is
     # the text dedup machinery applied cross-domain — its inverted-
     # index exact-Jaccard plan IS in-window (ngram_jaccard_pairs, same

@@ -331,3 +331,80 @@ def cell_blob_labels(cells_ds, res: int, num_buckets: int = 16):
             "blob": pc.cast(b.column("blob"), pa.int64())})
 
     return lbl.map_batches(_finish, batch_format="pyarrow")
+
+
+def moran_i(cells_ds):
+    """Global Moran's I spatial autocorrelation over the occupied-cell
+    table (x, y, n_docs), 8-neighbor binary weights between OCCUPIED
+    cells:
+
+        I = (n / W) * (sum_i z_i * sum_{j in N(i)} z_j) / (sum_i z_i^2)
+
+    computed EXACTLY: with n cells and S = sum(counts), the scaled
+    deviation zt_i = n*count_i - S is an integer, every per-cell
+    product zt_i * nbr_sum_i is int64, and the final reductions run in
+    arbitrary-precision Python ints over the occupied-cell rows (grid-
+    bounded, <= 4^res — the same driver-smallness contract as the Gi*
+    moments). Only the single closing division is float, identically
+    placed in the SQL twin.
+
+    Distribution: two scalar aggregates (n, S) + one focal-style
+    scatter shuffle (z and a link counter to the 8 neighbor keys, a
+    marker on the self key; occupied gating drops phantom fringe keys
+    in the same groupby). Returns (n, w_links, num, den, moran_i).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    mom = cells_ds.map_batches(
+        lambda b: pa.table({"_x": pa.compute.cast(b.column("n_docs"),
+                                                  pa.int64())}),
+        batch_format="pyarrow").aggregate(Count(), Sum("_x"))
+    n = int(mom["count()"])
+    s = int(mom["sum(_x)"])
+
+    def _scatter(b: pa.Table) -> pa.Table:
+        x = b.column("x").to_numpy().astype(np.int64)
+        y = b.column("y").to_numpy().astype(np.int64)
+        zt = n * b.column("n_docs").to_numpy().astype(np.int64) - s
+        m = len(x)
+        keys, zc, wc, zs, mk = [], [], [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                keys.append(_pack(np.zeros(m, np.int64), x + dx + 1,
+                                  y + dy + 1))
+                zc.append(zt)
+                wc.append(np.ones(m, np.int64))
+                zs.append(np.zeros(m, np.int64))
+                mk.append(np.zeros(m, np.int64))
+        keys.append(_pack(np.zeros(m, np.int64), x + 1, y + 1))
+        zc.append(np.zeros(m, np.int64))
+        wc.append(np.zeros(m, np.int64))
+        zs.append(zt)
+        mk.append(np.ones(m, np.int64))
+        return pa.table({
+            "_k": pa.array(np.concatenate(keys)),
+            "_zc": pa.array(np.concatenate(zc)),
+            "_wc": pa.array(np.concatenate(wc)),
+            "_zs": pa.array(np.concatenate(zs)),
+            "_m": pa.array(np.concatenate(mk))})
+
+    from ray.data.aggregate import Sum as _Sum
+
+    agg = cells_ds.map_batches(_scatter, batch_format="pyarrow") \
+        .groupby("_k").aggregate(_Sum("_zc", alias_name="nz"),
+                                 _Sum("_wc", alias_name="w"),
+                                 _Sum("_zs", alias_name="z"),
+                                 _Sum("_m", alias_name="m"))
+
+    rows = agg.to_pandas()
+    rows = rows[rows["m"] > 0]
+    # exact big-int reduction over the grid-bounded occupied set
+    num = sum(int(a) * int(b) for a, b in zip(rows["z"], rows["nz"]))
+    den = sum(int(a) * int(a) for a in rows["z"])
+    w_links = int(rows["w"].sum())
+    moran = float("nan") if w_links == 0 or den == 0 \
+        else (n * num) / (w_links * den)
+    return {"n_cells": n, "w_links": w_links,
+            "moran_num": num, "moran_den": den, "moran_i": moran}
