@@ -247,10 +247,12 @@ def triangle_node_counts(pairs_ds, num_buckets: int = 64):
     import pandas as pd
     import pyarrow as pa
 
-    from ..functions.agg import grouped_count_sum
+    from ..functions.agg import grouped_count_sum_bucketed
     from ..functions.joins import _mix64, bucketed_hash_join
 
-    # 1) undirected distinct edges u < v (self-loops already dropped)
+    # 1) undirected distinct edges u < v (self-loops already dropped).
+    # Edge keys are near-unique -> the bucketed Arrow combine, not
+    # Ray's per-key sort-aggregate (measured ~25x on this regime).
     def _undirect(b: pa.Table) -> pa.Table:
         s = b.column("src").to_numpy().astype(np.int64)
         d = b.column("dst").to_numpy().astype(np.int64)
@@ -258,7 +260,7 @@ def triangle_node_counts(pairs_ds, num_buckets: int = 64):
         v = np.maximum(s, d)
         return pa.table({"ek": pa.array(_pack(u, v), pa.int64())})
 
-    edges = grouped_count_sum(
+    edges = grouped_count_sum_bucketed(
         pairs_ds.map_batches(_undirect, batch_format="pyarrow"),
         ["ek"], [], count_alias="_m")
 
@@ -279,7 +281,7 @@ def triangle_node_counts(pairs_ds, num_buckets: int = 64):
         return pa.table({"node": pa.array(np.concatenate([u, v]),
                                           pa.int64())})
 
-    deg = grouped_count_sum(
+    deg = grouped_count_sum_bucketed(
         ue.map_batches(_deg_emit, batch_format="pyarrow"),
         ["node"], [], count_alias="deg")
 
@@ -378,6 +380,6 @@ def triangle_node_counts(pairs_ds, num_buckets: int = 64):
         return pa.table({"node": pa.array(
             np.concatenate([ap, x, y]), pa.int64())})
 
-    return grouped_count_sum(
+    return grouped_count_sum_bucketed(
         closed.map_batches(_nodes, batch_format="pyarrow"),
         ["node"], [], count_alias="n_tri")
