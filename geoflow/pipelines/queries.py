@@ -5105,6 +5105,71 @@ def robots_filter_docs(sf_dir: str):
     return agg[["host", "n_allowed", "n_denied"]]
 
 
+@register("time_travel_reads", sql="""
+WITH b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM events),
+p AS (SELECT lo, greatest(1, (hi - lo + 16) // 16) AS width FROM b),
+rng AS (SELECT lo + 2 * width + width // 2 AS a,
+               lo + 5 * width - width // 3 AS z,
+               lo + 3 * width AS p3lo, lo + 4 * width AS p3hi
+        FROM p),
+sel AS (SELECT e.event_id, e.value,
+               CASE WHEN e.event_id >= rng.p3lo
+                     AND e.event_id < rng.p3hi
+                    THEN e.value * 2 ELSE e.value END AS v2
+        FROM events e, rng WHERE e.event_id BETWEEN rng.a AND rng.z)
+SELECT 1 AS version, count(*) AS n_rows,
+       round(sum(value), 4) AS value_sum FROM sel
+UNION ALL
+SELECT 2, count(*), round(sum(v2), 4) FROM sel
+""")
+def time_travel_reads(sf_dir: str):
+    """MVCC snapshots + time travel over the versioned clustered
+    layout (state/timetravel.py): v1 commits the events table range-
+    partitioned by event_id; v2 overwrites ONE partition (values
+    doubled) reusing every other file; then the SAME key range —
+    straddling rewritten and untouched partitions — is read AS OF v1
+    and AS OF v2 through the snapshot zone maps (pruning asserted
+    in-query). Hash match against the CASE-rewritten original table
+    proves snapshot isolation: v1 is byte-stable after v2 commits,
+    and v2 contains exactly the one rewritten partition."""
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..state.timetravel import (commit_initial,
+                                    commit_overwrite_partition,
+                                    read_version_pruned)
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+    d = tempfile.mkdtemp(prefix="ttrav_", dir="/tmp")
+    man1 = commit_initial(ev, "event_id", d, num_partitions=16)
+    lo, width = man1["lo"], man1["width"]
+
+    p3lo, p3hi = lo + 3 * width, lo + 4 * width - 1
+    sub, _ = read_version_pruned(d, 1, p3lo, p3hi)
+
+    def _dbl(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "value": pa.array(b.column("value").to_numpy() * 2)})
+
+    commit_overwrite_partition(
+        d, 3, sub.map_batches(_dbl, batch_format="pyarrow"))
+
+    a = lo + 2 * width + width // 2
+    z = lo + 5 * width - width // 3
+    rows = []
+    for v in (1, 2):
+        dsv, st = read_version_pruned(d, v, a, z)
+        assert 0 < st["files_read"] < st["files_total"], \
+            f"zone maps did not prune at v{v}: {st}"
+        agg = dsv.aggregate(Count(), Sum("value"))
+        rows.append({"version": np.int64(v),
+                     "n_rows": np.int64(agg["count()"]),
+                     "value_sum": round(float(agg["sum(value)"]), 4)})
+    return pd.DataFrame(rows)
+
+
 _MORAN_P = 2305843009213693951   # 2^61 - 1
 
 
@@ -6528,6 +6593,13 @@ _PAST_WINDOW = [
     # rollups stay in-window via user_travel_stats (same LAG-pair
     # machinery the OD matrix buckets by cell pair).
     "cell_focal_density", "od_matrix_cells",
+    # self-demotion (window at capacity): time travel's storage
+    # mechanics extend a family with an in-window rep — snapshot zone
+    # maps + pruned residual reads ARE bbox_cover_scan_docs' in-window
+    # machinery (same layout module lineage), and atomic manifest
+    # commits are pinned by test_timetravel (crash/isolation cases) +
+    # 3-scale local validation of the CASE-rewrite oracle.
+    "time_travel_reads",
     # self-demotion (window at capacity): Moran's I rides machinery
     # with in-window reps throughout — the 8-offset scatter shuffle is
     # getis_ord_hotspots' focal pass (in-window) and the cell rollup

@@ -1,0 +1,147 @@
+"""Versioned clustered layout: MVCC snapshots + time-travel reads.
+
+Lakehouse-style table versioning on top of the zone-mapped clustered
+layout (state/layout.py): every commit writes NEW immutable partition
+files plus a complete snapshot manifest ``v{N}.json`` (file list +
+zone maps), and flips the ``_latest`` pointer by atomic rename. Files
+are never mutated, so
+
+- reading AS OF version N is just "open manifest N" — byte-stable
+  forever, concurrent with any writer;
+- an overwrite of one key-range partition creates version N+1 that
+  REUSES every other partition's files (O(changed data) write cost);
+- a crash between file writes and the manifest flip leaves orphan
+  data files but never a torn snapshot (readers only follow
+  manifests), and re-running the commit is idempotent at the version
+  level.
+
+Reads prune by the snapshot's zone maps exactly like
+``layout.read_pruned`` — time travel costs nothing at scan time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _write_manifest(out_dir: str, version: int, man: dict) -> None:
+    tmp = os.path.join(out_dir, f".v{version:04d}.tmp.json")
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, f"v{version:04d}.json"))
+    ptr = os.path.join(out_dir, ".latest.tmp")
+    with open(ptr, "w") as f:
+        f.write(str(version))
+    os.replace(ptr, os.path.join(out_dir, "_latest"))
+
+
+def load_manifest(out_dir: str, version: int | None = None) -> dict:
+    if version is None:
+        with open(os.path.join(out_dir, "_latest")) as f:
+            version = int(f.read().strip())
+    with open(os.path.join(out_dir, f"v{version:04d}.json")) as f:
+        man = json.load(f)
+    man["version"] = version
+    return man
+
+
+def commit_initial(ds, col: str, out_dir: str,
+                   num_partitions: int = 16) -> dict:
+    """Version-1 commit: range-partition by int64 ``col`` (same pure
+    bucket function as layout.write_clustered) into immutable
+    ``part-{p}-v0001`` files + the v1 snapshot manifest."""
+    from ray.data.aggregate import Max, Min
+
+    stats = ds.aggregate(Min(col), Max(col))
+    lo, hi = int(stats[f"min({col})"]), int(stats[f"max({col})"])
+    width = max(1, (hi - lo + num_partitions) // num_partitions)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _tag(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_numpy().astype(np.int64)
+        return b.append_column(
+            "_part", pa.array((v - lo) // width, pa.int64()))
+
+    def _write(g: pd.DataFrame) -> pd.DataFrame:
+        p = int(g["_part"].iloc[0])
+        return _write_part(out_dir, col, g.drop(columns=["_part"]),
+                           p, 1)
+
+    zones = (ds.map_batches(_tag, batch_format="pyarrow")
+             .groupby("_part").map_groups(_write, batch_format="pandas")
+             .to_pandas())
+    man = {"col": col, "lo": lo, "width": width,
+           "partitions": sorted(zones.to_dict("records"),
+                                key=lambda d: d["part"])}
+    _write_manifest(out_dir, 1, man)
+    return load_manifest(out_dir, 1)
+
+
+def _write_part(out_dir: str, col: str, g: pd.DataFrame, p: int,
+                version: int) -> pd.DataFrame:
+    import pyarrow.parquet as pq
+
+    t = pa.Table.from_pandas(g, preserve_index=False)
+    name = f"part-{p:05d}-v{version:04d}.parquet"
+    tmp = os.path.join(out_dir, f".{name}.tmp")
+    pq.write_table(t, tmp)
+    os.replace(tmp, os.path.join(out_dir, name))
+    v = g[col].to_numpy()
+    return pd.DataFrame({"part": [p], "file": [name], "rows": [len(g)],
+                         "min": [int(v.min())], "max": [int(v.max())]})
+
+
+def commit_overwrite_partition(out_dir: str, part: int,
+                               replacement_ds) -> dict:
+    """Commit version N+1 replacing ONE partition's contents with
+    ``replacement_ds`` (must stay within the partition's key range);
+    every other partition's files are reused as-is."""
+    man = load_manifest(out_dir)
+    col = man["col"]
+    new_version = man["version"] + 1
+
+    def _write(g: pd.DataFrame) -> pd.DataFrame:
+        return _write_part(out_dir, col, g, part, new_version)
+
+    zones = (replacement_ds.repartition(1)
+             .map_batches(_write, batch_format="pandas",
+                          batch_size=None).to_pandas())
+    lo_p = man["lo"] + part * man["width"]
+    hi_p = lo_p + man["width"] - 1
+    assert int(zones["min"].iloc[0]) >= lo_p \
+        and int(zones["max"].iloc[0]) <= hi_p, \
+        "replacement leaves the partition's key range"
+    parts = [p for p in man["partitions"] if p["part"] != part]
+    parts.extend(zones.to_dict("records"))
+    new_man = {"col": col, "lo": man["lo"], "width": man["width"],
+               "partitions": sorted(parts, key=lambda d: d["part"])}
+    _write_manifest(out_dir, new_version, new_man)
+    return load_manifest(out_dir, new_version)
+
+
+def read_version_pruned(out_dir: str, version: int, lo: int, hi: int):
+    """Zone-map-pruned Dataset of rows with key in [lo, hi] AS OF the
+    given snapshot. Returns (dataset | None, stats)."""
+    import ray.data as rd
+
+    man = load_manifest(out_dir, version)
+    col = man["col"]
+    hit = [p for p in man["partitions"]
+           if p["min"] <= hi and p["max"] >= lo]
+    stats = {"files_total": len(man["partitions"]),
+             "files_read": len(hit),
+             "rows_admitted": sum(p["rows"] for p in hit)}
+    if not hit:
+        return None, stats
+    ds = rd.read_parquet([os.path.join(out_dir, p["file"]) for p in hit])
+
+    def _residual(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_numpy().astype(np.int64)
+        return b.filter(pa.array((v >= lo) & (v <= hi)))
+
+    return ds.map_batches(_residual, batch_format="pyarrow"), stats

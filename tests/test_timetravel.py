@@ -1,0 +1,91 @@
+"""Versioned layout: snapshot isolation, crash safety, pruning."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from geoflow.state.timetravel import (commit_initial,
+                                      commit_overwrite_partition,
+                                      load_manifest, read_version_pruned)
+
+
+@pytest.fixture()
+def table(tmp_path, ray_session):
+    import ray.data as rd
+
+    df = pd.DataFrame({"event_id": np.arange(160, dtype=np.int64),
+                       "value": np.arange(160, dtype=np.float64)})
+    d = str(tmp_path / "tt")
+    man = commit_initial(rd.from_pandas(df), "event_id", d,
+                         num_partitions=16)
+    return d, df, man
+
+
+def test_snapshot_isolation(table, ray_session):
+    import ray.data as rd
+
+    d, df, man = table
+    lo, w = man["lo"], man["width"]
+    sub, _ = read_version_pruned(d, 1, lo + 3 * w, lo + 4 * w - 1)
+
+    import pyarrow as pa
+
+    def _neg(b: pa.Table) -> pa.Table:
+        return pa.table({"event_id": b.column("event_id"),
+                         "value": pa.array(
+                             -b.column("value").to_numpy())})
+
+    man2 = commit_overwrite_partition(
+        d, 3, sub.map_batches(_neg, batch_format="pyarrow"))
+    assert man2["version"] == 2
+
+    full1, _ = read_version_pruned(d, 1, 0, 10**9)
+    got1 = full1.to_pandas().sort_values("event_id")
+    assert (got1["value"].to_numpy()
+            == df["value"].to_numpy()).all()        # v1 untouched
+    full2, _ = read_version_pruned(d, 2, 0, 10**9)
+    got2 = full2.to_pandas().sort_values("event_id")
+    want = df["value"].to_numpy().copy()
+    p3 = (df["event_id"] >= lo + 3 * w) & (df["event_id"] < lo + 4 * w)
+    want[p3.to_numpy()] *= -1
+    assert (got2["value"].to_numpy() == want).all()
+    # v2 reuses every other partition's v1 file
+    f1 = {p["file"] for p in load_manifest(d, 1)["partitions"]}
+    f2 = {p["file"] for p in man2["partitions"]}
+    assert len(f1 - f2) == 1 and len(f2 - f1) == 1
+
+
+def test_pruning_and_range_guard(table, ray_session):
+    d, df, man = table
+    lo, w = man["lo"], man["width"]
+    ds, st = read_version_pruned(d, 1, lo + 5 * w, lo + 6 * w - 1)
+    assert st["files_read"] == 1 and st["files_total"] == 16
+    assert ds.count() == w
+    none, st0 = read_version_pruned(d, 1, 10**8, 10**9)
+    assert none is None and st0["files_read"] == 0
+
+
+def test_out_of_range_replacement_rejected(table, ray_session):
+    import ray.data as rd
+
+    d, df, man = table
+    bad = rd.from_pandas(pd.DataFrame(
+        {"event_id": np.array([0], np.int64),
+         "value": np.array([1.0])}))
+    with pytest.raises(Exception):
+        commit_overwrite_partition(d, 3, bad)
+    # the failed commit must not have become visible
+    assert load_manifest(d)["version"] == 1
+
+
+def test_torn_manifest_never_visible(table):
+    d, _, man = table
+    # simulate a crash: orphan data file + tmp manifest exist, but the
+    # _latest pointer was never flipped
+    open(os.path.join(d, "part-00003-v0099.parquet"), "wb").close()
+    with open(os.path.join(d, ".v0099.tmp.json"), "w") as f:
+        json.dump({}, f)
+    assert load_manifest(d)["version"] == 1
