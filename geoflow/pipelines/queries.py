@@ -5241,6 +5241,67 @@ def moran_autocorrelation(sf_dir: str):
         "moran_i": round(r["moran_i"], 6)}])
 
 
+def _coreness_sql():
+    """Chained-CTE h-index replay (the pagerank_pages AS MATERIALIZED
+    idiom): c0 = degree, each round c_{r+1}(v) = max(least(rank,
+    neighbor c)) over the neighbor values ranked descending — the SQL
+    form of the H-index. 16 rounds >= the engine's observed fixpoint
+    (the engine asserts its round count stays within this)."""
+    rounds = 16
+    parts = [_LINKS_SQL_CTE.strip().removeprefix("WITH "), """
+ua AS MATERIALIZED (
+  SELECT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM e GROUP BY 1, 2),
+adj AS MATERIALIZED (
+  SELECT u AS node, v AS nbr FROM ua
+  UNION ALL SELECT v, u FROM ua),
+c0 AS MATERIALIZED (SELECT node, count(*) AS c FROM adj GROUP BY 1)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+c{r} AS MATERIALIZED (
+  SELECT node, max(least(rn, c)) AS c FROM (
+    SELECT a.node,
+           row_number() OVER (PARTITION BY a.node
+                              ORDER BY p.c DESC, a.nbr) AS rn,
+           p.c
+    FROM adj a JOIN c{r - 1} p ON p.node = a.nbr)
+  GROUP BY node)""")
+    return ("WITH " + ",".join(parts) + f"""
+SELECT c AS core, count(*) AS n_nodes,
+       CAST(sum(node) AS BIGINT) AS node_checksum
+FROM c{rounds} GROUP BY 1
+""")
+
+
+@register("coreness_histogram", lazy_sql=_coreness_sql)
+def coreness_histogram(sf_dir: str):
+    """k-core decomposition of the web link graph by distributed
+    h-index iteration (Lu et al. 2016): c(v) starts at deg(v) and
+    each round becomes the H-index of its neighbors' values — two
+    bucket shuffles per round (ship values along edges, per-node
+    vectorized H-index), converging to the unique core numbers
+    (independently pinned against a sequential Matula-Beck peel in
+    pytest). Output: core histogram with node checksums; the oracle
+    replays 16 h-index rounds as chained window-rank CTEs, strictly
+    more than the fixpoint needs (asserted in-query)
+    (geoflow.stages.graph.coreness_iterative)."""
+    from ..functions.agg import grouped_count_sum
+    from ..stages.graph import coreness_iterative
+
+    pairs, _docs = _link_pairs(sf_dir)
+    cores = coreness_iterative(pairs, max_rounds=16)
+
+    def _h(b: pa.Table) -> pa.Table:
+        return pa.table({"core": pc.cast(b.column("core"), pa.int64()),
+                         "node": pc.cast(b.column("node"), pa.int64())})
+
+    out = grouped_count_sum(
+        cores.map_batches(_h, batch_format="pyarrow"),
+        ["core"], ["node"], count_alias="n_nodes").to_pandas()
+    out = out.rename(columns={"node_sum": "node_checksum"})
+    return out[["core", "n_nodes", "node_checksum"]].astype(np.int64)
+
+
 @register("behavior_near_dup_users", sql=r"""
 WITH base AS (
   SELECT user_id, string_agg(event_type, ' ' ORDER BY ts, event_id)
@@ -6593,6 +6654,14 @@ _PAST_WINDOW = [
     # rollups stay in-window via user_travel_stats (same LAG-pair
     # machinery the OD matrix buckets by cell pair).
     "cell_focal_density", "od_matrix_cells",
+    # self-demotion (window at capacity): coreness shares its whole
+    # shuffle inventory with in-window queries — the edge CTE +
+    # extraction with pagerank_pages, bucket-grouped vectorized passes
+    # with the window/session family — and its iterate-to-fixpoint
+    # posture has an in-window rep in cost_distance_blocks; the
+    # h-index==peel equivalence is pinned by pytest + 3-scale local
+    # validation against the 16-round chained-CTE replay.
+    "coreness_histogram",
     # self-demotion (window at capacity): time travel's storage
     # mechanics extend a family with an in-window rep — snapshot zone
     # maps + pruned residual reads ARE bbox_cover_scan_docs' in-window

@@ -161,3 +161,29 @@ def test_triangle_counts_bruteforce(ray_session):
                 want[n] = want.get(n, 0) + 1
     assert got == want
     assert got[100] == 6 and got[1] == 2 and 50 not in got
+
+
+def test_coreness_matches_sequential_peel(ray_session):
+    """H-index iteration == Matula-Beck min-degree peel on a random
+    graph plus a planted K5 (core 4) and a path (core 1)."""
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from geoflow.stages.graph import (coreness_iterative,
+                                      coreness_reference)
+
+    rng = np.random.default_rng(3)
+    edges = [(int(a), int(b))
+             for a, b in rng.integers(0, 60, (300, 2)) if a != b]
+    edges += list(itertools.combinations(range(100, 105), 2))
+    edges += [(200, 201), (201, 202), (202, 203)]
+    got = coreness_iterative(
+        rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    ).to_pandas()
+    got = dict(zip(got["node"], got["core"]))
+    want = coreness_reference(edges)
+    assert got == want
+    assert all(want[n] == 4 for n in range(100, 105))
+    assert want[200] == 1 and want[203] == 1
