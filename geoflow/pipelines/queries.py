@@ -5170,6 +5170,74 @@ def time_travel_reads(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+@register("schema_evolution_reads", sql="""
+WITH b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM events),
+p AS (SELECT lo, greatest(1, (hi - lo + 16) // 16) AS width FROM b),
+rng AS (SELECT lo + 2 * width + width // 2 AS a,
+               lo + 5 * width - width // 3 AS z,
+               lo + 3 * width AS p3lo, lo + 4 * width AS p3hi
+        FROM p),
+sel AS (SELECT e.event_id,
+               CASE WHEN e.event_id >= rng.p3lo
+                     AND e.event_id < rng.p3hi
+                    THEN 7 ELSE 100 END AS w3
+        FROM events e, rng WHERE e.event_id BETWEEN rng.a AND rng.z)
+SELECT 2 AS version, count(*) AS n_rows,
+       CAST(count(*) * 100 AS BIGINT) AS weight_sum FROM sel
+UNION ALL
+SELECT 3, count(*), CAST(sum(w3) AS BIGINT) FROM sel
+""")
+def schema_evolution_reads(sf_dir: str):
+    """Schema evolution on the versioned layout (state/timetravel
+    .commit_add_column): v2 adds a ``weight`` column with default 100
+    as a PURE manifest commit (zero data files), v3 overwrites one
+    partition with explicit weights — so the same key range read AS OF
+    each version sees: v1 no such column (asserted in-query), v2 the
+    default everywhere via merge-on-read fill, v3 mixed stored +
+    filled values. The oracle replays v2/v3 as CASE arithmetic over
+    the source table."""
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..state.timetravel import (commit_add_column, commit_initial,
+                                    commit_overwrite_partition,
+                                    read_version_pruned)
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+    d = tempfile.mkdtemp(prefix="schevo_", dir="/tmp")
+    man1 = commit_initial(ev, "event_id", d, num_partitions=16)
+    lo, width = man1["lo"], man1["width"]
+    commit_add_column(d, "weight", 100)
+
+    p3lo, p3hi = lo + 3 * width, lo + 4 * width - 1
+    sub, _ = read_version_pruned(d, 2, p3lo, p3hi)
+
+    def _w7(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "value": b.column("value"),
+            "weight": pa.array(np.full(b.num_rows, 7, np.int64))})
+
+    commit_overwrite_partition(
+        d, 3, sub.map_batches(_w7, batch_format="pyarrow"))
+
+    a = lo + 2 * width + width // 2
+    z = lo + 5 * width - width // 3
+    ds1, _ = read_version_pruned(d, 1, a, z)
+    assert "weight" not in ds1.schema().names, \
+        "v1 must predate the column"
+    rows = []
+    for v in (2, 3):
+        dsv, st = read_version_pruned(d, v, a, z)
+        assert 0 < st["files_read"] < st["files_total"]
+        agg = dsv.aggregate(Count(), Sum("weight"))
+        rows.append({"version": np.int64(v),
+                     "n_rows": np.int64(agg["count()"]),
+                     "weight_sum": np.int64(agg["sum(weight)"])})
+    return pd.DataFrame(rows)
+
+
 _MORAN_P = 2305843009213693951   # 2^61 - 1
 
 
@@ -6654,6 +6722,12 @@ _PAST_WINDOW = [
     # rollups stay in-window via user_travel_stats (same LAG-pair
     # machinery the OD matrix buckets by cell pair).
     "cell_focal_density", "od_matrix_cells",
+    # self-demotion (window at capacity): schema evolution is the
+    # sibling manifest mechanism of time_travel_reads (same module,
+    # same snapshot/zone-map machinery, which keeps its in-window rep
+    # through bbox_cover_scan_docs); the merge-on-read fill is pinned
+    # by test_timetravel + 3-scale local validation.
+    "schema_evolution_reads",
     # self-demotion (window at capacity): coreness shares its whole
     # shuffle inventory with in-window queries — the edge CTE +
     # extraction with pagerank_pages, bucket-grouped vectorized passes

@@ -120,6 +120,8 @@ def commit_overwrite_partition(out_dir: str, part: int,
     parts.extend(zones.to_dict("records"))
     new_man = {"col": col, "lo": man["lo"], "width": man["width"],
                "partitions": sorted(parts, key=lambda d: d["part"])}
+    if "add_cols" in man:
+        new_man["add_cols"] = man["add_cols"]
     _write_manifest(out_dir, new_version, new_man)
     return load_manifest(out_dir, new_version)
 
@@ -139,9 +141,41 @@ def read_version_pruned(out_dir: str, version: int, lo: int, hi: int):
     if not hit:
         return None, stats
     ds = rd.read_parquet([os.path.join(out_dir, p["file"]) for p in hit])
+    add_cols = man.get("add_cols", {})
 
     def _residual(b: pa.Table) -> pa.Table:
         v = b.column(col).to_numpy().astype(np.int64)
-        return b.filter(pa.array((v >= lo) & (v <= hi)))
+        b = b.filter(pa.array((v >= lo) & (v <= hi)))
+        # merge-on-read schema fill: files predating an added column
+        # surface it with the snapshot's default — whether the reader
+        # omitted the column entirely or unified it in as nulls
+        import pyarrow.compute as _pc
+
+        for name, dflt in add_cols.items():
+            if name not in b.column_names:
+                b = b.append_column(
+                    name, pa.array([dflt] * b.num_rows))
+            else:
+                i = b.column_names.index(name)
+                b = b.set_column(
+                    i, name, _pc.fill_null(b.column(name), dflt))
+        return b
 
     return ds.map_batches(_residual, batch_format="pyarrow"), stats
+
+
+def commit_add_column(out_dir: str, name: str, default) -> dict:
+    """Schema evolution, version N+1: add a column with a default —
+    a pure MANIFEST commit (zero data files written). Files written
+    before the column existed are filled with the default at read
+    time (merge-on-read), so historical snapshots keep their own
+    schema and the new version sees the column everywhere."""
+    man = load_manifest(out_dir)
+    add = dict(man.get("add_cols", {}))
+    if name in add:
+        raise ValueError(f"column {name} already added")
+    add[name] = default
+    new_man = {k: man[k] for k in ("col", "lo", "width", "partitions")}
+    new_man["add_cols"] = add
+    _write_manifest(out_dir, man["version"] + 1, new_man)
+    return load_manifest(out_dir, man["version"] + 1)

@@ -89,3 +89,45 @@ def test_torn_manifest_never_visible(table):
     with open(os.path.join(d, ".v0099.tmp.json"), "w") as f:
         json.dump({}, f)
     assert load_manifest(d)["version"] == 1
+
+
+def test_schema_evolution_merge_on_read(table, ray_session):
+    import pyarrow as pa
+
+    from geoflow.state.timetravel import commit_add_column
+
+    d, df, man = table
+    lo, w = man["lo"], man["width"]
+    man2 = commit_add_column(d, "weight", 100)
+    assert man2["version"] == 2
+    # pure manifest commit: no new data files
+    assert ({p["file"] for p in man2["partitions"]}
+            == {p["file"] for p in load_manifest(d, 1)["partitions"]})
+    # v1 keeps its original schema; v2 fills the default everywhere
+    v1, _ = read_version_pruned(d, 1, 0, 10**9)
+    assert "weight" not in v1.schema().names
+    v2, _ = read_version_pruned(d, 2, 0, 10**9)
+    got = v2.to_pandas()
+    assert (got["weight"] == 100).all() and len(got) == len(df)
+
+    # overwrite one partition with explicit weights at v3
+    sub, _ = read_version_pruned(d, 2, lo + 3 * w, lo + 4 * w - 1)
+
+    def _w7(b: pa.Table) -> pa.Table:
+        import numpy as _np
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "value": b.column("value"),
+            "weight": pa.array(_np.full(b.num_rows, 7, _np.int64))})
+
+    commit_overwrite_partition(
+        d, 3, sub.map_batches(_w7, batch_format="pyarrow"))
+    v3, _ = read_version_pruned(d, 3, 0, 10**9)
+    g3 = v3.to_pandas().sort_values("event_id")
+    in_p3 = ((g3["event_id"] >= lo + 3 * w)
+             & (g3["event_id"] < lo + 4 * w)).to_numpy()
+    assert (g3["weight"].to_numpy()[in_p3] == 7).all()
+    assert (g3["weight"].to_numpy()[~in_p3] == 100).all()
+    # duplicate add is rejected
+    with pytest.raises(ValueError):
+        commit_add_column(d, "weight", 1)
