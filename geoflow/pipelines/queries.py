@@ -5170,6 +5170,57 @@ def time_travel_reads(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+@register("delete_versioned_reads", sql="""
+WITH b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM events),
+p AS (SELECT lo, greatest(1, (hi - lo + 16) // 16) AS width FROM b),
+d AS (SELECT lo + 3 * width + width // 3 AS dlo,
+             lo + 5 * width + width // 2 AS dhi FROM p)
+SELECT 1 AS version, count(*) AS n_rows,
+       round(sum(value), 4) AS value_sum FROM events
+UNION ALL
+SELECT 2, count(*), round(sum(value), 4)
+FROM events, d WHERE event_id < d.dlo OR event_id > d.dhi
+""")
+def delete_versioned_reads(sf_dir: str):
+    """Row-level range DELETE on the versioned layout
+    (state/timetravel.commit_delete_range): the deleted key range
+    fully covers one partition (dropped from the manifest with zero
+    I/O), straddles two (rewritten without the deleted rows), and
+    leaves the rest untouched — asserted in-query via the manifest
+    partition count and an empty pruned read of the deleted interior.
+    Full-table reads AS OF v1 and v2 hash-match the WHERE-filtered
+    source table, proving the delete removed exactly the range and v1
+    still serves every row."""
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..state.timetravel import (commit_delete_range, commit_initial,
+                                    load_manifest, read_version_pruned)
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+    d = tempfile.mkdtemp(prefix="ttdel_", dir="/tmp")
+    man1 = commit_initial(ev, "event_id", d, num_partitions=16)
+    lo, width = man1["lo"], man1["width"]
+    dlo = lo + 3 * width + width // 3
+    dhi = lo + 5 * width + width // 2
+    man2 = commit_delete_range(d, dlo, dhi)
+    assert len(man2["partitions"]) < len(man1["partitions"]), \
+        "fully-covered partition was not dropped from the manifest"
+    interior, sti = read_version_pruned(d, 2, lo + 4 * width,
+                                        lo + 5 * width - 1)
+    assert interior is None or interior.count() == 0, \
+        "deleted interior still readable at v2"
+    rows = []
+    for v in (1, 2):
+        dsv, _ = read_version_pruned(d, v, lo, lo + 17 * width)
+        agg = dsv.aggregate(Count(), Sum("value"))
+        rows.append({"version": np.int64(v),
+                     "n_rows": np.int64(agg["count()"]),
+                     "value_sum": round(float(agg["sum(value)"]), 4)})
+    return pd.DataFrame(rows)
+
+
 @register("schema_evolution_reads", sql="""
 WITH b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM events),
 p AS (SELECT lo, greatest(1, (hi - lo + 16) // 16) AS width FROM b),
@@ -6722,6 +6773,12 @@ _PAST_WINDOW = [
     # rollups stay in-window via user_travel_stats (same LAG-pair
     # machinery the OD matrix buckets by cell pair).
     "cell_focal_density", "od_matrix_cells",
+    # self-demotion (window at capacity): range delete is the third
+    # manifest mechanism of the same versioned-layout module as
+    # time_travel_reads / schema_evolution_reads (zone-map machinery
+    # in-window via bbox_cover_scan_docs); the three-case partition
+    # handling is pinned by test_timetravel + 3-scale local validation.
+    "delete_versioned_reads",
     # self-demotion (window at capacity): schema evolution is the
     # sibling manifest mechanism of time_travel_reads (same module,
     # same snapshot/zone-map machinery, which keeps its in-window rep

@@ -86,6 +86,12 @@ def _write_part(out_dir: str, col: str, g: pd.DataFrame, p: int,
                 version: int) -> pd.DataFrame:
     import pyarrow.parquet as pq
 
+    if len(g) == 0:
+        return pd.DataFrame({"part": pd.Series([], dtype=np.int64),
+                             "file": pd.Series([], dtype=object),
+                             "rows": pd.Series([], dtype=np.int64),
+                             "min": pd.Series([], dtype=np.int64),
+                             "max": pd.Series([], dtype=np.int64)})
     t = pa.Table.from_pandas(g, preserve_index=False)
     name = f"part-{p:05d}-v{version:04d}.parquet"
     tmp = os.path.join(out_dir, f".{name}.tmp")
@@ -179,3 +185,47 @@ def commit_add_column(out_dir: str, name: str, default) -> dict:
     new_man["add_cols"] = add
     _write_manifest(out_dir, man["version"] + 1, new_man)
     return load_manifest(out_dir, man["version"] + 1)
+
+
+def commit_delete_range(out_dir: str, klo: int, khi: int) -> dict:
+    """Row-level delete of key range [klo, khi] as version N+1:
+    untouched partitions keep their files, fully-covered partitions
+    simply leave the manifest (zero I/O), and only STRADDLING
+    partitions (at most two for a contiguous range) are rewritten
+    without the deleted rows — O(boundary data) write cost."""
+    import ray.data as rd
+
+    man = load_manifest(out_dir)
+    col = man["col"]
+    new_version = man["version"] + 1
+    keep, rewrite = [], []
+    for p in man["partitions"]:
+        if p["max"] < klo or p["min"] > khi:
+            keep.append(p)
+        elif p["min"] >= klo and p["max"] <= khi:
+            continue                       # fully deleted: drop
+        else:
+            rewrite.append(p)
+    for p in rewrite:
+        ds = rd.read_parquet(os.path.join(out_dir, p["file"]))
+
+        def _drop(b: pa.Table) -> pa.Table:
+            v = b.column(col).to_numpy().astype(np.int64)
+            return b.filter(pa.array((v < klo) | (v > khi)))
+
+        def _write(g: pd.DataFrame) -> pd.DataFrame:
+            return _write_part(out_dir, col, g, int(p["part"]),
+                               new_version)
+
+        zones = (ds.map_batches(_drop, batch_format="pyarrow")
+                 .repartition(1)
+                 .map_batches(_write, batch_format="pandas",
+                              batch_size=None).to_pandas())
+        if len(zones) and int(zones["rows"].iloc[0]) > 0:
+            keep.extend(zones.to_dict("records"))
+    new_man = {"col": col, "lo": man["lo"], "width": man["width"],
+               "partitions": sorted(keep, key=lambda d: d["part"])}
+    if "add_cols" in man:
+        new_man["add_cols"] = man["add_cols"]
+    _write_manifest(out_dir, new_version, new_man)
+    return load_manifest(out_dir, new_version)

@@ -131,3 +131,48 @@ def test_schema_evolution_merge_on_read(table, ray_session):
     # duplicate add is rejected
     with pytest.raises(ValueError):
         commit_add_column(d, "weight", 1)
+
+
+def test_delete_range_three_cases(table, ray_session):
+    from geoflow.state.timetravel import commit_delete_range
+
+    d, df, man = table
+    lo, w = man["lo"], man["width"]
+    dlo, dhi = lo + 3 * w + w // 3, lo + 5 * w + w // 2
+    man2 = commit_delete_range(d, dlo, dhi)
+    # partition 4 fully covered -> dropped; 3 and 5 rewritten
+    parts2 = {p["part"] for p in man2["partitions"]}
+    assert 4 not in parts2 and {3, 5} <= parts2
+    files1 = {p["part"]: p["file"] for p in man["partitions"]}
+    files2 = {p["part"]: p["file"] for p in man2["partitions"]}
+    assert files2[3] != files1[3] and files2[5] != files1[5]
+    assert files2[0] == files1[0]          # untouched reuse
+    # contents: exactly the range is gone at v2, v1 intact
+    v2, _ = read_version_pruned(d, 2, 0, 10**9)
+    got = set(v2.to_pandas()["event_id"])
+    want = {int(i) for i in df["event_id"] if i < dlo or i > dhi}
+    assert got == want
+    v1, _ = read_version_pruned(d, 1, 0, 10**9)
+    assert len(v1.to_pandas()) == len(df)
+
+
+def test_delete_range_empties_straddler(tmp_path, ray_session):
+    """A straddling partition whose survivors are zero rows must drop
+    from the manifest, not write an empty file entry."""
+    import ray.data as rd
+
+    from geoflow.state.timetravel import (commit_delete_range,
+                                          commit_initial)
+
+    df = pd.DataFrame({"event_id": np.arange(32, dtype=np.int64),
+                       "value": np.zeros(32)})
+    d = str(tmp_path / "tt2")
+    man = commit_initial(rd.from_pandas(df), "event_id", d,
+                         num_partitions=16)
+    w = man["width"]
+    # delete everything from mid-partition-1 to the end
+    man2 = commit_delete_range(d, w + 1, 10**9)
+    parts = {p["part"] for p in man2["partitions"]}
+    assert parts == {0, 1}
+    v2, _ = read_version_pruned(d, 2, 0, 10**9)
+    assert sorted(v2.to_pandas()["event_id"]) == list(range(w + 1))
