@@ -5170,6 +5170,71 @@ def time_travel_reads(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+@register("upsert_versioned_reads", sql="""
+WITH m AS (SELECT max(event_id) AS hi FROM events),
+v2 AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN value + 1000
+              ELSE value END AS value
+  FROM events
+  UNION ALL
+  SELECT hi + g.range, ((hi + g.range) % 97) * 1.5
+  FROM m, range(1, 6) g
+)
+SELECT 1 AS version, count(*) AS n_rows,
+       round(sum(value), 4) AS value_sum FROM events
+UNION ALL
+SELECT 2, count(*), round(sum(value), 4) FROM v2
+""")
+def upsert_versioned_reads(sf_dir: str):
+    """MERGE (upsert by key) on the versioned layout
+    (state/timetravel.commit_upsert): one distributed merge task per
+    TOUCHED partition applies new-wins-by-key against that
+    partition's old file; untouched partitions keep their files, and
+    inserted keys beyond the original range grow the manifest with
+    new partitions (the bucket function is total). v1 still serves
+    the pre-merge table; v2 hash-matches the CASE-updated + appended
+    source."""
+    import tempfile
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..state.timetravel import (commit_initial, commit_upsert,
+                                    read_version_pruned)
+
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+    d = tempfile.mkdtemp(prefix="ttups_", dir="/tmp")
+    commit_initial(ev, "event_id", d, num_partitions=16)
+    hi = int(ev.aggregate(Max("event_id"))["max(event_id)"])
+
+    def _updates(b: pa.Table) -> pa.Table:
+        ids = b.column("event_id").to_numpy().astype(np.int64)
+        m = ids % 7 == 0
+        return pa.table({
+            "event_id": pa.array(ids[m], pa.int64()),
+            "value": pa.array(b.column("value").to_numpy()[m]
+                              + 1000.0)})
+
+    import ray.data as rd
+
+    ins_ids = np.arange(hi + 1, hi + 6, dtype=np.int64)
+    inserts = rd.from_pandas(pd.DataFrame({
+        "event_id": ins_ids,
+        "value": (ins_ids % 97) * 1.5}))
+    updates = ev.map_batches(_updates,
+                             batch_format="pyarrow").union(inserts)
+    commit_upsert(d, updates)
+
+    rows = []
+    for v in (1, 2):
+        dsv, _ = read_version_pruned(d, v, -10**9, 10**9)
+        agg = dsv.aggregate(Count(), Sum("value"))
+        rows.append({"version": np.int64(v),
+                     "n_rows": np.int64(agg["count()"]),
+                     "value_sum": round(float(agg["sum(value)"]), 4)})
+    return pd.DataFrame(rows)
+
+
 @register("delete_versioned_reads", sql="""
 WITH b AS (SELECT min(event_id) AS lo, max(event_id) AS hi FROM events),
 p AS (SELECT lo, greatest(1, (hi - lo + 16) // 16) AS width FROM b),
@@ -6773,6 +6838,13 @@ _PAST_WINDOW = [
     # rollups stay in-window via user_travel_stats (same LAG-pair
     # machinery the OD matrix buckets by cell pair).
     "cell_focal_density", "od_matrix_cells",
+    # self-demotion (window at capacity): MERGE is the fourth manifest
+    # mechanism of the versioned-layout module (see the time-travel /
+    # schema-evolution / delete notes below; zone-map machinery
+    # in-window via bbox_cover_scan_docs); new-wins-by-key and
+    # out-of-range partition growth are pinned by test_timetravel +
+    # 3-scale local validation.
+    "upsert_versioned_reads",
     # self-demotion (window at capacity): range delete is the third
     # manifest mechanism of the same versioned-layout module as
     # time_travel_reads / schema_evolution_reads (zone-map machinery

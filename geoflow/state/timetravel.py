@@ -229,3 +229,58 @@ def commit_delete_range(out_dir: str, klo: int, khi: int) -> dict:
         new_man["add_cols"] = man["add_cols"]
     _write_manifest(out_dir, new_version, new_man)
     return load_manifest(out_dir, new_version)
+
+
+def commit_upsert(out_dir: str, updates_ds) -> dict:
+    """MERGE (upsert by key) as version N+1: update rows route to
+    their partitions by the SAME pure bucket function, each AFFECTED
+    partition is rewritten once by a distributed merge task that reads
+    its old file and applies new-wins-by-key, and unaffected
+    partitions keep their files. Keys beyond the original range simply
+    create new partition ids — the bucket function is total, the
+    manifest just grows. Write cost is O(touched partitions), the
+    merge itself is fully distributed (one task per partition)."""
+    man = load_manifest(out_dir)
+    col = man["col"]
+    lo, width = man["lo"], man["width"]
+    new_version = man["version"] + 1
+    old_files = {p["part"]: p["file"] for p in man["partitions"]}
+    add_cols = man.get("add_cols", {})
+
+    def _tag(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_numpy().astype(np.int64)
+        return b.append_column(
+            "_part", pa.array((v - lo) // width, pa.int64()))
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        p = int(g["_part"].iloc[0])
+        new = g.drop(columns=["_part"])
+        assert new[col].is_unique, "duplicate keys in one upsert batch"
+        if p in old_files:
+            old = pq.read_table(
+                os.path.join(out_dir, old_files[p])).to_pandas()
+            for name, dflt in add_cols.items():
+                if name not in old.columns:
+                    old[name] = dflt
+            old = old[~old[col].isin(new[col])]
+            merged = pd.concat([old, new], ignore_index=True)
+        else:
+            merged = new
+        merged = merged.sort_values(col, kind="stable") \
+            .reset_index(drop=True)
+        return _write_part(out_dir, col, merged, p, new_version)
+
+    zones = (updates_ds.map_batches(_tag, batch_format="pyarrow")
+             .groupby("_part").map_groups(_merge, batch_format="pandas")
+             .to_pandas())
+    touched = set(zones["part"].astype(int))
+    parts = [p for p in man["partitions"] if p["part"] not in touched]
+    parts.extend(zones.to_dict("records"))
+    new_man = {"col": col, "lo": lo, "width": width,
+               "partitions": sorted(parts, key=lambda d: d["part"])}
+    if add_cols:
+        new_man["add_cols"] = add_cols
+    _write_manifest(out_dir, new_version, new_man)
+    return load_manifest(out_dir, new_version)

@@ -176,3 +176,39 @@ def test_delete_range_empties_straddler(tmp_path, ray_session):
     assert parts == {0, 1}
     v2, _ = read_version_pruned(d, 2, 0, 10**9)
     assert sorted(v2.to_pandas()["event_id"]) == list(range(w + 1))
+
+
+def test_upsert_merge_semantics(table, ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoflow.state.timetravel import commit_upsert
+
+    d, df, man = table
+    # update keys 10..14 (one partition), insert 200..202 (new parts)
+    ups = pd.DataFrame({
+        "event_id": np.array([10, 11, 12, 13, 14, 200, 201, 202],
+                             np.int64),
+        "value": np.array([-1.0, -2, -3, -4, -5, 9.5, 9.6, 9.7])})
+    man2 = commit_upsert(d, rd.from_pandas(ups))
+    assert man2["version"] == 2
+    # untouched partitions reuse v1 files
+    f1 = {p["part"]: p["file"] for p in man["partitions"]}
+    f2 = {p["part"]: p["file"] for p in man2["partitions"]}
+    assert f2[0] == f1[0] and f2[1] != f1[1]
+    assert max(f2) > max(f1)            # inserts grew the manifest
+    v2, _ = read_version_pruned(d, 2, 0, 10**9)
+    g = v2.to_pandas().set_index("event_id")["value"]
+    assert g.loc[10] == -1.0 and g.loc[14] == -5.0
+    assert g.loc[15] == 15.0            # neighbor in same part kept
+    assert g.loc[200] == 9.5 and len(g) == len(df) + 3
+    # v1 untouched
+    v1, _ = read_version_pruned(d, 1, 0, 10**9)
+    g1 = v1.to_pandas().set_index("event_id")["value"]
+    assert g1.loc[10] == 10.0 and len(g1) == len(df)
+    # duplicate keys in one upsert are rejected loudly
+    bad = rd.from_pandas(pd.DataFrame(
+        {"event_id": np.array([7, 7], np.int64),
+         "value": np.array([1.0, 2.0])}))
+    with pytest.raises(Exception):
+        commit_upsert(d, bad)
