@@ -284,3 +284,33 @@ def commit_upsert(out_dir: str, updates_ds) -> dict:
         new_man["add_cols"] = add_cols
     _write_manifest(out_dir, new_version, new_man)
     return load_manifest(out_dir, new_version)
+
+
+def vacuum(out_dir: str, keep_versions: int = 2) -> dict:
+    """Garbage-collect data files unreferenced by the retained
+    snapshots (the newest ``keep_versions``), plus crash-orphaned tmp
+    files. Retained manifests keep working verbatim; older manifests
+    are removed with their exclusive files. Returns counts."""
+    with open(os.path.join(out_dir, "_latest")) as f:
+        latest = int(f.read().strip())
+    keep = set(range(max(1, latest - keep_versions + 1), latest + 1))
+    referenced = set()
+    for v in keep:
+        for p in load_manifest(out_dir, v)["partitions"]:
+            referenced.add(p["file"])
+    removed_files = removed_manifests = 0
+    for name in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, name)
+        if name.startswith("."):                  # crash leftovers
+            os.remove(path)
+            removed_files += 1
+        elif name.endswith(".parquet") and name not in referenced:
+            os.remove(path)
+            removed_files += 1
+        elif name.startswith("v") and name.endswith(".json") \
+                and int(name[1:5]) not in keep:
+            os.remove(path)
+            removed_manifests += 1
+    return {"kept_versions": sorted(keep),
+            "removed_files": removed_files,
+            "removed_manifests": removed_manifests}

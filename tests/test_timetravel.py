@@ -212,3 +212,39 @@ def test_upsert_merge_semantics(table, ray_session):
          "value": np.array([1.0, 2.0])}))
     with pytest.raises(Exception):
         commit_upsert(d, bad)
+
+
+def test_vacuum_keeps_retained_versions_working(table, ray_session):
+    import pyarrow as pa
+
+    from geoflow.state.timetravel import vacuum
+
+    d, df, man = table
+    lo, w = man["lo"], man["width"]
+    sub, _ = read_version_pruned(d, 1, lo + 3 * w, lo + 4 * w - 1)
+
+    def _z(b: pa.Table) -> pa.Table:
+        import numpy as _np
+        return pa.table({"event_id": b.column("event_id"),
+                         "value": pa.array(
+                             _np.zeros(b.num_rows))})
+
+    commit_overwrite_partition(
+        d, 3, sub.map_batches(_z, batch_format="pyarrow"))   # v2
+    sub2, _ = read_version_pruned(d, 2, lo + 5 * w, lo + 6 * w - 1)
+    commit_overwrite_partition(
+        d, 5, sub2.map_batches(_z, batch_format="pyarrow"))  # v3
+    # orphan from a simulated crash
+    open(os.path.join(d, ".part-junk.tmp"), "wb").close()
+
+    res = vacuum(d, keep_versions=2)
+    assert res["kept_versions"] == [2, 3]
+    assert res["removed_manifests"] == 1          # v1 gone
+    # v1's exclusive file (part 3 @ v1) and the orphan were removed,
+    # but v2 and v3 still read perfectly
+    assert res["removed_files"] >= 2
+    for v in (2, 3):
+        ds, _ = read_version_pruned(d, v, 0, 10**9)
+        assert ds.count() == len(df)
+    with pytest.raises(FileNotFoundError):
+        load_manifest(d, 1)
