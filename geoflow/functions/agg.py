@@ -197,3 +197,66 @@ def grouped_exact_quantiles(ds, key_cols: list[str], value_col: str,
                 g[value_col].to_numpy(), g["_vc"].to_numpy(), q)
         rows.append(row)
     return pd.DataFrame(rows)
+
+
+def profile_columns(ds, cols: list[str]):
+    """ANALYZE-style column statistics in ONE streaming pass: per
+    column (row count, null count, min, max) via batch-level Arrow
+    kernels reduced by a constant-key groupby — the stats catalog a
+    planner prunes and sizes with (zone maps, join-side choice,
+    bucket counts). Min/max are emitted as strings so one schema
+    covers every column type; numeric columns stringify via repr of
+    the Arrow scalar (deterministic).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def _partial(b: pa.Table) -> pa.Table:
+        names, n, nn, mn, mx = [], [], [], [], []
+        for c in cols:
+            col = b.column(c)
+            names.append(c)
+            n.append(len(col))
+            nn.append(col.null_count)
+            valid = col.drop_null()
+            if len(valid) == 0:
+                mn.append(None)
+                mx.append(None)
+            else:
+                mm = pc.min_max(valid)
+                mn.append(str(mm["min"].as_py()))
+                mx.append(str(mm["max"].as_py()))
+        return pa.table({
+            "column": pa.array(names, pa.string()),
+            "_n": pa.array(n, pa.int64()),
+            "_nn": pa.array(nn, pa.int64()),
+            "_mn": pa.array(mn, pa.string()),
+            "_mx": pa.array(mx, pa.string())})
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _combine(g: pd.DataFrame) -> pd.DataFrame:
+        # strings compare lexically; numeric columns need numeric
+        # compare — recompare as float when every value parses
+        vals_mn = [v for v in g["_mn"] if v is not None]
+        vals_mx = [v for v in g["_mx"] if v is not None]
+
+        def _best(vals, take_max):
+            if not vals:
+                return None
+            try:
+                xs = [float(v) for v in vals]
+                i = int(np.argmax(xs) if take_max else np.argmin(xs))
+                return vals[i]
+            except ValueError:
+                return max(vals) if take_max else min(vals)
+
+        return pd.DataFrame([{
+            "column": g["column"].iloc[0],
+            "n_rows": int(g["_n"].sum()),
+            "n_null": int(g["_nn"].sum()),
+            "min_val": _best(vals_mn, False),
+            "max_val": _best(vals_mx, True)}])
+
+    return partials.groupby("column").map_groups(
+        _combine, batch_format="pandas")

@@ -5170,6 +5170,42 @@ def time_travel_reads(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+@register("profile_docs_stats", sql="""
+SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+       count(*) - count(doc_id) AS n_null,
+       CAST(min(doc_id) AS VARCHAR) AS min_val,
+       CAST(max(doc_id) AS VARCHAR) AS max_val FROM documents
+UNION ALL
+SELECT 'lang', count(*), count(*) - count(lang),
+       min(lang), max(lang) FROM documents
+UNION ALL
+SELECT 'source', count(*), count(*) - count(source),
+       min(source), max(source) FROM documents
+UNION ALL
+SELECT 'n_chars', count(*), count(*) - count(n_chars),
+       CAST(min(n_chars) AS VARCHAR),
+       CAST(max(n_chars) AS VARCHAR) FROM documents
+""")
+def profile_docs_stats(sf_dir: str):
+    """ANALYZE-style stats catalog over the documents table: per
+    column (rows, nulls, min, max) in ONE streaming pass — batch-level
+    Arrow min_max kernels reduced by a tiny per-column groupby. These
+    are the statistics the engine's own planner features feed on (zone
+    maps, broadcast-vs-shuffle join sizing, bucket counts); restricted
+    here to int/string columns so stringified bounds are exact on both
+    sides (geoflow.functions.agg.profile_columns)."""
+    from ..functions.agg import profile_columns
+
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "lang", "source", "n_chars"])
+    out = profile_columns(
+        ds, ["doc_id", "lang", "source", "n_chars"]).to_pandas()
+    out = out.rename(columns={"column": "col_name"})
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    out["n_null"] = out["n_null"].astype(np.int64)
+    return out[["col_name", "n_rows", "n_null", "min_val", "max_val"]]
+
+
 @register("upsert_versioned_reads", sql="""
 WITH m AS (SELECT max(event_id) AS hi FROM events),
 v2 AS (
@@ -6838,6 +6874,12 @@ _PAST_WINDOW = [
     # rollups stay in-window via user_travel_stats (same LAG-pair
     # machinery the OD matrix buckets by cell pair).
     "cell_focal_density", "od_matrix_cells",
+    # self-demotion (window at capacity): the stats catalog is the
+    # min/max/count combiner shape a dozen in-window queries pin
+    # (partial_group_sums feeds zonal/top-k/layout manifests); its
+    # whole-column Arrow min_max + null accounting is hash-checked
+    # locally at 3 scales.
+    "profile_docs_stats",
     # self-demotion (window at capacity): MERGE is the fourth manifest
     # mechanism of the versioned-layout module (see the time-travel /
     # schema-evolution / delete notes below; zone-map machinery
