@@ -6634,6 +6634,81 @@ def d8_flow_accumulation(sf_dir: str):
     return out[["cell", "gy", "gx", "acc"]]
 
 
+@register("retention_cohorts", sql="""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+  FROM events
+), coh AS (
+  SELECT user_id, day,
+         min(day) OVER (PARTITION BY user_id) AS cohort_day
+  FROM ud
+)
+SELECT cohort_day, day - cohort_day AS offset_days,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM coh GROUP BY 1, 2
+""")
+def retention_cohorts(sf_dir: str):
+    """Cohort retention matrix over events (first-active-day cohorts x
+    day offsets, exact distinct users): batch-local (user, day) dedup
+    -> ONE user-keyed bucket shuffle -> per-bucket vectorized cohort
+    derivation + local counts -> tiny grouped sum (users are disjoint
+    across buckets, so summed counts ARE the distinct counts). See
+    geoflow.stages.windows.retention_cohorts."""
+    from ..stages.windows import retention_cohorts as rc
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return rc(ds)
+
+
+def _focal_stats_sql():
+    from ..stages.hydrology import hydro_dem_sql
+
+    H, W = _HYDRO_HW
+    return ("WITH " + hydro_dem_sql(H, W).strip() + """,
+nb AS (
+  SELECT c.y, c.x, c.dem, n.dem AS nd
+  FROM cells c
+  JOIN (VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1),
+               (0, 1), (1, -1), (1, 0), (1, 1)) k(dy, dx) ON TRUE
+  JOIN cells n ON n.y = c.y + k.dy AND n.x = c.x + k.dx
+)
+SELECT y, x,
+       CAST(count(*) AS BIGINT) AS n_nbrs,
+       CAST(sum(abs(dem - nd)) AS BIGINT) AS tri,
+       CAST(count(*) * max(dem) - sum(nd) AS BIGINT) AS tpi_num,
+       CAST(max(nd) - min(nd) AS BIGINT) AS rough
+FROM nb GROUP BY y, x
+""")
+
+
+@register("focal_terrain_stats", lazy_sql=_focal_stats_sql)
+def focal_terrain_stats(sf_dir: str):
+    """The gdaldem TRI / TPI / roughness trio (the three remaining
+    3x3-focal gdaldem modes next to the slope/aspect the reference
+    shells out for, execution_context.py:193-262) over the integer
+    hydro DEM: ALL-INTEGER per-pixel outputs (tri, tpi numerator,
+    roughness, boundary-true neighbor count), ONE stateless map over
+    the tile table — the 1-px halo supplies every cross-tile neighbor,
+    zero shuffles, same distribution shape as contour_segments_dem.
+    Oracle replays the 8-offset neighbor join on the closed-form DEM.
+    Tiled==brute parity incl. ragged tiles pinned in pytest
+    (tests/test_focal_stats.py)."""
+    import ray.data as rd
+    from ..sources import tiles as tsrc
+    from ..stages import hydrology as hy
+    from ..stages.terrain import focal_stats
+
+    H, W = _HYDRO_HW
+    if "table" not in _HYDRO_CACHE:
+        dem = hy.hydro_dem(H, W)
+        _HYDRO_CACHE["table"] = tsrc.raster_to_tile_table(
+            dem[None].astype(np.float32), dem.astype(np.float64),
+            raster_id="hydro0", tile=_HYDRO_TILE)
+    tiles = rd.from_arrow(_HYDRO_CACHE["table"])
+    return focal_stats(tiles, H, W, tile=_HYDRO_TILE)
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver check order. The correctness driver hash-
 # verifies the FIRST 50 registered queries, so every window slot should

@@ -184,3 +184,66 @@ def resample_ffill(events_ds, key_col: str = "user_id",
 
     return (events_ds.map_batches(_bucket, batch_format="pyarrow")
             .groupby("_b").map_groups(_fill, batch_format="pandas"))
+
+
+def retention_cohorts(events_ds, num_buckets: int = 32):
+    """Cohort retention analysis — THE standard product-analytics
+    rollup: cohort a user by their first active day, then count how
+    many of each cohort's users are active again N days later.
+    Output: (cohort_day, offset_days, n_users), n_users = exact
+    DISTINCT users of cohort ``cohort_day`` active at day
+    cohort_day + offset_days (offset 0 row = cohort size).
+
+    Distribution shape: per-batch (user, day) dedup slims the stream
+    to at most one row per user-day per batch, then ONE user-keyed
+    bucket shuffle (splitmix64(user) % B) co-locates each user's days;
+    the per-bucket pass dedups exactly, takes per-user min via one
+    sort + cummin-free grouped transform, and pre-counts
+    (cohort, offset) locally. Users are disjoint across buckets, so
+    the final tiny groupby SUM of the per-bucket counts is the exact
+    distinct-user count — the classic count-distinct-via-ownership
+    plan (no distinct aggregate ever runs on the wide stream).
+
+    SCALE: the shuffle carries (bucket, user, day) int64 triples
+    (~24 B per user-day, already batch-deduped); the final combine's
+    key space is O(active-day span^2 / 2) — tiny. Hot users cost one
+    extra row per active day, bounded by the calendar, not the corpus.
+    """
+    from ..functions.agg import grouped_count_sum
+    from ..functions.joins import _mix64
+
+    def _tag(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy().astype(np.int64)
+        day = (b.column("ts").to_numpy().view("int64")
+               // 86_400_000_000).astype(np.int64)
+        key = np.stack([uid, day], axis=1)
+        key = np.unique(key, axis=0)          # batch-local dedup
+        uid, day = key[:, 0], key[:, 1]
+        return pa.table({
+            "_b": pa.array((_mix64(uid) % np.uint64(num_buckets))
+                           .astype(np.int64)),
+            "user_id": pa.array(uid),
+            "day": pa.array(day),
+        })
+
+    def _cohort(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "day"])
+        cohort = df.groupby("user_id")["day"].transform("min")
+        out = pd.DataFrame({
+            "cohort_day": cohort.to_numpy(),
+            "offset_days": df["day"].to_numpy() - cohort.to_numpy(),
+        })
+        cnt = (out.groupby(["cohort_day", "offset_days"], sort=False)
+               .size().reset_index(name="u"))
+        cnt["u"] = cnt["u"].astype(np.int64)
+        return cnt
+
+    parts = (events_ds.map_batches(_tag, batch_format="pyarrow")
+             .groupby("_b").map_groups(_cohort, batch_format="pandas"))
+    agg = grouped_count_sum(parts, ["cohort_day", "offset_days"], ["u"])
+    return agg.map_batches(
+        lambda b: pa.table({
+            "cohort_day": b.column("cohort_day"),
+            "offset_days": b.column("offset_days"),
+            "n_users": pa.compute.cast(b.column("u_sum"), pa.int64()),
+        }), batch_format="pyarrow")
