@@ -6634,6 +6634,42 @@ def d8_flow_accumulation(sf_dir: str):
     return out[["cell", "gy", "gx", "acc"]]
 
 
+def _bfs_hops_sql(rounds: int = 6, inf: int = 1_000_000) -> str:
+    parts = [f"d0 AS MATERIALIZED (SELECT doc_id, CASE WHEN doc_id < 3 "
+             f"THEN 0 ELSE {inf} END AS d FROM documents)"]
+    for k in range(1, rounds + 1):
+        parts.append(f"""d{k} AS MATERIALIZED (
+  SELECT doc.doc_id, LEAST(p.d, coalesce(m.md, {inf})) AS d
+  FROM documents doc
+  JOIN d{k - 1} p ON p.doc_id = doc.doc_id
+  LEFT JOIN (SELECT e.dst AS doc_id, min(p2.d + 1) AS md
+             FROM e JOIN d{k - 1} p2 ON e.src = p2.doc_id
+             WHERE p2.d < {inf} GROUP BY 1) m
+    ON m.doc_id = doc.doc_id)""")
+    return (_LINKS_SQL_CTE + ",\n" + ",\n".join(parts)
+            + f"\nSELECT doc_id, CAST(d AS BIGINT) AS hops"
+              f" FROM d{rounds} WHERE d < {inf}\n")
+
+
+@register("bfs_hops_pages", lazy_sql=_bfs_hops_sql)
+def bfs_hops_pages(sf_dir: str):
+    """Multi-seed BFS hop distance (single-source shortest paths, unit
+    weights) over the extracted web link graph: synchronous
+    Bellman-Ford rounds — per round ONE bucketed hash join of the
+    frontier (reached nodes only) onto the materialized edge table +
+    ONE groupby-min over old-distances union candidates, the same
+    iterative-BSP plan shape as pagerank_pages. 6 rounds cover the
+    fixture graph's reach from seeds doc_id < 3 (web graphs: effective
+    diameter ~6); all-integer, so the chained-materialized-CTE
+    DuckDB replay hash-matches exactly
+    (geoflow.stages.graph.bfs_hops)."""
+    from ..stages.graph import bfs_hops
+
+    pairs, docs = _link_pairs(sf_dir)
+    return bfs_hops(pairs, docs.select_columns(["doc_id"]),
+                    seed_pred=lambda ids: ids < 3, rounds=6)
+
+
 @register("retention_cohorts", sql="""
 WITH ud AS (
   SELECT DISTINCT user_id,

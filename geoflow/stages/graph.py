@@ -42,6 +42,25 @@ PR_SCALE = 10**12          # integer mass per node at iteration 0
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
 
 
+def _iter_cap(state_ds, floor: int = 16) -> int:
+    """Per-round block cap for iterative BSP loops, taken ONCE from the
+    materialized initial state so it scales with the data (node-table
+    blocks grow with corpus size) but stays constant across rounds."""
+    return max(floor, state_ds.num_blocks())
+
+
+def _coalesce(ds, num_blocks: int):
+    """Cap block count between BSP rounds. Ray's sort-based shuffle
+    emits one output block per input block, so an iterate that unions
+    its own previous state compounds blocks geometrically (measured
+    16 -> 48 -> 112 -> 240 -> 496 over 4 BFS rounds at sf0.001, with
+    per-round wall time x2.5 each round from pure task-scheduling
+    overhead). A no-shuffle coalescing repartition between rounds
+    keeps per-round cost constant; it moves only the node-sized state
+    table, never the edge table."""
+    return ds.repartition(num_blocks, shuffle=False)
+
+
 def synth_page_html(ids: np.ndarray, n_docs: int) -> list[str]:
     """Deterministic anchor-tag HTML per doc_id: doc i carries
     1 + i % 3 links to (i*31 + j*977 + 7) % n_docs, j = 1..d, wrapped
@@ -191,6 +210,7 @@ def pagerank_int(pairs_ds, nodes_ds, id_col: str = "doc_id",
             "_rid": pc.cast(b.column(id_col), pa.int64()),
             "_r": pa.array(np.full(len(b), scale, dtype=np.int64))}),
         batch_format="pyarrow").materialize()
+    cap = _iter_cap(ranks)
 
     def _contrib(b: pa.Table) -> pa.Table:
         r = b.column("_r").to_numpy()
@@ -205,12 +225,12 @@ def pagerank_int(pairs_ds, nodes_ds, id_col: str = "doc_id",
         contrib = heard.map_batches(_contrib, batch_format="pyarrow")
         summed = contrib.union(seeds).groupby("dst").aggregate(
             Sum("_m", alias_name="_s"))
-        ranks = summed.map_batches(
+        ranks = _coalesce(summed.map_batches(
             lambda b: pa.table({
                 "_rid": pc.cast(b.column("dst"), pa.int64()),
                 "_r": pa.array(base + b.column("_s").to_numpy()
                                .astype(np.int64), pa.int64())}),
-            batch_format="pyarrow").materialize()
+            batch_format="pyarrow"), cap).materialize()
 
     return ranks.map_batches(
         lambda b: pa.table({id_col: b.column("_rid"),
@@ -443,6 +463,7 @@ def coreness_iterative(pairs_ds, num_buckets: int = 64,
         adj.map_batches(lambda b: b.select(["node"]),
                         batch_format="pyarrow"),
         ["node"], [], count_alias="c").materialize()
+    cap = _iter_cap(cur)
 
     def _attach(g: pd.DataFrame) -> pd.DataFrame:
         vals = g[g["nbr"] < 0]
@@ -500,10 +521,10 @@ def coreness_iterative(pairs_ds, num_buckets: int = 64,
                 "_b2", pa.array((_mix64(n) % np.uint64(num_buckets))
                                 .astype(np.int32)))
 
-        nxt = (shipped.map_batches(_rebucket, batch_format="pyarrow")
-               .groupby("_b2").map_groups(_hindex,
-                                          batch_format="pandas")
-               .materialize())
+        nxt = _coalesce(
+            shipped.map_batches(_rebucket, batch_format="pyarrow")
+            .groupby("_b2").map_groups(_hindex, batch_format="pandas"),
+            cap).materialize()
         changed = nxt.map_batches(
             lambda b: pa.table({"ch": pa.array(
                 [int(np.asarray(b.column("changed")).sum())],
@@ -543,3 +564,103 @@ def coreness_reference(edges: list[tuple[int, int]]) -> dict:
             if m in alive:
                 deg[m] -= 1
     return core
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distance (single-source/multi-seed shortest paths, unit weights)
+# ---------------------------------------------------------------------------
+
+BFS_INF = 1_000_000
+
+
+def bfs_hops(pairs_ds, nodes_ds, seed_pred, rounds: int = 8,
+             id_col: str = "doc_id", num_buckets: int | None = None):
+    """Multi-seed BFS over the directed link graph by synchronous
+    Bellman-Ford rounds (unit edge weights):
+
+        d_0[v]   = 0 if seed else INF
+        d_{k+1}[v] = min(d_k[v], min over edges u->v of d_k[u] + 1)
+
+    After ``rounds`` rounds every node within ``rounds`` hops of a seed
+    carries its exact hop distance (the relaxation is monotone, so
+    extra rounds are no-ops for converged nodes). Returns (id_col,
+    hops) for reached nodes only.
+
+    Plan per round — identical shape to pagerank_int: ONE bucketed
+    hash join of the round-k FRONTIER (nodes settled at distance k —
+    relaxing from older nodes would only re-emit settled candidates)
+    onto the materialized edge table, a vectorized d+1 map, then ONE
+    bucketed Arrow groupby-min over the union of old distances and new
+    candidates. Distances materialize per round to cut lineage.
+    ``seed_pred``: vectorized ids -> bool mask (kept SQL-replayable by
+    callers).
+
+    SCALE: per-round shuffle volume = reached-edge contributions
+    (16 B/row) + the node-sized distance table; rounds is a fixed small
+    constant (web graphs: effective diameter ~6-8). A 10^12-edge graph
+    pays `rounds` bucketed joins — the standard iterative-BSP cost —
+    with no driver-side state beyond the loop counter.
+    """
+    from ..functions.joins import _mix64, bucketed_hash_join
+
+    edges = pairs_ds.map_batches(
+        lambda b: pa.table({"_esrc": pc.cast(b.column("src"), pa.int64()),
+                            "dst": pc.cast(b.column("dst"), pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    def _seed(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        d = np.where(seed_pred(ids), 0, BFS_INF).astype(np.int64)
+        return pa.table({"_nid": pa.array(ids), "_d": pa.array(d)})
+
+    dist = nodes_ds.map_batches(_seed, batch_format="pyarrow").materialize()
+    cap = _iter_cap(dist)
+
+    def _frontier(k: int):
+        # unit weights => nodes settled in round k all carry d == k, so
+        # the next round only needs to relax from THEM (relaxing from
+        # older nodes re-emits already-settled candidates).
+        def _f(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b.column("_d"), pa.scalar(k)))
+        return _f
+
+    def _relax(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "_nid": pc.cast(b.column("dst"), pa.int64()),
+            "_d": pa.array(b.column("_d").to_numpy() + 1, pa.int64())})
+
+    # min-combine via the bucketed Arrow hash-aggregate (the od_two_hop
+    # idiom): batch-local pre-min + bucket tag, then ONE Arrow group-by
+    # per bucket — measured far cheaper than Ray's per-key
+    # sort-aggregate on near-unique node keys.
+    nb = np.uint64(num_buckets or 32)
+
+    def _premin(b: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(b, "_nid").aggregate([("_d", "min")])
+        nid = t.column("_nid").to_numpy().astype(np.int64)
+        return pa.table({
+            "_nid": pa.array(nid),
+            "_d": pc.cast(t.column("_d_min"), pa.int64()),
+            "_b": pa.array((_mix64(nid) % nb).astype(np.int32))})
+
+    def _minbucket(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "_nid").aggregate([("_d", "min")])
+        return pa.table({"_nid": pc.cast(g.column("_nid"), pa.int64()),
+                         "_d": pc.cast(g.column("_d_min"), pa.int64())})
+
+    for k in range(rounds):
+        frontier = dist.map_batches(_frontier(k), batch_format="pyarrow")
+        heard = bucketed_hash_join(edges, frontier, "_esrc", "_nid",
+                                   num_buckets=num_buckets)
+        cand = heard.map_batches(_relax, batch_format="pyarrow")
+        dist = _coalesce(dist.union(cand)
+                         .map_batches(_premin, batch_format="pyarrow")
+                         .groupby("_b").map_groups(_minbucket,
+                                                   batch_format="pyarrow"),
+                         cap).materialize()
+
+    def _final(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b.column("_d"), pa.scalar(BFS_INF)))
+        return pa.table({id_col: b.column("_nid"), "hops": b.column("_d")})
+
+    return dist.map_batches(_final, batch_format="pyarrow")
