@@ -385,6 +385,7 @@ def _dup_components_distributed(pairs_ds, max_iters: int = 10):
     import ray.data as rd
     from ray.data.aggregate import Min, Sum
 
+    from ..functions.agg import coalesce_blocks, iter_cap
     from ..functions.joins import bucketed_hash_join
 
     def _edges_both(b: pa.Table) -> pa.Table:
@@ -405,6 +406,7 @@ def _dup_components_distributed(pairs_ds, max_iters: int = 10):
                 np.minimum(b.column("src").to_numpy(),
                            b.column("_m").to_numpy()), pa.int64()),
         }), batch_format="pyarrow").materialize()
+    cap = iter_cap(labels)
 
     prev_sum = None
     for _ in range(max_iters):
@@ -424,8 +426,12 @@ def _dup_components_distributed(pairs_ds, max_iters: int = 10):
             lambda b: pa.table({"id": b.column("dst"),
                                 "label": b.column("label")}),
             batch_format="pyarrow").union(labels)
-        labels = candidates.groupby("id").aggregate(
-            Min("label", alias_name="label")).materialize()
+        # coalesce between rounds: the sort shuffle emits one block per
+        # input block, so label blocks would compound geometrically
+        # round-over-round (see functions.agg.coalesce_blocks)
+        labels = coalesce_blocks(
+            candidates.groupby("id").aggregate(
+                Min("label", alias_name="label")), cap).materialize()
     return labels.map_batches(
         lambda b: pa.table({"doc_id": b.column("id"),
                             "component": b.column("label")}),

@@ -42,23 +42,9 @@ PR_SCALE = 10**12          # integer mass per node at iteration 0
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
 
 
-def _iter_cap(state_ds, floor: int = 16) -> int:
-    """Per-round block cap for iterative BSP loops, taken ONCE from the
-    materialized initial state so it scales with the data (node-table
-    blocks grow with corpus size) but stays constant across rounds."""
-    return max(floor, state_ds.num_blocks())
-
-
-def _coalesce(ds, num_blocks: int):
-    """Cap block count between BSP rounds. Ray's sort-based shuffle
-    emits one output block per input block, so an iterate that unions
-    its own previous state compounds blocks geometrically (measured
-    16 -> 48 -> 112 -> 240 -> 496 over 4 BFS rounds at sf0.001, with
-    per-round wall time x2.5 each round from pure task-scheduling
-    overhead). A no-shuffle coalescing repartition between rounds
-    keeps per-round cost constant; it moves only the node-sized state
-    table, never the edge table."""
-    return ds.repartition(num_blocks, shuffle=False)
+# Per-round block hygiene for iterative BSP loops (see functions.agg).
+from ..functions.agg import coalesce_blocks as _coalesce  # noqa: E402
+from ..functions.agg import iter_cap as _iter_cap  # noqa: E402
 
 
 def synth_page_html(ids: np.ndarray, n_docs: int) -> list[str]:
