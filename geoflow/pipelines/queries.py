@@ -6670,6 +6670,85 @@ def bfs_hops_pages(sf_dir: str):
                     seed_pred=lambda ids: ids < 3, rounds=6)
 
 
+def _hits_sql(iters: int = 2, scale: int = 10**6) -> str:
+    parts = [f"h0 AS MATERIALIZED (SELECT doc_id, "
+             f"CAST({scale} AS BIGINT) AS s FROM documents)"]
+    for k in range(1, iters + 1):
+        parts.append(f"""a{k}r AS MATERIALIZED (
+  SELECT e.dst AS doc_id, CAST(sum(h.s) AS BIGINT) AS s
+  FROM e JOIN h{k - 1} h ON e.src = h.doc_id GROUP BY 1)""")
+        parts.append(f"""a{k} AS MATERIALIZED (
+  SELECT doc_id, CAST(s * {scale}
+    // greatest((SELECT max(s) FROM a{k}r), 1) AS BIGINT) AS s
+  FROM a{k}r)""")
+        parts.append(f"""h{k}r AS MATERIALIZED (
+  SELECT e.src AS doc_id, CAST(sum(a.s) AS BIGINT) AS s
+  FROM e JOIN a{k} a ON e.dst = a.doc_id GROUP BY 1)""")
+        parts.append(f"""h{k} AS MATERIALIZED (
+  SELECT doc_id, CAST(s * {scale}
+    // greatest((SELECT max(s) FROM h{k}r), 1) AS BIGINT) AS s
+  FROM h{k}r)""")
+    return (_LINKS_SQL_CTE + ",\n" + ",\n".join(parts) + f"""
+SELECT d.doc_id, CAST(coalesce(h.s, 0) AS BIGINT) AS hub,
+       CAST(coalesce(a.s, 0) AS BIGINT) AS auth
+FROM documents d
+LEFT JOIN h{iters} h ON h.doc_id = d.doc_id
+LEFT JOIN a{iters} a ON a.doc_id = d.doc_id
+""")
+
+
+@register("hits_scores_pages", lazy_sql=_hits_sql)
+def hits_scores_pages(sf_dir: str):
+    """HITS hub/authority scores over the extracted web link graph in
+    EXACT int64 (max-normalized per half-round so a chained-CTE DuckDB
+    replay with `//` floor division hash-matches bit for bit). Per
+    half-round: ONE bucketed hash join of the score table onto the
+    materialized edge table + ONE bucketed grouped sum + a scalar max
+    (geoflow.stages.graph.hits_int)."""
+    from ..stages.graph import hits_int
+
+    pairs, docs = _link_pairs(sf_dir)
+    return hits_int(pairs, docs.select_columns(["doc_id"]), iters=2)
+
+
+def _sssp_sql(rounds: int = 8, inf: int = 1_000_000) -> str:
+    parts = [f"s0 AS MATERIALIZED (SELECT doc_id, CASE WHEN doc_id < 3 "
+             f"THEN 0 ELSE {inf} END AS d FROM documents)"]
+    for k in range(1, rounds + 1):
+        parts.append(f"""s{k} AS MATERIALIZED (
+  SELECT doc.doc_id, LEAST(p.d, coalesce(m.md, {inf})) AS d
+  FROM documents doc
+  JOIN s{k - 1} p ON p.doc_id = doc.doc_id
+  LEFT JOIN (SELECT e.dst AS doc_id,
+                    min(p2.d + 1 + (e.src + e.dst) % 5) AS md
+             FROM e JOIN s{k - 1} p2 ON e.src = p2.doc_id
+             WHERE p2.d < {inf} GROUP BY 1) m
+    ON m.doc_id = doc.doc_id)""")
+    return (_LINKS_SQL_CTE + ",\n" + ",\n".join(parts)
+            + f"\nSELECT doc_id, CAST(d AS BIGINT) AS dist"
+              f" FROM s{rounds} WHERE d < {inf}\n")
+
+
+@register("sssp_weighted_pages", lazy_sql=_sssp_sql)
+def sssp_weighted_pages(sf_dir: str):
+    """Weighted multi-seed shortest paths over the link graph —
+    bounded Bellman-Ford: after 8 rounds each distance is EXACTLY the
+    cheapest path using <= 8 edges (deterministic integer weights
+    w = 1 + (src + dst) % 5, replayed verbatim in the chained-CTE
+    oracle). Unlike BFS the frontier is every reached node (cheaper
+    longer-hop paths can still improve a settled node), so per round:
+    ONE bucketed join of reached distances onto the weighted edge
+    table + ONE bucketed groupby-min
+    (geoflow.stages.graph.sssp_rounds)."""
+    from ..stages.graph import sssp_rounds
+
+    pairs, docs = _link_pairs(sf_dir)
+    return sssp_rounds(pairs, docs.select_columns(["doc_id"]),
+                       seed_pred=lambda ids: ids < 3,
+                       weight_fn=lambda s, d: 1 + (s + d) % 5,
+                       rounds=8)
+
+
 @register("retention_cohorts", sql="""
 WITH ud AS (
   SELECT DISTINCT user_id,

@@ -650,3 +650,202 @@ def bfs_hops(pairs_ds, nodes_ds, seed_pred, rounds: int = 8,
         return pa.table({id_col: b.column("_nid"), "hops": b.column("_d")})
 
     return dist.map_batches(_final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs / authorities (exact int64, max-normalized per half-round)
+# ---------------------------------------------------------------------------
+
+HITS_SCALE = 10**6
+
+
+def hits_int(pairs_ds, nodes_ds, id_col: str = "doc_id",
+             iters: int = 2, scale: int = HITS_SCALE,
+             num_buckets: int | None = None):
+    """HITS (Kleinberg) hub/authority scores in EXACT int64 arithmetic.
+
+    Per iteration:  a_raw[v] = sum_{u->v} h[u];  a = a_raw*S // max(a_raw)
+                    h_raw[u] = sum_{u->v} a[v];  h = h_raw*S // max(h_raw)
+    starting from h_0 = S everywhere. The usual L2 normalization is
+    replaced by integer max-normalization so a chained-CTE DuckDB
+    replay (HUGEINT sums, `//` floor division) hash-matches bit for
+    bit. Headroom: values stay <= S after each normalization, so the
+    pre-normalization sums need in-degree * S < 2^63 — callers at
+    in-degree beyond ~9e12/S should lower ``scale`` (same documented
+    trade as ``pagerank_int``).
+
+    Plan per half-round — the pagerank shape: ONE bucketed hash join
+    of the current score table onto the materialized edge table, then
+    ONE bucketed grouped sum; the normalizing max is a scalar
+    aggregate (driver holds one int). Zero-score nodes (no in/out
+    links) drop out of the iterate — they contribute nothing — and are
+    restored as 0 rows in the final full outer union against the node
+    table. Score tables coalesce between rounds (block-growth hygiene,
+    see functions.agg.coalesce_blocks).
+
+    Returns (id_col, hub, auth) for EVERY node.
+    """
+    from ray.data.aggregate import Max
+
+    from ..functions.agg import (coalesce_blocks,
+                                 grouped_count_sum_bucketed, iter_cap)
+    from ..functions.joins import bucketed_hash_join
+
+    edges = pairs_ds.map_batches(
+        lambda b: pa.table({"_esrc": pc.cast(b.column("src"), pa.int64()),
+                            "_edst": pc.cast(b.column("dst"), pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    hub = nodes_ds.map_batches(
+        lambda b: pa.table({
+            "_sid": pc.cast(b.column(id_col), pa.int64()),
+            "_s": pa.array(np.full(len(b), scale, np.int64))}),
+        batch_format="pyarrow").materialize()
+    cap = iter_cap(hub)
+    auth = None
+
+    def _half(score_ds, join_key: str, emit_key: str):
+        """score on join_key flows across edges to emit_key; grouped
+        sum; max-normalize to [0, scale]."""
+        heard = bucketed_hash_join(edges, score_ds, join_key, "_sid",
+                                   num_buckets=num_buckets)
+        flowed = heard.map_batches(
+            lambda b: pa.table({"_sid": pc.cast(b.column(emit_key),
+                                                pa.int64()),
+                                "_s": pc.cast(b.column("_s"), pa.int64())}),
+            batch_format="pyarrow")
+        raw = coalesce_blocks(
+            grouped_count_sum_bucketed(flowed, ["_sid"], ["_s"]),
+            cap).map_batches(
+            lambda b: pa.table({"_sid": b.column("_sid"),
+                                "_s": pc.cast(b.column("_s_sum"),
+                                              pa.int64())}),
+            batch_format="pyarrow").materialize()
+        mx = max(int(raw.aggregate(Max("_s"))["max(_s)"] or 0), 1)
+
+        def _norm(b: pa.Table) -> pa.Table:
+            s = b.column("_s").to_numpy()
+            return pa.table({"_sid": b.column("_sid"),
+                             "_s": pa.array(s * scale // mx, pa.int64())})
+        return raw.map_batches(_norm, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        auth = _half(hub, "_esrc", "_edst")     # hubs endorse authorities
+        hub = _half(auth, "_edst", "_esrc")     # authorities credit hubs
+
+    def _tag(col: str, src):
+        return src.map_batches(
+            lambda b: pa.table({
+                "_sid": pc.cast(b.column("_sid"), pa.int64()),
+                "hub": pc.cast(b.column("_s"), pa.int64())
+                if col == "hub" else pa.array(np.zeros(len(b), np.int64)),
+                "auth": pc.cast(b.column("_s"), pa.int64())
+                if col == "auth" else pa.array(np.zeros(len(b), np.int64)),
+            }), batch_format="pyarrow")
+
+    zeros = nodes_ds.map_batches(
+        lambda b: pa.table({
+            "_sid": pc.cast(b.column(id_col), pa.int64()),
+            "hub": pa.array(np.zeros(len(b), np.int64)),
+            "auth": pa.array(np.zeros(len(b), np.int64))}),
+        batch_format="pyarrow")
+    both = _tag("hub", hub).union(_tag("auth", auth)).union(zeros)
+    summed = grouped_count_sum_bucketed(both, ["_sid"], ["hub", "auth"])
+    return summed.map_batches(
+        lambda b: pa.table({id_col: b.column("_sid"),
+                            "hub": pc.cast(b.column("hub_sum"), pa.int64()),
+                            "auth": pc.cast(b.column("auth_sum"),
+                                            pa.int64())}),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Weighted shortest paths (bounded Bellman-Ford rounds, exact int64)
+# ---------------------------------------------------------------------------
+
+def sssp_rounds(pairs_ds, nodes_ds, seed_pred, weight_fn,
+                rounds: int = 8, id_col: str = "doc_id",
+                num_buckets: int | None = None):
+    """Multi-seed single-source shortest paths with integer edge
+    weights, by ``rounds`` synchronous Bellman-Ford relaxations:
+
+        d_0[v]     = 0 if seed else INF
+        d_{k+1}[v] = min(d_k[v], min_{u->v} d_k[u] + w(u, v))
+
+    After K rounds d[v] is EXACTLY the weight of the cheapest path
+    using <= K edges — a well-defined quantity a chained-CTE DuckDB
+    replay reproduces bit for bit (all int64). Unlike ``bfs_hops``,
+    a node's distance can improve in later rounds (a longer-hop but
+    cheaper path), so every reached node relaxes every round — the
+    frontier is d < INF, not d == k.
+
+    ``weight_fn(src, dst) -> int64 ndarray`` must be vectorized and
+    deterministic (callers keep it SQL-replayable). Weights are
+    attached to the edge table ONCE at materialization, not per round.
+
+    SCALE: per-round cost = one bucketed hash join of the reached
+    distance table onto the edge table + one bucketed groupby-min —
+    identical to the BFS plan; rounds is a fixed small constant.
+    Distance tables coalesce between rounds (block-growth hygiene).
+    """
+    from ..functions.joins import _mix64, bucketed_hash_join
+
+    def _edge(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy().astype(np.int64)
+        d = b.column("dst").to_numpy().astype(np.int64)
+        return pa.table({"_esrc": pa.array(s),
+                         "dst": pa.array(d),
+                         "_w": pa.array(weight_fn(s, d)
+                                        .astype(np.int64))})
+
+    edges = pairs_ds.map_batches(_edge,
+                                 batch_format="pyarrow").materialize()
+
+    def _seed(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        d = np.where(seed_pred(ids), 0, BFS_INF).astype(np.int64)
+        return pa.table({"_nid": pa.array(ids), "_d": pa.array(d)})
+
+    dist = nodes_ds.map_batches(_seed, batch_format="pyarrow").materialize()
+    cap = _iter_cap(dist)
+
+    def _reached(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b.column("_d"), pa.scalar(BFS_INF)))
+
+    def _relax(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "_nid": pc.cast(b.column("dst"), pa.int64()),
+            "_d": pa.array(b.column("_d").to_numpy()
+                           + b.column("_w").to_numpy(), pa.int64())})
+
+    nb = np.uint64(num_buckets or 32)
+
+    def _premin(b: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(b, "_nid").aggregate([("_d", "min")])
+        nid = t.column("_nid").to_numpy().astype(np.int64)
+        return pa.table({
+            "_nid": pa.array(nid),
+            "_d": pc.cast(t.column("_d_min"), pa.int64()),
+            "_b": pa.array((_mix64(nid) % nb).astype(np.int32))})
+
+    def _minbucket(t: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(t, "_nid").aggregate([("_d", "min")])
+        return pa.table({"_nid": pc.cast(g.column("_nid"), pa.int64()),
+                         "_d": pc.cast(g.column("_d_min"), pa.int64())})
+
+    for _ in range(rounds):
+        frontier = dist.map_batches(_reached, batch_format="pyarrow")
+        heard = bucketed_hash_join(edges, frontier, "_esrc", "_nid",
+                                   num_buckets=num_buckets)
+        cand = heard.map_batches(_relax, batch_format="pyarrow")
+        dist = _coalesce(dist.union(cand)
+                         .map_batches(_premin, batch_format="pyarrow")
+                         .groupby("_b").map_groups(_minbucket,
+                                                   batch_format="pyarrow"),
+                         cap).materialize()
+
+    def _final(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b.column("_d"), pa.scalar(BFS_INF)))
+        return pa.table({id_col: b.column("_nid"), "dist": b.column("_d")})
+
+    return dist.map_batches(_final, batch_format="pyarrow")

@@ -1,0 +1,85 @@
+"""HITS and weighted-SSSP parity against dense-numpy / pure-Python
+re-implementations of the same integer recurrences, on random graphs."""
+
+import numpy as np
+
+
+def _rand_edges(seed, n, m):
+    rng = np.random.default_rng(seed)
+    e = rng.integers(0, n, size=(m, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    # match extract_link_pairs' per-page dedup
+    return np.unique(e, axis=0)
+
+
+def _to_ds(edges_np, n):
+    import pyarrow as pa
+    import ray.data as rd
+
+    pairs = rd.from_arrow(pa.table({
+        "src": pa.array(edges_np[:, 0], pa.int64()),
+        "dst": pa.array(edges_np[:, 1], pa.int64())}))
+    nodes = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64())}))
+    return pairs, nodes
+
+
+def brute_hits(edges, n, iters, scale=10**6):
+    h = np.full(n, scale, dtype=np.int64)
+    a = np.zeros(n, dtype=np.int64)
+    for _ in range(iters):
+        ar = np.zeros(n, dtype=np.int64)
+        np.add.at(ar, edges[:, 1], h[edges[:, 0]])
+        a = ar * scale // max(ar.max(), 1)
+        hr = np.zeros(n, dtype=np.int64)
+        np.add.at(hr, edges[:, 0], a[edges[:, 1]])
+        h = hr * scale // max(hr.max(), 1)
+    return h, a
+
+
+def test_hits_matches_brute(ray_session):
+    from geoflow.stages.graph import hits_int
+
+    n = 150
+    edges = _rand_edges(7, n, 400)
+    pairs, nodes = _to_ds(edges, n)
+    out = hits_int(pairs, nodes, iters=2).to_pandas().set_index("doc_id")
+    h, a = brute_hits(edges, n, iters=2)
+    assert len(out) == n
+    got_h = out["hub"].reindex(range(n)).to_numpy()
+    got_a = out["auth"].reindex(range(n)).to_numpy()
+    np.testing.assert_array_equal(got_h, h)
+    np.testing.assert_array_equal(got_a, a)
+    # max-normalization leaves at least one node at full scale
+    assert got_h.max() == 10**6 and got_a.max() == 10**6
+
+
+def brute_sssp(edges, n, seeds, rounds, wfn):
+    INF = 10**18
+    d = np.full(n, INF, dtype=np.int64)
+    d[seeds] = 0
+    w = wfn(edges[:, 0], edges[:, 1])
+    for _ in range(rounds):
+        nd = d.copy()
+        relaxed = d[edges[:, 0]]
+        ok = relaxed < INF
+        np.minimum.at(nd, edges[ok, 1], relaxed[ok] + w[ok])
+        d = nd
+    return {i: int(v) for i, v in enumerate(d) if v < INF}
+
+
+def test_sssp_matches_brute(ray_session):
+    from geoflow.stages.graph import sssp_rounds
+
+    n = 130
+    edges = _rand_edges(11, n, 350)
+    pairs, nodes = _to_ds(edges, n)
+    wfn = lambda s, d: 1 + (s + d) % 5  # noqa: E731
+    out = sssp_rounds(pairs, nodes, seed_pred=lambda ids: ids < 2,
+                      weight_fn=wfn, rounds=6).to_pandas()
+    got = dict(zip(out["doc_id"].tolist(), out["dist"].tolist()))
+    exp = brute_sssp(edges, n, [0, 1], rounds=6, wfn=wfn)
+    assert got == exp
+    # weighted: some node must be cheaper via more hops than the BFS
+    # tree would give (sanity that weights actually matter)
+    assert any(v > 5 for v in exp.values())
