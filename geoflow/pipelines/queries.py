@@ -6670,6 +6670,49 @@ def bfs_hops_pages(sf_dir: str):
                     seed_pred=lambda ids: ids < 3, rounds=6)
 
 
+@register("anchor_text_stats_docs", sql=_LINKS_SQL_CTE + """,
+aj AS MATERIALIZED (
+  SELECT doc_id AS src, j,
+         (doc_id * 31 + j * 977 + 7) % (SELECT c FROM nn) AS dst
+  FROM js),
+a2 AS MATERIALIZED (
+  SELECT src, dst,
+         'go ' || CAST(dst AS VARCHAR) || ' ref' || CAST(j AS VARCHAR)
+           AS anchor
+  FROM aj WHERE dst <> src)
+SELECT dst AS doc_id, CAST(count(*) AS BIGINT) AS n_anchors,
+       CAST(count(DISTINCT anchor) AS BIGINT) AS n_texts,
+       min(anchor) AS top_text
+FROM a2 GROUP BY 1
+""")
+def anchor_text_stats_docs(sf_dir: str):
+    """Anchor-text corpus construction: every <a> tag's inner text is
+    attributed to its TARGET page (classic web relevance / label
+    signal), then profiled per target — anchor count, distinct anchor
+    strings, lexicographic-min representative. Extraction is the same
+    whole-column Arrow split_pattern + flat extract_regex chain as the
+    link extractor (duplicate (src,dst) anchors KEPT, each with its own
+    text); the oracle re-derives every anchor string from doc_id
+    arithmetic alone, so a hash match proves byte-exact text recovery
+    (geoflow.stages.graph.extract_anchor_texts / anchor_text_stats)."""
+    from ..stages.graph import (anchor_text_stats, extract_anchor_texts,
+                                synth_page_html)
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    n = ds.count()
+
+    def _synth(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy().astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "html": pa.array(synth_page_html(ids, n), pa.string())})
+
+    anchors = (ds.map_batches(_synth, batch_format="pyarrow")
+                 .map_batches(extract_anchor_texts,
+                              batch_format="pyarrow"))
+    return anchor_text_stats(anchors)
+
+
 def _hits_sql(iters: int = 2, scale: int = 10**6) -> str:
     parts = [f"h0 AS MATERIALIZED (SELECT doc_id, "
              f"CAST({scale} AS BIGINT) AS s FROM documents)"]

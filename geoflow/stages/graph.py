@@ -59,7 +59,7 @@ def synth_page_html(ids: np.ndarray, n_docs: int) -> list[str]:
         d = 1 + i % 3
         anchors = "".join(
             f'<a class="l{j}" href="https://site{t}.example/page{t}.html">'
-            f"go {t}</a><p>filler {i}</p>"
+            f"go {t} ref{j}</a><p>filler {i}</p>"
             for j in range(1, d + 1)
             for t in [(i * 31 + j * 977 + 7) % n_docs])
         pages.append(
@@ -849,3 +849,91 @@ def sssp_rounds(pairs_ds, nodes_ds, seed_pred, weight_fn,
         return pa.table({id_col: b.column("_nid"), "dist": b.column("_d")})
 
     return dist.map_batches(_final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text extraction + per-target aggregation
+# ---------------------------------------------------------------------------
+
+_ANCHOR_RE = (r'^https://site[0-9]+\.example/page(?P<t>[0-9]+)\.html">'
+              r"(?P<txt>[^<]*)</a>")
+
+
+def extract_anchor_texts(batch: pa.Table, html_col: str = "html",
+                         id_col: str = "doc_id") -> pa.Table:
+    """(src, dst, anchor) rows from an HTML column, fully Arrow-side —
+    the anchor-text-corpus primitive (anchor text pointing AT a page is
+    classic relevance/label signal for training data). Same
+    split_pattern('href="') + flat anchored extract_regex chain as
+    ``extract_link_pairs``, with the regex also capturing the anchor's
+    inner text up to ``</a>``. Unlike link pairs, duplicate (src, dst)
+    anchors are KEPT (each carries its own text); self-anchors drop."""
+    empty = pa.table({"src": pa.array([], pa.int64()),
+                      "dst": pa.array([], pa.int64()),
+                      "anchor": pa.array([], pa.string())})
+    if len(batch) == 0:
+        return empty
+    ids = batch.column(id_col).to_numpy().astype(np.int64)
+    s = pc.cast(batch.column(html_col), pa.large_string())
+    parts = pc.split_pattern(s, 'href="')
+    flat = pc.list_flatten(parts)
+    parents = pc.list_parent_indices(parts).to_numpy().astype(np.int64)
+    if len(parents) == 0:
+        return empty
+    keep = np.ones(len(parents), dtype=bool)
+    keep[np.r_[True, parents[1:] != parents[:-1]]] = False
+    m = pc.extract_regex(pc.take(flat, pa.array(np.flatnonzero(keep))),
+                         _ANCHOR_RE)
+    tgt = pc.struct_field(m, "t")
+    txt = pc.struct_field(m, "txt")
+    par = parents[keep]
+    ok = pc.is_valid(tgt).to_numpy(zero_copy_only=False)
+    src = ids[par[ok]]
+    dst = pc.cast(pc.drop_null(tgt), pa.int64()).to_numpy()
+    texts = pc.drop_null(txt)
+    sel = src != dst
+    return pa.table({
+        "src": pa.array(src[sel], pa.int64()),
+        "dst": pa.array(dst[sel], pa.int64()),
+        "anchor": pc.take(texts, pa.array(np.flatnonzero(sel))),
+    })
+
+
+def anchor_text_stats(anchors_ds, num_buckets: int = 64):
+    """Per-target anchor profile: (doc_id, n_anchors, n_texts,
+    top_text) where n_texts counts DISTINCT anchor strings and
+    top_text is the lexicographic min (a deterministic representative).
+
+    Plan: batch-local collapse to unique (dst, anchor) partial rows
+    with counts (bounded by per-batch distinct pairs), ONE bucketed
+    shuffle on dst, then one vectorized pandas combine per bucket.
+    Distinct-count state never leaves the bucket; nothing corpus-sized
+    touches the driver."""
+    from ..functions.joins import _mix64
+
+    nb = np.uint64(num_buckets)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(
+            b.select(["dst", "anchor"]),
+            ["dst", "anchor"]).aggregate([([], "count_all")])
+        d = t.column("dst").to_numpy().astype(np.int64)
+        return pa.table({
+            "dst": pa.array(d),
+            "anchor": t.column("anchor"),
+            "n": pc.cast(t.column("count_all"), pa.int64()),
+            "_b": pa.array((_mix64(d) % nb).astype(np.int32))})
+
+    def _combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("dst").agg(
+            n_anchors=("n", "sum"),
+            n_texts=("anchor", "nunique"),
+            top_text=("anchor", "min")).reset_index()
+        return pd.DataFrame({
+            "doc_id": agg["dst"].astype(np.int64),
+            "n_anchors": agg["n_anchors"].astype(np.int64),
+            "n_texts": agg["n_texts"].astype(np.int64),
+            "top_text": agg["top_text"]})
+
+    return (anchors_ds.map_batches(_partial, batch_format="pyarrow")
+            .groupby("_b").map_groups(_combine, batch_format="pandas"))

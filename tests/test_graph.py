@@ -187,3 +187,23 @@ def test_coreness_matches_sequential_peel(ray_session):
     assert got == want
     assert all(want[n] == 4 for n in range(100, 105))
     assert want[200] == 1 and want[203] == 1
+
+
+def test_extract_anchor_texts_exact():
+    from geoflow.stages.graph import extract_anchor_texts
+
+    n = 150
+    tbl = _pairs_table(n)
+    out = extract_anchor_texts(tbl)
+    got = set(zip(out.column("src").to_pylist(),
+                  out.column("dst").to_pylist(),
+                  out.column("anchor").to_pylist()))
+    exp = set()
+    for i in range(n):
+        for j in range(1, 2 + i % 3):
+            t = (i * 31 + j * 977 + 7) % n
+            if t != i:
+                exp.add((i, t, f"go {t} ref{j}"))
+    assert got == exp
+    # empty input round-trips
+    assert len(extract_anchor_texts(tbl.slice(0, 0))) == 0
