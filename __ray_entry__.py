@@ -33,9 +33,17 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from geoflow.pipelines.queries import QUERIES
+    """All registered pipelines, DuckDB-verified entries FIRST (in
+    registration order), self-checking no-oracle entries last — so a
+    driver that samples a prefix of this dict sees maximal hard
+    signal."""
+    from geoflow.pipelines.queries import QUERIES, get_oracle_sql
 
-    return dict(QUERIES)
+    has_oracle = set(get_oracle_sql())
+    ordered = {k: v for k, v in QUERIES.items() if k in has_oracle}
+    ordered.update({k: v for k, v in QUERIES.items()
+                    if k not in has_oracle})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
