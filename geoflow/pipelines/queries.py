@@ -6713,6 +6713,62 @@ def anchor_text_stats_docs(sf_dir: str):
     return anchor_text_stats(anchors)
 
 
+def _ppr_sql(iters: int = 4) -> str:
+    seed_r0 = ("CASE WHEN doc_id < 3 THEN 1000000000000 ELSE 0 END")
+    seed_base = ("CASE WHEN d.doc_id < 3 THEN 150000000000 ELSE 0 END")
+    parts = ["od AS MATERIALIZED (SELECT src, count(*) AS od "
+             "FROM e GROUP BY 1)",
+             f"p0 AS MATERIALIZED (SELECT doc_id, "
+             f"CAST({seed_r0} AS BIGINT) AS r FROM documents)"]
+    for k in range(1, iters + 1):
+        parts.append(f"""p{k} AS MATERIALIZED (
+  SELECT d.doc_id, CAST({seed_base} + coalesce(s.m, 0) AS BIGINT) AS r
+  FROM documents d LEFT JOIN (
+    SELECT e.dst AS doc_id, sum((85 * r.r) // (100 * od.od)) AS m
+    FROM e JOIN p{k - 1} r ON e.src = r.doc_id JOIN od ON od.src = e.src
+    GROUP BY 1) s USING (doc_id))""")
+    return (_LINKS_SQL_CTE + ",\n" + ",\n".join(parts)
+            + f"\nSELECT doc_id, r AS ppr FROM p{iters}\n")
+
+
+@register("ppr_pages", lazy_sql=_ppr_sql)
+def ppr_pages(sf_dir: str):
+    """Personalized PageRank / random-walk-with-restart from seed set
+    doc_id < 3: teleport base and initial mass go ONLY to seeds, so
+    ranks measure graph proximity to the seeds (relevance-biased
+    sampling weights for curation). Same exact-int64 iterative plan
+    as pagerank_pages; the oracle's base term becomes a CASE on the
+    seed predicate (geoflow.stages.graph.pagerank_int seed_pred)."""
+    from ..stages.graph import pagerank_int
+
+    pairs, docs = _link_pairs(sf_dir)
+    out = pagerank_int(pairs, docs.select_columns(["doc_id"]), iters=4,
+                       seed_pred=lambda ids: ids < 3)
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id"),
+                            "ppr": b.column("pr")}),
+        batch_format="pyarrow")
+
+
+@register("two_hop_reach_pages", sql=_LINKS_SQL_CTE + """
+SELECT src AS doc_id, CAST(count(DISTINCT w) AS BIGINT) AS n_reach2
+FROM (SELECT src, dst AS w FROM e
+      UNION ALL
+      SELECT e1.src, e2.dst AS w FROM e e1 JOIN e e2 ON e1.dst = e2.src)
+WHERE w <> src GROUP BY 1
+""")
+def two_hop_reach_pages(sf_dir: str):
+    """Friends-of-friends audience size: DISTINCT pages reachable in
+    <= 2 hops per page (self excluded). One bucketed self-join of the
+    edge table on the mid node, batch-local (src, w) dedup, ONE
+    bucketed shuffle + per-bucket exact distinct count
+    (geoflow.stages.graph.two_hop_reach)."""
+    from ..stages.graph import two_hop_reach
+
+    pairs, _docs = _link_pairs(sf_dir)
+    return two_hop_reach(pairs)
+
+
 def _hits_sql(iters: int = 2, scale: int = 10**6) -> str:
     parts = [f"h0 AS MATERIALIZED (SELECT doc_id, "
              f"CAST({scale} AS BIGINT) AS s FROM documents)"]

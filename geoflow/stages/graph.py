@@ -146,11 +146,19 @@ def link_degrees(pairs_ds, nodes_ds, id_col: str = "doc_id"):
 
 def pagerank_int(pairs_ds, nodes_ds, id_col: str = "doc_id",
                  iters: int = 4, scale: int = PR_SCALE,
-                 num_buckets: int | None = None):
+                 num_buckets: int | None = None, seed_pred=None):
     """Damped PageRank over ``iters`` fixed iterations in exact int64.
 
     r_0[v] = scale;  r_{k+1}[v] = (15*scale)//100
                      + sum_{u->v} (85 * r_k[u]) // (100 * outdeg[u])
+
+    ``seed_pred`` (vectorized ids -> bool mask) switches to
+    PERSONALIZED PageRank / random-walk-with-restart: the teleport
+    base (and the initial mass) go ONLY to seed nodes —
+    r_0[v] = scale if seed else 0, base term likewise — so ranks
+    measure proximity to the seed set (graph-local relevance for
+    curation sampling). Identical plan, identical SQL-replayability
+    (the oracle's base becomes a CASE on the seed predicate).
 
     Dangling nodes simply stop forwarding mass (dropped, not
     redistributed) — a deterministic, SQL-replayable variant. Every
@@ -191,11 +199,15 @@ def pagerank_int(pairs_ds, nodes_ds, id_col: str = "doc_id",
 
     seeds = nodes_ds.map_batches(_seed, batch_format="pyarrow").materialize()
 
-    ranks = nodes_ds.map_batches(
-        lambda b: pa.table({
-            "_rid": pc.cast(b.column(id_col), pa.int64()),
-            "_r": pa.array(np.full(len(b), scale, dtype=np.int64))}),
-        batch_format="pyarrow").materialize()
+    def _init(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        r0 = (np.where(seed_pred(ids), scale, 0) if seed_pred is not None
+              else np.full(len(ids), scale)).astype(np.int64)
+        return pa.table({"_rid": pa.array(ids),
+                         "_r": pa.array(r0, pa.int64())})
+
+    ranks = nodes_ds.map_batches(_init,
+                                 batch_format="pyarrow").materialize()
     cap = _iter_cap(ranks)
 
     def _contrib(b: pa.Table) -> pa.Table:
@@ -211,12 +223,18 @@ def pagerank_int(pairs_ds, nodes_ds, id_col: str = "doc_id",
         contrib = heard.map_batches(_contrib, batch_format="pyarrow")
         summed = contrib.union(seeds).groupby("dst").aggregate(
             Sum("_m", alias_name="_s"))
+        def _rank(b: pa.Table) -> pa.Table:
+            rid = b.column("dst").to_numpy().astype(np.int64)
+            b_arr = (np.where(seed_pred(rid), base, 0)
+                     if seed_pred is not None
+                     else np.full(len(rid), base)).astype(np.int64)
+            return pa.table({
+                "_rid": pa.array(rid),
+                "_r": pa.array(b_arr + b.column("_s").to_numpy()
+                               .astype(np.int64), pa.int64())})
+
         ranks = _coalesce(summed.map_batches(
-            lambda b: pa.table({
-                "_rid": pc.cast(b.column("dst"), pa.int64()),
-                "_r": pa.array(base + b.column("_s").to_numpy()
-                               .astype(np.int64), pa.int64())}),
-            batch_format="pyarrow"), cap).materialize()
+            _rank, batch_format="pyarrow"), cap).materialize()
 
     return ranks.map_batches(
         lambda b: pa.table({id_col: b.column("_rid"),
@@ -937,3 +955,68 @@ def anchor_text_stats(anchors_ds, num_buckets: int = 64):
 
     return (anchors_ds.map_batches(_partial, batch_format="pyarrow")
             .groupby("_b").map_groups(_combine, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Two-hop neighborhood reach (distinct nodes within <= 2 hops)
+# ---------------------------------------------------------------------------
+
+def two_hop_reach(pairs_ds, num_buckets: int | None = None):
+    """Per-node count of DISTINCT nodes reachable in one or two hops
+    (self excluded) — the friends-of-friends audience size.
+
+    Plan: ONE bucketed hash join of the edge table with itself on the
+    mid node (e1.dst = e2.src) produces the 2-hop pairs; they union
+    the 1-hop pairs, then a batch-local (src, w) dedup collapses
+    duplicates before ONE bucketed shuffle on src and a per-bucket
+    exact distinct count. SCALE: pair volume is sum(out_deg * in_deg)
+    over mid nodes — the inherent two-hop cost (same caveat as
+    od_two_hop); a power-law hub as mid node dominates it, so at
+    web scale cap mid-node degree (drop or sample over-cap mids,
+    counting them) or swap the exact distinct for the HLL sketch in
+    functions.sketch — both documented growth paths, neither needed at
+    fixture degree (~2).
+    """
+    from ..functions.joins import _mix64, bucketed_hash_join
+
+    edges = pairs_ds.map_batches(
+        lambda b: pa.table({"_esrc": pc.cast(b.column("src"), pa.int64()),
+                            "dst": pc.cast(b.column("dst"), pa.int64())}),
+        batch_format="pyarrow").materialize()
+    rev = edges.map_batches(
+        lambda b: pa.table({"_mid": b.column("_esrc"),
+                            "w": b.column("dst")}),
+        batch_format="pyarrow")
+    hop2 = bucketed_hash_join(edges, rev, "dst", "_mid",
+                              num_buckets=num_buckets)
+    # hop2: (_key=mid, _esrc, w) -> (src, w)
+    pairs2 = hop2.map_batches(
+        lambda b: pa.table({"src": pc.cast(b.column("_esrc"), pa.int64()),
+                            "w": pc.cast(b.column("w"), pa.int64())}),
+        batch_format="pyarrow")
+    pairs1 = edges.map_batches(
+        lambda b: pa.table({"src": b.column("_esrc"),
+                            "w": b.column("dst")}),
+        batch_format="pyarrow")
+
+    nb = np.uint64(64)
+
+    def _local(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy().astype(np.int64)
+        w = b.column("w").to_numpy().astype(np.int64)
+        keep = s != w
+        t = pa.table({"src": pa.array(s[keep]), "w": pa.array(w[keep])})
+        t = pa.TableGroupBy(t, ["src", "w"]).aggregate([])
+        s2 = t.column("src").to_numpy().astype(np.int64)
+        return pa.table({
+            "src": pa.array(s2), "w": t.column("w"),
+            "_b": pa.array((_mix64(s2) % nb).astype(np.int32))})
+
+    def _count(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.drop_duplicates(["src", "w"]).groupby("src").size()
+        return pd.DataFrame({"doc_id": agg.index.to_numpy(np.int64),
+                             "n_reach2": agg.to_numpy(np.int64)})
+
+    return (pairs1.union(pairs2)
+            .map_batches(_local, batch_format="pyarrow")
+            .groupby("_b").map_groups(_count, batch_format="pandas"))

@@ -83,3 +83,56 @@ def test_sssp_matches_brute(ray_session):
     # weighted: some node must be cheaper via more hops than the BFS
     # tree would give (sanity that weights actually matter)
     assert any(v > 5 for v in exp.values())
+
+
+def brute_ppr(edges, n, iters, seeds, scale=10**12):
+    outdeg = np.zeros(n, dtype=np.int64)
+    np.add.at(outdeg, edges[:, 0], 1)
+    seed_mask = np.zeros(n, dtype=bool)
+    seed_mask[seeds] = True
+    r = np.where(seed_mask, scale, 0).astype(np.int64)
+    base = np.where(seed_mask, (15 * scale) // 100, 0).astype(np.int64)
+    for _ in range(iters):
+        m = np.zeros(n, dtype=np.int64)
+        contrib = (85 * r[edges[:, 0]]) // (100 * outdeg[edges[:, 0]])
+        np.add.at(m, edges[:, 1], contrib)
+        r = base + m
+    return r
+
+
+def test_ppr_matches_brute(ray_session):
+    from geoflow.stages.graph import pagerank_int
+
+    n = 140
+    edges = _rand_edges(5, n, 380)
+    pairs, nodes = _to_ds(edges, n)
+    out = pagerank_int(pairs, nodes, iters=3,
+                       seed_pred=lambda ids: ids % 17 == 0) \
+        .to_pandas().set_index("doc_id")
+    exp = brute_ppr(edges, n, iters=3, seeds=np.arange(0, n, 17))
+    got = out["pr"].reindex(range(n)).to_numpy()
+    np.testing.assert_array_equal(got, exp)
+    # seeds hold teleport mass; far-from-seed sinks decay to 0
+    assert (exp == 0).any() and exp[0] > 0
+
+
+def test_two_hop_reach_matches_brute(ray_session):
+    from geoflow.stages.graph import two_hop_reach
+
+    n = 90
+    edges = _rand_edges(13, n, 260)
+    pairs, _nodes = _to_ds(edges, n)
+    out = two_hop_reach(pairs).to_pandas()
+    got = dict(zip(out["doc_id"].tolist(), out["n_reach2"].tolist()))
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(int(s), set()).add(int(d))
+    exp = {}
+    for v, nb in adj.items():
+        reach = set(nb)
+        for m in nb:
+            reach |= adj.get(m, set())
+        reach.discard(v)
+        if reach:
+            exp[v] = len(reach)
+    assert got == exp
