@@ -6713,6 +6713,59 @@ def anchor_text_stats_docs(sf_dir: str):
     return anchor_text_stats(anchors)
 
 
+@register("mutual_link_communities", sql="WITH RECURSIVE "
+          + _LINKS_SQL_CTE.strip().removeprefix("WITH ") + """,
+m AS (SELECT e1.src AS a, e1.dst AS b
+      FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e1.src = e2.dst
+      WHERE e1.src < e1.dst),
+medges AS (SELECT a AS s, b AS d FROM m UNION ALL SELECT b, a FROM m),
+reach(a, b) AS (
+  SELECT s, d FROM medges
+  UNION
+  SELECT r.a, e2.d FROM reach r JOIN medges e2 ON r.b = e2.s
+),
+comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+         FROM reach GROUP BY a),
+full_c AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+           FROM documents d LEFT JOIN comp c USING (doc_id))
+SELECT component AS representative_id,
+       CAST(count(*) AS BIGINT) AS cluster_size
+FROM full_c GROUP BY component
+""")
+def mutual_link_communities(sf_dir: str):
+    """Communities of mutually-linked pages — a PARTITION of the whole
+    corpus: reciprocated edges (one bucketed packed-key self-join of
+    the link table) -> distributed min-label connected components;
+    pages with no mutual link are their own singleton community (so
+    the result is non-degenerate even when reciprocation is rare).
+    The mutual subgraph is the spam-resistant community substrate; the
+    oracle replays reciprocation + a recursive-CTE transitive closure
+    (geoflow.stages.graph.mutual_edges + stages.dedup.dup_components)."""
+    from ray.data.aggregate import Count, Min
+
+    from ..stages.dedup import dup_components
+    from ..stages.graph import mutual_edges
+
+    pairs, docs = _link_pairs(sf_dir)
+    comp = dup_components(mutual_edges(pairs))
+    selfc = docs.select_columns(["doc_id"]).map_batches(
+        lambda b: pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "component": pc.cast(b.column("doc_id"), pa.int64())}),
+        batch_format="pyarrow")
+    # component label <= own id always, so min over the union assigns
+    # the propagated label where one exists, self otherwise
+    full_c = comp.union(selfc).groupby("doc_id").aggregate(
+        Min("component", alias_name="component"))
+    agg = full_c.groupby("component").aggregate(
+        Count(alias_name="cluster_size"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "representative_id": pc.cast(b.column("component"), pa.int64()),
+            "cluster_size": pc.cast(b.column("cluster_size"), pa.int64()),
+        }), batch_format="pyarrow")
+
+
 def _ppr_sql(iters: int = 4) -> str:
     seed_r0 = ("CASE WHEN doc_id < 3 THEN 1000000000000 ELSE 0 END")
     seed_base = ("CASE WHEN d.doc_id < 3 THEN 150000000000 ELSE 0 END")

@@ -1020,3 +1020,36 @@ def two_hop_reach(pairs_ds, num_buckets: int | None = None):
     return (pairs1.union(pairs2)
             .map_batches(_local, batch_format="pyarrow")
             .groupby("_b").map_groups(_count, batch_format="pandas"))
+
+
+def mutual_edges(pairs_ds, num_buckets: int | None = None):
+    """Reciprocated (mutual) link pairs as undirected (id_a < id_b)
+    rows — the mutual-link subgraph is the standard spam-resistant
+    community substrate (a link farm rarely gets links BACK from its
+    targets). ONE bucketed self-join on the packed directed-edge key:
+    edge (s, d) matches the reversed key (d, s); each mutual pair
+    surfaces twice (once per direction), which downstream min-label
+    components absorb idempotently. Node ids < 2^31 (packed key)."""
+    from ..functions.joins import bucketed_hash_join
+
+    def _fwd(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy().astype(np.int64)
+        d = b.column("dst").to_numpy().astype(np.int64)
+        return pa.table({
+            "_k": pa.array(_pack(s, d)),
+            "id_a": pa.array(np.minimum(s, d)),
+            "id_b": pa.array(np.maximum(s, d))})
+
+    def _rev(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy().astype(np.int64)
+        d = b.column("dst").to_numpy().astype(np.int64)
+        return pa.table({"_rk": pa.array(_pack(d, s))})
+
+    fwd = pairs_ds.map_batches(_fwd, batch_format="pyarrow")
+    rev = pairs_ds.map_batches(_rev, batch_format="pyarrow")
+    matched = bucketed_hash_join(fwd, rev, "_k", "_rk",
+                                 num_buckets=num_buckets)
+    return matched.map_batches(
+        lambda b: pa.table({"id_a": pc.cast(b.column("id_a"), pa.int64()),
+                            "id_b": pc.cast(b.column("id_b"), pa.int64())}),
+        batch_format="pyarrow")

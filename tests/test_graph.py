@@ -207,3 +207,18 @@ def test_extract_anchor_texts_exact():
     assert got == exp
     # empty input round-trips
     assert len(extract_anchor_texts(tbl.slice(0, 0))) == 0
+
+
+def test_mutual_edges_exact(ray_session):
+    import ray.data as rd
+    from geoflow.stages.graph import mutual_edges
+
+    e = np.array([[1, 2], [2, 1], [3, 4], [4, 3], [5, 6], [7, 1],
+                  [2, 7]])
+    pairs = rd.from_arrow(pa.table({
+        "src": pa.array(e[:, 0], pa.int64()),
+        "dst": pa.array(e[:, 1], pa.int64())}))
+    out = mutual_edges(pairs).to_pandas().drop_duplicates()
+    got = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    # only 1<->2 and 3<->4 are reciprocated; 5->6, 7->1, 2->7 are not
+    assert got == {(1, 2), (3, 4)}
