@@ -6713,6 +6713,69 @@ def anchor_text_stats_docs(sf_dir: str):
     return anchor_text_stats(anchors)
 
 
+@register("daily_distinct_users", sql="""
+SELECT epoch_us(ts) // 86400000000 AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+""")
+def daily_distinct_users(sf_dir: str):
+    """Per-day distinct active users, computed EXACTLY (batch-local
+    (day, user) dedup + ONE bucketed shuffle + per-bucket distinct
+    count — the hash-matched output) and IN PARALLEL approximately via
+    the sparse grouped HyperLogLog (functions.sketch.
+    grouped_approx_distinct, p=8): every per-day estimate is asserted
+    within 5 sigma (~33%) of exact and the mean relative error under
+    10%, so the sketch path carries hard in-query signal while the
+    exact path carries the oracle hash. At web scale the sketch is the
+    plan (O(distinct) sparse partials, no exact distinct state); the
+    exact twin is the verification harness."""
+    from ..functions.joins import _mix64
+    from ..functions.sketch import grouped_approx_distinct
+
+    US_PER_DAY = 86_400_000_000
+
+    def _days(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.int64()).to_numpy()
+        return pa.table({
+            "day": pa.array(us // US_PER_DAY, pa.int64()),
+            "user_id": pc.cast(b.column("user_id"), pa.int64())})
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"]).map_batches(
+        _days, batch_format="pyarrow")
+
+    nb = np.uint64(64)
+
+    def _local(b: pa.Table) -> pa.Table:
+        t = pa.TableGroupBy(b, ["day", "user_id"]).aggregate([])
+        d = t.column("day").to_numpy().astype(np.int64)
+        return pa.table({
+            "day": pa.array(d), "user_id": t.column("user_id"),
+            "_b": pa.array((_mix64(d) % nb).astype(np.int32))})
+
+    def _count(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.drop_duplicates(["day", "user_id"])
+               .groupby("day").size())
+        return pd.DataFrame({"day": agg.index.to_numpy(np.int64),
+                             "n_users": agg.to_numpy(np.int64)})
+
+    exact = ev.map_batches(_local, batch_format="pyarrow") \
+        .groupby("_b").map_groups(_count, batch_format="pandas") \
+        .to_pandas()
+
+    approx = grouped_approx_distinct(
+        ev, "day",
+        hash_fn=lambda b: _mix64(b.column("user_id").to_numpy()
+                                 .astype(np.int64)),
+        p=8).to_pandas()
+    merged = exact.merge(approx, on="day", how="outer")
+    assert not merged.isna().any().any(), "sketch lost or invented days"
+    rel = (merged["approx_distinct"] - merged["n_users"]).abs() \
+        / merged["n_users"]
+    assert float(rel.max()) <= 0.33, f"HLL off by {rel.max():.2%}"
+    assert float(rel.mean()) <= 0.10, f"HLL mean err {rel.mean():.2%}"
+    return exact.sort_values("day").reset_index(drop=True)
+
+
 @register("mutual_link_communities", sql="WITH RECURSIVE "
           + _LINKS_SQL_CTE.strip().removeprefix("WITH ") + """,
 m AS (SELECT e1.src AS a, e1.dst AS b

@@ -200,3 +200,33 @@ def test_quantile_sketch_bound_and_merge_paths(ray_session):
         hi = np.searchsorted(xs, est, "right") / len(xs)
         err = 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
         assert err <= 3.0 / 200, (q, err)
+
+
+def test_grouped_approx_distinct_error_bound(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoflow.functions.joins import _mix64
+    from geoflow.functions.sketch import grouped_approx_distinct
+
+    rng = np.random.default_rng(21)
+    # keys with very different true cardinalities, values repeated
+    keys, vals = [], []
+    true = {0: 10, 1: 300, 2: 4000, 3: 1}
+    for k, card in true.items():
+        v = rng.choice(card * 10, size=card, replace=False)
+        v = np.concatenate([v, rng.choice(v, size=card)])  # duplicates
+        keys.append(np.full(len(v), k, np.int64))
+        vals.append(v.astype(np.int64) * 10 + k)  # disjoint value spaces
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(np.concatenate(keys)),
+        "v": pa.array(np.concatenate(vals))})).repartition(7)
+    out = grouped_approx_distinct(
+        ds, "k",
+        hash_fn=lambda b: _mix64(b.column("v").to_numpy().astype(np.int64)),
+        p=8).to_pandas().set_index("k")["approx_distinct"]
+    assert set(out.index) == set(true)
+    for k, card in true.items():
+        rel = abs(out[k] - card) / card
+        assert rel <= 0.35, (k, card, out[k])
