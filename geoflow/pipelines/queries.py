@@ -6713,6 +6713,38 @@ def anchor_text_stats_docs(sf_dir: str):
     return anchor_text_stats(anchors)
 
 
+@register("pmi_collocations_docs", sql=r"""
+WITH tok AS (
+  SELECT regexp_extract_all(text, '\S+') AS ts FROM documents),
+big AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2
+  FROM tok, unnest(generate_series(1, len(ts) - 1)) AS u(i)),
+uni AS (SELECT unnest(ts) AS w FROM tok),
+uc AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+bc AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2),
+tot AS (SELECT (SELECT count(*) FROM uni) AS n,
+               (SELECT count(*) FROM big) AS nb)
+SELECT w1, w2, CAST(bc.c AS BIGINT) AS n_xy,
+       round(ln((CAST(bc.c AS DOUBLE) * n * n)
+                / (CAST(u1.c AS DOUBLE) * u2.c * nb)), 6) AS pmi
+FROM bc JOIN uc u1 ON u1.w = bc.w1
+        JOIN uc u2 ON u2.w = bc.w2, tot
+WHERE bc.c >= 3
+""")
+def pmi_collocations_docs(sf_dir: str):
+    """Corpus collocations: every adjacent-token bigram seen >= 3
+    times, scored by pointwise mutual information ln(c_xy*N^2 /
+    (c_x*c_y*Nb)) — phrase induction / tokenizer seeding over a web
+    corpus. Selection is integer-determined (no float top-k ties);
+    the double PMI expression is replayed operand-for-operand in SQL
+    and rounded identically (geoflow.stages.webquality.
+    pmi_collocations)."""
+    from ..stages.webquality import pmi_collocations
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return pmi_collocations(ds, min_count=3)
+
+
 @register("daily_distinct_users", sql="""
 SELECT epoch_us(ts) // 86400000000 AS day,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

@@ -965,3 +965,151 @@ def pareto_skyline(ds, group: str, xcol: str, ycol: str, id_col: str):
     final = survivors.repartition(1).map_batches(_local,
                                                  batch_format="pyarrow")
     return final.select_columns([group, id_col, xcol, ycol])
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (corpus-level bigram association mining)
+# ---------------------------------------------------------------------------
+
+PMI_VOCAB_BROADCAST_LIMIT = 2_000_000   # unigram rows; above -> hash joins
+
+
+def bigram_rows(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(w1, w2) adjacent-token pairs, whole-column Arrow + numpy: one
+    utf8_split_whitespace over the column, empty tokens dropped (the
+    '\\S+' semantics), adjacency recomputed on the filtered flat array
+    by parent-index equality — no per-row Python."""
+    s = batch.column(text_col)
+    parts = pc.utf8_split_whitespace(pc.fill_null(
+        pc.cast(s, pa.large_string()), ""))
+    flat = pc.list_flatten(parts)
+    parents = pc.list_parent_indices(parts).to_numpy().astype(np.int64)
+    keep = pc.not_equal(flat, pa.scalar("", pa.large_string())) \
+        .to_numpy(zero_copy_only=False)
+    idx = np.flatnonzero(keep)
+    if len(idx) < 2:
+        return pa.table({"w1": pa.array([], pa.large_string()),
+                         "w2": pa.array([], pa.large_string())})
+    toks = pc.take(flat, pa.array(idx))
+    par = parents[idx]
+    adj = par[:-1] == par[1:]
+    n = len(par) - 1
+    i1 = np.flatnonzero(adj)
+    return pa.table({"w1": pc.take(toks.slice(0, n), pa.array(i1)),
+                     "w2": pc.take(toks.slice(1), pa.array(i1))})
+
+
+def unigram_rows(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    s = batch.column(text_col)
+    parts = pc.utf8_split_whitespace(pc.fill_null(
+        pc.cast(s, pa.large_string()), ""))
+    flat = pc.list_flatten(parts)
+    flat = flat.filter(pc.not_equal(flat, pa.scalar("", pa.large_string())))
+    return pa.table({"w": flat})
+
+
+def pmi_collocations(ds, text_col: str = "text", min_count: int = 3,
+                     num_buckets: int = 64):
+    """Corpus-level collocations: every adjacent-token bigram with
+    count >= ``min_count``, scored by pointwise mutual information
+
+        pmi = ln( (c_xy * N * N) / (c_x * c_y * Nb) )
+
+    with N total tokens and Nb total bigrams — the classic
+    association-mining pass over a web corpus (phrase induction,
+    tokenizer seeding). Selection is INTEGER-determined (count
+    threshold, no float top-k tie hazard); pmi is emitted rounded so
+    a DuckDB replay of the identical double expression hash-matches.
+
+    Plan: one streaming pass emits bigram pairs (batch-locally
+    pre-counted by the combiner), ONE grouped count each for pairs and
+    unigrams; unigram counts attach by dictionary broadcast under
+    ``PMI_VOCAB_BROADCAST_LIMIT`` (vocabularies are compact) and by
+    two bucketed 64-bit term-hash joins above it (the tfidf idiom —
+    collisions ~ vocab^2/2^64, deterministic). Totals are two scalar
+    aggregates. Nothing corpus-sized touches the driver.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.agg import grouped_count_sum
+
+    pairs = ds.map_batches(lambda b: bigram_rows(b, text_col),
+                           batch_format="pyarrow")
+    unis = ds.map_batches(lambda b: unigram_rows(b, text_col),
+                          batch_format="pyarrow")
+    bc = grouped_count_sum(pairs, ["w1", "w2"], [],
+                           count_alias="n_xy").materialize()
+    uc = grouped_count_sum(unis, ["w"], [], count_alias="c").materialize()
+    n_tokens = int(uc.aggregate(Sum("c"))["sum(c)"] or 0)
+    n_bigrams = int(bc.aggregate(Sum("n_xy"))["sum(n_xy)"] or 0)
+
+    kept = bc.map_batches(
+        lambda b: b.filter(pc.greater_equal(
+            b.column("n_xy"), pa.scalar(min_count))),
+        batch_format="pyarrow")
+
+    n_vocab = uc.count()
+    if n_vocab > PMI_VOCAB_BROADCAST_LIMIT:
+        # both sides large: attach unigram counts by two bucketed
+        # joins on a 64-bit term hash (collision odds ~ vocab^2/2^64,
+        # deterministic — the tfidf idiom; the broadcast path below is
+        # exact and is the one the oracle verifies at test scale)
+        from ..functions.joins import bucketed_hash_join
+        from .dedup import dual_poly_token_hashes
+
+        def _hk(col, out):
+            def _f(b: pa.Table) -> pa.Table:
+                h = dual_poly_token_hashes(b.column(col).to_pylist())
+                return b.append_column(out, pa.array(h.view(np.int64)))
+            return _f
+
+        def _huc(alias_key, alias_c):
+            def _f(b: pa.Table) -> pa.Table:
+                h = dual_poly_token_hashes(b.column("w").to_pylist())
+                return pa.table({
+                    alias_key: pa.array(h.view(np.int64)),
+                    alias_c: pc.cast(b.column("c"), pa.int64())})
+            return _f
+
+        j1 = bucketed_hash_join(
+            kept.map_batches(_hk("w1", "_h1"), batch_format="pyarrow"),
+            uc.map_batches(_huc("_t1", "c_x"), batch_format="pyarrow"),
+            "_h1", "_t1", num_buckets=num_buckets)
+        # drop join 1's _key before chaining (it would collide with
+        # join 2's output key)
+        j2 = bucketed_hash_join(
+            j1.map_batches(_hk("w2", "_h2"), batch_format="pyarrow")
+              .drop_columns(["_key"]),
+            uc.map_batches(_huc("_t2", "c_y"), batch_format="pyarrow"),
+            "_h2", "_t2", num_buckets=num_buckets)
+        joined = j2
+    else:
+        udf = uc.to_pandas()
+        lookup = ray.put(dict(zip(udf["w"], udf["c"].astype(np.int64))))
+
+        def _attach(b: pa.Table) -> pa.Table:
+            d = ray.get(lookup)
+            cx = np.fromiter((d[t] for t in b.column("w1").to_pylist()),
+                             np.int64, len(b))
+            cy = np.fromiter((d[t] for t in b.column("w2").to_pylist()),
+                             np.int64, len(b))
+            return (b.append_column("c_x", pa.array(cx))
+                     .append_column("c_y", pa.array(cy)))
+
+        joined = kept.map_batches(_attach, batch_format="pyarrow")
+
+    def _score(b: pa.Table) -> pa.Table:
+        cxy = b.column("n_xy").to_numpy().astype(np.int64)
+        cx = b.column("c_x").to_numpy().astype(np.int64)
+        cy = b.column("c_y").to_numpy().astype(np.int64)
+        num = cxy.astype(np.float64) * n_tokens * n_tokens
+        den = cx.astype(np.float64) * cy * n_bigrams
+        pmi = np.round(np.log(num / den), 6)
+        return pa.table({
+            "w1": pc.cast(b.column("w1"), pa.string()),
+            "w2": pc.cast(b.column("w2"), pa.string()),
+            "n_xy": pa.array(cxy, pa.int64()),
+            "pmi": pa.array(pmi, pa.float64())})
+
+    return joined.map_batches(_score, batch_format="pyarrow")

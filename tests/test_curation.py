@@ -246,3 +246,53 @@ def test_token_budget_select_matches_sequential(ray_session):
                 df[["doc_id", "lang", "n_chars"]], preserve_index=False)),
             budgets, seed=3, num_rank_buckets=buckets).to_pandas()
         assert set(sel.doc_id) == want, buckets
+
+
+def test_bigram_rows_matches_python_split():
+    import numpy as np
+    import pyarrow as pa
+
+    from geoflow.stages.webquality import bigram_rows
+
+    texts = ["a b c", "  x   y ", "", "single", None, "p q p q"]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    out = bigram_rows(t)
+    got = list(zip(out.column("w1").to_pylist(),
+                   out.column("w2").to_pylist()))
+    exp = []
+    for s in texts:
+        toks = (s or "").split()
+        exp.extend(zip(toks, toks[1:]))
+    assert got == exp
+
+
+def test_pmi_broadcast_and_hashjoin_paths_agree(ray_session, monkeypatch):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    import geoflow.stages.webquality as wq
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(vocab, size=20)) for _ in range(60)]
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(5)
+
+    a = wq.pmi_collocations(ds, min_count=3).to_pandas() \
+        .sort_values(["w1", "w2"]).reset_index(drop=True)
+    monkeypatch.setattr(wq, "PMI_VOCAB_BROADCAST_LIMIT", 0)
+    b = wq.pmi_collocations(ds, min_count=3).to_pandas() \
+        .sort_values(["w1", "w2"]).reset_index(drop=True)
+    assert len(a) > 0
+    assert a.equals(b)
+    # spot-check one PMI value against the direct formula
+    toks = [t.split() for t in texts]
+    unis = [w for ts in toks for w in ts]
+    bigs = [(ts[i], ts[i + 1]) for ts in toks for i in range(len(ts) - 1)]
+    r = a.iloc[0]
+    cxy = bigs.count((r["w1"], r["w2"]))
+    n, nb = len(unis), len(bigs)
+    exp = np.round(np.log((cxy * float(n) * n)
+                          / (unis.count(r["w1"]) * float(unis.count(r["w2"]))
+                             * nb)), 6)
+    assert r["n_xy"] == cxy and abs(r["pmi"] - exp) < 1e-9
