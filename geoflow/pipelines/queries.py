@@ -6713,6 +6713,76 @@ def anchor_text_stats_docs(sf_dir: str):
     return anchor_text_stats(anchors)
 
 
+@register("value_outliers_mad", sql="""
+WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+             FROM events GROUP BY 1),
+dev AS (SELECT e.event_type, abs(e.value - m.med) AS d
+        FROM events e JOIN med m USING (event_type)),
+mad AS (SELECT event_type, quantile_cont(d, 0.5) AS mad
+        FROM dev GROUP BY 1)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * md.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(m.med, 6) AS median_value,
+       round(md.mad, 6) AS mad
+FROM events e JOIN med m USING (event_type) JOIN mad md USING (event_type)
+GROUP BY e.event_type, m.med, md.mad
+""")
+def value_outliers_mad(sf_dir: str):
+    """Robust per-group outlier detection: median absolute deviation
+    (the robust sigma) per event_type, then the count of events beyond
+    3 MAD of the median — the standard heavy-tail-safe anomaly filter.
+    Three streaming passes, each with shuffle volume
+    O(groups x distinct values) via the exact value-count-histogram
+    quantile (functions.agg.grouped_exact_quantiles — the same
+    machinery quantity_quantiles verifies); group medians/MADs are
+    groups-sized and broadcast between passes."""
+    import ray
+
+    from ..functions.agg import grouped_count_sum, grouped_exact_quantiles
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    med_df = grouped_exact_quantiles(ev, ["event_type"], "value",
+                                     {"med": 0.5})
+    med_ref = ray.put(dict(zip(med_df["event_type"], med_df["med"])))
+
+    def _dev(b: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        et = b.column("event_type").to_pylist()
+        medv = np.fromiter((m[t] for t in et), np.float64, len(et))
+        d = np.abs(b.column("value").to_numpy() - medv)
+        return pa.table({"event_type": b.column("event_type"),
+                         "d": pa.array(d, pa.float64())})
+
+    mad_df = grouped_exact_quantiles(
+        ev.map_batches(_dev, batch_format="pyarrow"),
+        ["event_type"], "d", {"mad": 0.5})
+    mad_ref = ray.put(dict(zip(mad_df["event_type"], mad_df["mad"])))
+
+    def _flag(b: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        md = ray.get(mad_ref)
+        et = b.column("event_type").to_pylist()
+        medv = np.fromiter((m[t] for t in et), np.float64, len(et))
+        madv = np.fromiter((md[t] for t in et), np.float64, len(et))
+        out = (np.abs(b.column("value").to_numpy() - medv)
+               > 3.0 * madv).astype(np.int64)
+        return pa.table({"event_type": b.column("event_type"),
+                         "_out": pa.array(out)})
+
+    counts = grouped_count_sum(
+        ev.map_batches(_flag, batch_format="pyarrow"),
+        ["event_type"], ["_out"], count_alias="n").to_pandas()
+    res = counts.merge(med_df, on="event_type").merge(mad_df,
+                                                      on="event_type")
+    return pd.DataFrame({
+        "event_type": res["event_type"],
+        "n": res["n"].astype(np.int64),
+        "n_outliers": res["_out_sum"].astype(np.int64),
+        "median_value": res["med"].round(6),
+        "mad": res["mad"].round(6)})
+
+
 @register("pmi_collocations_docs", sql=r"""
 WITH tok AS (
   SELECT regexp_extract_all(text, '\S+') AS ts FROM documents),
