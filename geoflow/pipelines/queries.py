@@ -6713,6 +6713,126 @@ def anchor_text_stats_docs(sf_dir: str):
     return anchor_text_stats(anchors)
 
 
+@register("constraint_audit", sql="""
+SELECT 'orders_pk_unique' AS constraint_name,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_checked,
+       (SELECT CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        FROM orders) AS n_violations
+UNION ALL
+SELECT 'lineitem_fk_orders',
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL)
+UNION ALL
+SELECT 'documents_lang_domain',
+       (SELECT CAST(count(*) AS BIGINT) FROM documents),
+       (SELECT CAST(count(*) AS BIGINT) FROM documents
+        WHERE lang NOT IN ('en', 'de', 'zh', 'fr', 'es')
+           OR lang IS NULL)
+UNION ALL
+SELECT 'events_value_nonnegative',
+       (SELECT CAST(count(*) AS BIGINT) FROM events),
+       (SELECT CAST(count(*) AS BIGINT) FROM events
+        WHERE value IS NULL OR value < 0)
+UNION ALL
+SELECT 'lineitem_quantity_range',
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        WHERE l_quantity < 1 OR l_quantity > 50)
+""")
+def constraint_audit(sf_dir: str):
+    """Data-quality constraint audit (the dbt-test layer at scale):
+    one row per declared constraint with checked/violation counts —
+    primary-key uniqueness (exact distinct via batch-local unique +
+    ONE bucketed shuffle), referential integrity (pre-aggregated
+    foreign keys through ONE bucketed LEFT join against the parent
+    key set, orphans counted row-weighted), a categorical domain
+    check and two range/null checks (streaming filtered-count
+    passes). Every table is read once with pruned columns; results
+    are constraints-sized."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.joins import _mix64, bucketed_hash_join
+
+    rows = []
+
+    # -- orders PK uniqueness: exact distinct, one bucketed shuffle
+    ok = _read(sf_dir, "orders", ["o_orderkey"])
+    n_orders = ok.count()
+    nb = np.uint64(64)
+
+    def _uniq(b: pa.Table) -> pa.Table:
+        k = np.unique(b.column("o_orderkey").to_numpy().astype(np.int64))
+        return pa.table({"k": pa.array(k),
+                         "_b": pa.array((_mix64(k) % nb).astype(np.int32))})
+
+    def _cnt(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [int(g["k"].nunique())]})
+
+    nd = ok.map_batches(_uniq, batch_format="pyarrow") \
+        .groupby("_b").map_groups(_cnt, batch_format="pandas") \
+        .to_pandas()["n"].sum()
+    rows.append(("orders_pk_unique", n_orders, n_orders - int(nd)))
+
+    # -- lineitem FK -> orders: pre-agg child keys, ONE bucketed left
+    # join against the parent key set, orphan rows counted by weight
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    n_li = li.count()
+    child = li.map_batches(
+        lambda b: (lambda t: pa.table({
+            "ck": pc.cast(t.column("l_orderkey"), pa.int64()),
+            "n": pc.cast(t.column("count_all"), pa.int64())}))(
+            pa.TableGroupBy(b, "l_orderkey").aggregate(
+                [([], "count_all")])),
+        batch_format="pyarrow")
+    parent = ok.map_batches(
+        lambda b: pa.table({
+            "pk": pc.cast(b.column("o_orderkey"), pa.int64()),
+            "_one": pa.array(np.ones(len(b), np.int64))}),
+        batch_format="pyarrow")
+    j = bucketed_hash_join(child, parent, "ck", "pk", how="left")
+    orphan = j.map_batches(
+        lambda b: pa.table({"_o": pa.array(np.where(
+            pc.is_null(b.column("_one")).to_numpy(zero_copy_only=False),
+            b.column("n").to_numpy(), 0).astype(np.int64))}),
+        batch_format="pyarrow").aggregate(Sum("_o"))["sum(_o)"]
+    rows.append(("lineitem_fk_orders", n_li, int(orphan or 0)))
+
+    # -- streaming filtered counts
+    def _count_where(ds, fn, name, total):
+        bad = ds.map_batches(
+            lambda b: pa.table({"_v": pa.array(
+                [int(fn(b))], pa.int64())}),
+            batch_format="pyarrow").aggregate(Sum("_v"))["sum(_v)"]
+        rows.append((name, total, int(bad or 0)))
+
+    langs = {"en", "de", "zh", "fr", "es"}
+    docs = _read(sf_dir, "documents", ["lang"])
+    _count_where(
+        docs,
+        lambda b: sum((x not in langs)
+                      for x in b.column("lang").to_pylist()),
+        "documents_lang_domain", docs.count())
+    ev = _read(sf_dir, "events", ["value"])
+    _count_where(
+        ev,
+        lambda b: int(np.count_nonzero(
+            ~(b.column("value").to_numpy(zero_copy_only=False) >= 0))),
+        "events_value_nonnegative", ev.count())
+    lq = _read(sf_dir, "lineitem", ["l_quantity"])
+    _count_where(
+        lq,
+        lambda b: int(np.count_nonzero(
+            (b.column("l_quantity").to_numpy() < 1)
+            | (b.column("l_quantity").to_numpy() > 50))),
+        "lineitem_quantity_range", lq.count())
+
+    return pd.DataFrame(rows, columns=["constraint_name", "n_checked",
+                                       "n_violations"])
+
+
 @register("value_outliers_mad", sql="""
 WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
              FROM events GROUP BY 1),
