@@ -6713,6 +6713,62 @@ def anchor_text_stats_docs(sf_dir: str):
     return anchor_text_stats(anchors)
 
 
+@register("rollup_lang_source", sql="""
+SELECT coalesce(lang, '(all)') AS lang,
+       coalesce(source, '(all)') AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+FROM documents GROUP BY ROLLUP(lang, source)
+""")
+def rollup_lang_source(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source): counts + char sums at all three
+    grouping levels with '(all)' totals. ONE distributed combiner pass
+    produces the finest-level partials (groups-sized); the coarser
+    levels re-aggregate those partials on the driver — associative
+    sums over a groups-sized table, never rows."""
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    fine = grouped_count_sum(ds, ["lang", "source"], ["n_chars"],
+                             count_alias="n_docs").to_pandas()
+    fine = fine.rename(columns={"n_chars_sum": "cs"})
+    lang = fine.groupby("lang", as_index=False)[["n_docs", "cs"]].sum()
+    lang["source"] = "(all)"
+    total = pd.DataFrame({"lang": ["(all)"], "source": ["(all)"],
+                          "n_docs": [fine["n_docs"].sum()],
+                          "cs": [fine["cs"].sum()]})
+    out = pd.concat([fine, lang, total], ignore_index=True)
+    return pd.DataFrame({
+        "lang": out["lang"], "source": out["source"],
+        "n_docs": out["n_docs"].astype(np.int64),
+        "n_chars_sum": out["cs"].astype(np.int64)})
+
+
+@register("pivot_source_by_lang", sql="""
+SELECT source,
+       CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS n_en,
+       CAST(count(*) FILTER (lang = 'de') AS BIGINT) AS n_de,
+       CAST(count(*) FILTER (lang = 'zh') AS BIGINT) AS n_zh,
+       CAST(count(*) FILTER (lang = 'fr') AS BIGINT) AS n_fr,
+       CAST(count(*) FILTER (lang = 'es') AS BIGINT) AS n_es
+FROM documents GROUP BY source
+""")
+def pivot_source_by_lang(sf_dir: str):
+    """PIVOT: per-source wide row of per-language doc counts. The
+    distributed work is the same finest-level combiner pass as the
+    rollup; the pivot itself reshapes the groups-sized partial table
+    (driver-side, provably small)."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    fine = grouped_count_sum(ds, ["lang", "source"], [],
+                             count_alias="n").to_pandas()
+    wide = fine.pivot_table(index="source", columns="lang", values="n",
+                            aggfunc="sum", fill_value=0)
+    out = pd.DataFrame({"source": wide.index})
+    for lg in ("en", "de", "zh", "fr", "es"):
+        out[f"n_{lg}"] = (wide[lg].to_numpy(np.int64)
+                          if lg in wide.columns
+                          else np.zeros(len(wide), np.int64))
+    return out.reset_index(drop=True)
+
+
 @register("constraint_audit", sql="""
 SELECT 'orders_pk_unique' AS constraint_name,
        (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_checked,
