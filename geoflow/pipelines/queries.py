@@ -6713,6 +6713,61 @@ def anchor_text_stats_docs(sf_dir: str):
     return anchor_text_stats(anchors)
 
 
+def _profile_sql() -> str:
+    from ..stages.hydrology import hydro_dem_sql
+
+    H, W = _HYDRO_HW
+    return ("WITH " + hydro_dem_sql(H, W).strip() + """,
+s AS (SELECT i AS sample_id,
+             10 * 256 + (180 - 10) * i AS py256,
+             5 * 256 + (186 - 5) * i AS px256
+      FROM unnest(generate_series(0, 256)) AS u(i)),
+sc AS (SELECT sample_id, py256 // 256 AS yc, px256 // 256 AS xc,
+              py256 % 256 AS fy, px256 % 256 AS fx FROM s)
+SELECT sc.sample_id,
+       CAST((256 - fy) * (256 - fx) * v00.dem
+            + (256 - fy) * fx * v01.dem
+            + fy * (256 - fx) * v10.dem
+            + fy * fx * v11.dem AS BIGINT) AS elev65536
+FROM sc JOIN cells v00 ON v00.y = yc AND v00.x = xc
+        JOIN cells v01 ON v01.y = yc AND v01.x = xc + 1
+        JOIN cells v10 ON v10.y = yc + 1 AND v10.x = xc
+        JOIN cells v11 ON v11.y = yc + 1 AND v11.x = xc + 1
+""")
+
+
+@register("elevation_profile_route", lazy_sql=_profile_sql)
+def elevation_profile_route(sf_dir: str):
+    """Terrain transect: exact integer bilinear elevation at 257
+    evenly spaced samples (1/256-rational coordinates) along a route
+    across the hydro DEM. Each streaming tile emits <= 4 weighted
+    partial rows per sample for the corner pixels it OWNS; one
+    grouped sum reassembles elev65536 exactly — no halos, no
+    tile-straddle cases, shuffle volume independent of raster size.
+    Oracle recomputes every sample from the closed-form DEM with the
+    identical 2x2 integer gather
+    (geoflow.stages.pyramid.elevation_profile)."""
+    import ray.data as rd
+
+    from ..sources import tiles as tsrc
+    from ..stages import hydrology as hy
+    from ..stages.pyramid import elevation_profile
+
+    H, W = _HYDRO_HW
+    if "table" not in _HYDRO_CACHE:
+        dem = hy.hydro_dem(H, W)
+        _HYDRO_CACHE["table"] = tsrc.raster_to_tile_table(
+            dem[None].astype(np.float32), dem.astype(np.float64),
+            raster_id="hydro0", tile=_HYDRO_TILE)
+    tiles = rd.from_arrow(_HYDRO_CACHE["table"])
+    i = np.arange(257, dtype=np.int64)
+    py = 10 * 256 + (180 - 10) * i
+    px = 5 * 256 + (186 - 5) * i
+    return elevation_profile(tiles, sid=i, yc=py // 256, xc=px // 256,
+                             fy256=py % 256, fx256=px % 256,
+                             tile=_HYDRO_TILE)
+
+
 @register("rollup_lang_source", sql="""
 SELECT coalesce(lang, '(all)') AS lang,
        coalesce(source, '(all)') AS source,

@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _pool_batch(batch: pa.Table) -> pa.Table:
@@ -302,3 +303,73 @@ def upsample_bilinear_2x(tiles_ds, height: int, width: int,
             "out16_sum": pa.array(s_o, pa.int64())})
 
     return tiles_ds.map_batches(_f, batch_format="pyarrow")
+
+
+def elevation_profile(tiles_ds, sid: np.ndarray, yc: np.ndarray,
+                      xc: np.ndarray, fy256: np.ndarray,
+                      fx256: np.ndarray, tile: int = 64):
+    """Terrain transect: EXACT integer bilinear elevation at sample
+    points with 1/256-rational coordinates — elev65536 = 65536 x the
+    interpolated value, from the 2x2 gather
+
+        (256-fy)(256-fx) v00 + (256-fy)fx v01
+        + fy(256-fx) v10 + fy fx v11.
+
+    The sample table (route transects are tiny — hundreds of points)
+    rides into each task's closure; every TILE emits weighted partial
+    rows only for the corner pixels it OWNS (pixel ownership is
+    unique, so ONE grouped sum per sample id reassembles the exact
+    value — no halo dependence, no tile-straddle special case).
+    SCALE: per-tile work is O(samples) vectorized masks; shuffle
+    volume is <= 4 rows per sample, independent of raster size.
+    Returns (sample_id, elev65536).
+    """
+    from ray.data.aggregate import Sum
+
+    sid = sid.astype(np.int64)
+    yc = yc.astype(np.int64)
+    xc = xc.astype(np.int64)
+    fy = fy256.astype(np.int64)
+    fx = fx256.astype(np.int64)
+
+    def _emit(b: pa.Table) -> pa.Table:
+        from .terrain import _rows_as_arrays
+
+        hs = b.column("height").to_numpy()
+        ws = b.column("width").to_numpy()
+        tys = b.column("tile_y").to_numpy()
+        txs = b.column("tile_x").to_numpy()
+        halos = _rows_as_arrays(b.column("dem_halo"))
+        out_sid, out_part = [], []
+        for i in range(len(hs)):
+            h, w = int(hs[i]), int(ws[i])
+            y0, x0 = int(tys[i]) * tile, int(txs[i]) * tile
+            z = halos[i].reshape(h + 2, w + 2).astype(np.int64)[
+                1:h + 1, 1:w + 1]
+            for dy in (0, 1):
+                wy = np.where(dy == 0, 256 - fy, fy)
+                py = yc + dy
+                for dx in (0, 1):
+                    wx = np.where(dx == 0, 256 - fx, fx)
+                    px = xc + dx
+                    m = ((py >= y0) & (py < y0 + h)
+                         & (px >= x0) & (px < x0 + w))
+                    if not m.any():
+                        continue
+                    vals = z[py[m] - y0, px[m] - x0]
+                    out_sid.append(sid[m])
+                    out_part.append(wy[m] * wx[m] * vals)
+        if not out_sid:
+            return pa.table({"sample_id": pa.array([], pa.int64()),
+                             "_p": pa.array([], pa.int64())})
+        return pa.table({
+            "sample_id": pa.array(np.concatenate(out_sid), pa.int64()),
+            "_p": pa.array(np.concatenate(out_part), pa.int64())})
+
+    agg = tiles_ds.map_batches(_emit, batch_format="pyarrow") \
+        .groupby("sample_id").aggregate(Sum("_p", alias_name="e"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "sample_id": pc.cast(b.column("sample_id"), pa.int64()),
+            "elev65536": pc.cast(b.column("e"), pa.int64())}),
+        batch_format="pyarrow")

@@ -98,3 +98,36 @@ def test_upsample_bilinear_tiled_matches_full(ray_session):
     g2 = upsample_bilinear_2x(rd.from_arrow(tf), 8, 8, tile=4,
                               block=8).to_pandas()
     assert (g2["out16_sum"] == 7 * 16 * 64).all()
+
+
+def test_elevation_profile_exact(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from geoflow.sources import tiles as tsrc
+    from geoflow.stages.hydrology import hydro_dem
+    from geoflow.stages.pyramid import elevation_profile
+
+    H = W = 128
+    dem = hydro_dem(H, W)
+    tbl = tsrc.raster_to_tile_table(dem[None].astype(np.float32),
+                                    dem.astype(np.float64),
+                                    raster_id="r0", tile=32)
+    tiles = rd.from_arrow(tbl)
+    # integer-coordinate samples reproduce the DEM exactly; fractional
+    # ones match the direct integer bilinear formula
+    sid = np.arange(6, dtype=np.int64)
+    yc = np.array([0, 50, 126, 10, 31, 63], np.int64)
+    xc = np.array([0, 7, 126, 90, 31, 63], np.int64)
+    fy = np.array([0, 0, 0, 128, 255, 1], np.int64)
+    fx = np.array([0, 0, 0, 64, 1, 255], np.int64)
+    out = elevation_profile(tiles, sid, yc, xc, fy, fx, tile=32) \
+        .to_pandas().set_index("sample_id")["elev65536"]
+    for i in range(6):
+        y, x, a, b = yc[i], xc[i], fy[i], fx[i]
+        exp = ((256 - a) * (256 - b) * dem[y, x]
+               + (256 - a) * b * dem[y, x + 1]
+               + a * (256 - b) * dem[y + 1, x]
+               + a * b * dem[y + 1, x + 1])
+        assert out[i] == exp
+    assert out[0] == dem[0, 0] * 65536
