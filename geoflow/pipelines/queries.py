@@ -7162,6 +7162,82 @@ def mutual_link_communities(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+@register("link_reciprocity_pages", sql=_LINKS_SQL_CTE + """,
+m AS (SELECT e1.src FROM e e1
+      JOIN e e2 ON e1.dst = e2.src AND e1.src = e2.dst)
+SELECT d.doc_id, CAST(coalesce(o.c, 0) AS BIGINT) AS out_deg,
+       CAST(coalesce(r.c, 0) AS BIGINT) AS n_recip
+FROM documents d
+LEFT JOIN (SELECT src AS doc_id, count(*) AS c FROM e GROUP BY 1) o
+  USING (doc_id)
+LEFT JOIN (SELECT src AS doc_id, count(*) AS c FROM m GROUP BY 1) r
+  USING (doc_id)
+""")
+def link_reciprocity_pages(sf_dir: str):
+    """Per-page link reciprocity: out-degree and the number of
+    out-links that are linked BACK (the mutual fraction is a standard
+    link-farm / community signal). Reciprocated directed edges come
+    from ONE bucketed packed-key self-join (edge (s,d) probes key
+    (d,s)); then the union-of-slim-emissions idiom (the link_degrees
+    shape) folds edge counters, reciprocation counters and node zero
+    seeds in ONE groupby-sum — robust to an EMPTY mutual set (no
+    left-join against a possibly schemaless empty side)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.joins import bucketed_hash_join
+    from ..stages.graph import _pack
+
+    pairs, docs = _link_pairs(sf_dir)
+    pairs = pairs.materialize()
+
+    def _fwd(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy().astype(np.int64)
+        d = b.column("dst").to_numpy().astype(np.int64)
+        return pa.table({"_k": pa.array(_pack(s, d)),
+                         "rsrc": pa.array(s)})
+
+    def _rev(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy().astype(np.int64)
+        d = b.column("dst").to_numpy().astype(np.int64)
+        return pa.table({"_rk": pa.array(_pack(d, s))})
+
+    matched = bucketed_hash_join(
+        pairs.map_batches(_fwd, batch_format="pyarrow"),
+        pairs.map_batches(_rev, batch_format="pyarrow"),
+        "_k", "_rk")
+
+    def _emit_recip(b: pa.Table) -> pa.Table:
+        s = b.column("rsrc").to_numpy().astype(np.int64)
+        return pa.table({"doc_id": pa.array(s),
+                         "_o": pa.array(np.zeros(len(s), np.int64)),
+                         "_r": pa.array(np.ones(len(s), np.int64))})
+
+    def _emit_out(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy().astype(np.int64)
+        return pa.table({"doc_id": pa.array(s),
+                         "_o": pa.array(np.ones(len(s), np.int64)),
+                         "_r": pa.array(np.zeros(len(s), np.int64))})
+
+    def _seed(b: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(len(b), np.int64))
+        return pa.table({"doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                         "_o": z, "_r": z})
+
+    emitted = (pairs.map_batches(_emit_out, batch_format="pyarrow")
+               .union(matched.map_batches(_emit_recip,
+                                          batch_format="pyarrow"))
+               .union(docs.select_columns(["doc_id"]).map_batches(
+                   _seed, batch_format="pyarrow")))
+    agg = emitted.groupby("doc_id").aggregate(
+        Sum("_o", alias_name="out_deg"), Sum("_r", alias_name="n_recip"))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+            "out_deg": pc.cast(b.column("out_deg"), pa.int64()),
+            "n_recip": pc.cast(b.column("n_recip"), pa.int64())}),
+        batch_format="pyarrow")
+
+
 def _ppr_sql(iters: int = 4) -> str:
     seed_r0 = ("CASE WHEN doc_id < 3 THEN 1000000000000 ELSE 0 END")
     seed_base = ("CASE WHEN d.doc_id < 3 THEN 150000000000 ELSE 0 END")
