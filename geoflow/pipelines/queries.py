@@ -5461,6 +5461,72 @@ def moran_autocorrelation(sf_dir: str):
         "moran_i": round(r["moran_i"], 6)}])
 
 
+@register("geary_autocorrelation", sql=_GEO_SQL_CTE + f""",
+cellcounts AS (
+  SELECT CAST(floor((lon + 180.0) / 360.0 * 64.0) AS BIGINT) AS cx,
+         CAST(floor((90.0 - lat) / 180.0 * 64.0) AS BIGINT) AS cy,
+         count(*) AS x
+  FROM geo GROUP BY 1, 2),
+mom AS (SELECT count(*) AS n, sum(x) AS s FROM cellcounts),
+zt AS (
+  SELECT cx, cy,
+         (SELECT n FROM mom) * x - (SELECT s FROM mom) AS z
+  FROM cellcounts),
+offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                        (1,-1),(1,0),(1,1)),
+nbr AS (
+  SELECT a.cx, a.cy,
+         sum((a.z - b.z) * (a.z - b.z)) AS sq, count(*) AS w
+  FROM zt a JOIN offs o ON true
+  JOIN zt b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+  GROUP BY 1, 2),
+red AS (
+  SELECT (SELECT n FROM mom) AS n,
+         (SELECT coalesce(sum(w), 0) FROM nbr) AS w_links,
+         (SELECT coalesce(sum(sq), 0) FROM nbr) AS num,
+         (SELECT sum(z * z) FROM zt) AS den)
+SELECT CAST(n AS BIGINT) AS n_cells,
+       CAST(w_links AS BIGINT) AS w_links,
+       CAST(((num % {_MORAN_P}) + {_MORAN_P}) % {_MORAN_P} AS BIGINT)
+           AS num_mod,
+       CAST(((den % {_MORAN_P}) + {_MORAN_P}) % {_MORAN_P} AS BIGINT)
+           AS den_mod,
+       round(CAST((n - 1) * num AS DOUBLE)
+             / CAST(2 * w_links * den AS DOUBLE), 6) AS geary_c
+FROM red
+""")
+def geary_autocorrelation(sf_dir: str):
+    """Global Geary's C of per-cell document counts (8-neighbor binary
+    weights over occupied cells) — Moran's I's local-contrast sibling
+    (C < 1 clustered). Same exact-integer machinery: the ordered-pair
+    squared-difference sum decomposes per receiving cell into the
+    scatter's zt / zt^2 / link-count carries, reductions emit 2^61-1
+    residues, only the closing division is float
+    (geoflow.stages.compaction.geary_c)."""
+    from ..stages.compaction import geary_c
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def _cell(b: pa.Table) -> pa.Table:
+        g = _geocode_batch(b)
+        lat = g.column("lat").to_numpy()
+        lon = g.column("lon").to_numpy()
+        cx = np.floor((lon + 180.0) / 360.0 * 64.0).astype(np.int64)
+        cy = np.floor((90.0 - lat) / 180.0 * 64.0).astype(np.int64)
+        return pa.table({"x": pa.array(cx), "y": pa.array(cy)})
+
+    cells = grouped_count_sum(
+        ds.map_batches(_cell, batch_format="pyarrow"),
+        ["x", "y"], [], count_alias="n_docs")
+    r = geary_c(cells)
+    return pd.DataFrame([{
+        "n_cells": np.int64(r["n_cells"]),
+        "w_links": np.int64(r["w_links"]),
+        "num_mod": np.int64(r["geary_num"] % _MORAN_P),
+        "den_mod": np.int64(r["geary_den"] % _MORAN_P),
+        "geary_c": round(r["geary_c"], 6)}])
+
+
 def _coreness_sql():
     """Chained-CTE h-index replay (the pagerank_pages AS MATERIALIZED
     idiom): c0 = degree, each round c_{r+1}(v) = max(least(rank,

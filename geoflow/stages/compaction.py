@@ -408,3 +408,88 @@ def moran_i(cells_ds):
         else (n * num) / (w_links * den)
     return {"n_cells": n, "w_links": w_links,
             "moran_num": num, "moran_den": den, "moran_i": moran}
+
+
+def geary_c(cells_ds):
+    """Global Geary's C spatial autocorrelation over the occupied-cell
+    table (x, y, n_docs), 8-neighbor binary weights between OCCUPIED
+    cells — Moran's I's local-contrast sibling (C < 1 clustered,
+    C > 1 dispersed):
+
+        C = ((n-1) / (2W)) * (sum_{i~j} (x_i - x_j)^2)
+                           / (sum_i (x_i - xbar)^2)
+
+    computed EXACTLY with the same scaled-deviation trick as
+    ``moran_i``: zt_i = n*x_i - S is an integer and the pair sum
+    over ordered neighbor pairs decomposes per receiving cell j as
+
+        sum_{i in N(j)} zt_i^2 + deg_j*zt_j^2 - 2*zt_j*nz_j
+
+    so ONE focal scatter (carrying zt, zt^2 and a link counter)
+    plus the marker-gated groupby provides every term; the closing
+    reductions run in arbitrary-precision Python ints over the
+    grid-bounded occupied-cell rows (the moran/Gi* smallness
+    contract). The n^2 scaling of both numerator and denominator
+    cancels, so C uses the zt sums directly. Returns
+    (n_cells, w_links, num, den, geary_c).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    mom = cells_ds.map_batches(
+        lambda b: pa.table({"_x": pa.compute.cast(b.column("n_docs"),
+                                                  pa.int64())}),
+        batch_format="pyarrow").aggregate(Count(), Sum("_x"))
+    n = int(mom["count()"])
+    s = int(mom["sum(_x)"])
+
+    def _scatter(b: pa.Table) -> pa.Table:
+        x = b.column("x").to_numpy().astype(np.int64)
+        y = b.column("y").to_numpy().astype(np.int64)
+        zt = n * b.column("n_docs").to_numpy().astype(np.int64) - s
+        m = len(x)
+        keys, zc, z2c, wc, zs, mk = [], [], [], [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                keys.append(_pack(np.zeros(m, np.int64), x + dx + 1,
+                                  y + dy + 1))
+                zc.append(zt)
+                z2c.append(zt * zt)
+                wc.append(np.ones(m, np.int64))
+                zs.append(np.zeros(m, np.int64))
+                mk.append(np.zeros(m, np.int64))
+        keys.append(_pack(np.zeros(m, np.int64), x + 1, y + 1))
+        zc.append(np.zeros(m, np.int64))
+        z2c.append(np.zeros(m, np.int64))
+        wc.append(np.zeros(m, np.int64))
+        zs.append(zt)
+        mk.append(np.ones(m, np.int64))
+        return pa.table({
+            "_k": pa.array(np.concatenate(keys)),
+            "_zc": pa.array(np.concatenate(zc)),
+            "_z2c": pa.array(np.concatenate(z2c)),
+            "_wc": pa.array(np.concatenate(wc)),
+            "_zs": pa.array(np.concatenate(zs)),
+            "_m": pa.array(np.concatenate(mk))})
+
+    from ray.data.aggregate import Sum as _Sum
+
+    agg = cells_ds.map_batches(_scatter, batch_format="pyarrow") \
+        .groupby("_k").aggregate(_Sum("_zc", alias_name="nz"),
+                                 _Sum("_z2c", alias_name="nz2"),
+                                 _Sum("_wc", alias_name="w"),
+                                 _Sum("_zs", alias_name="z"),
+                                 _Sum("_m", alias_name="m"))
+
+    rows = agg.to_pandas()
+    rows = rows[rows["m"] > 0]
+    num = sum(int(q2) + int(w) * int(z) * int(z) - 2 * int(z) * int(nz)
+              for q2, w, z, nz in zip(rows["nz2"], rows["w"],
+                                      rows["z"], rows["nz"]))
+    den = sum(int(a) * int(a) for a in rows["z"])
+    w_links = int(rows["w"].sum())
+    c = float("nan") if w_links == 0 or den == 0 \
+        else ((n - 1) * num) / (2 * w_links * den)
+    return {"n_cells": n, "w_links": w_links,
+            "geary_num": num, "geary_den": den, "geary_c": c}
