@@ -7228,6 +7228,83 @@ def mutual_link_communities(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+@register("degree_assortativity_pages", sql=_LINKS_SQL_CTE + """,
+o AS (SELECT src, count(*) AS c FROM e GROUP BY 1),
+i AS (SELECT dst, count(*) AS c FROM e GROUP BY 1),
+j AS (SELECT o.c AS du, i.c AS dv
+      FROM e JOIN o ON o.src = e.src JOIN i ON i.dst = e.dst),
+red AS (SELECT count(*) AS m, sum(du) AS sdu, sum(dv) AS sdv,
+               sum(du * dv) AS sdudv, sum(du * du) AS sdu2,
+               sum(dv * dv) AS sdv2 FROM j)
+SELECT CAST(m AS BIGINT) AS n_edges,
+       CAST(sdu AS BIGINT) AS s_du, CAST(sdv AS BIGINT) AS s_dv,
+       CAST(sdudv AS BIGINT) AS s_dudv,
+       round(CAST(m * sdudv - sdu * sdv AS DOUBLE)
+             / sqrt(CAST(m * sdu2 - sdu * sdu AS DOUBLE)
+                    * CAST(m * sdv2 - sdv * sdv AS DOUBLE)), 6)
+           AS assortativity
+FROM red
+""")
+def degree_assortativity_pages(sf_dir: str):
+    """Directed out-in degree assortativity of the link graph: the
+    Pearson correlation over edges between source out-degree and
+    target in-degree (do hubs link to hubs? — a structural spam/
+    quality signal). Degrees attach to each edge endpoint via two
+    chained bucketed hash joins; the five moment sums are EXACT int64
+    (headroom: sum(du*dv) needs m * dmax^2 < 2^63 — beyond that emit
+    residues, the moran idiom) and only the closing Pearson division
+    is float, mirrored operand-for-operand in SQL."""
+    import math
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.joins import bucketed_hash_join
+    from ..stages.graph import link_degrees
+
+    pairs, docs = _link_pairs(sf_dir)
+    pairs = pairs.materialize()
+    deg = link_degrees(pairs, docs.select_columns(["doc_id"])) \
+        .materialize()
+    du_side = deg.map_batches(
+        lambda b: pa.table({"_du_id": pc.cast(b.column("doc_id"),
+                                              pa.int64()),
+                            "du": pc.cast(b.column("out_deg"),
+                                          pa.int64())}),
+        batch_format="pyarrow")
+    dv_side = deg.map_batches(
+        lambda b: pa.table({"_dv_id": pc.cast(b.column("doc_id"),
+                                              pa.int64()),
+                            "dv": pc.cast(b.column("in_deg"),
+                                          pa.int64())}),
+        batch_format="pyarrow")
+    j1 = bucketed_hash_join(pairs, du_side, "src", "_du_id")
+    j2 = bucketed_hash_join(j1.drop_columns(["_key"]), dv_side,
+                            "dst", "_dv_id")
+
+    def _moments(b: pa.Table) -> pa.Table:
+        du = b.column("du").to_numpy().astype(np.int64)
+        dv = b.column("dv").to_numpy().astype(np.int64)
+        return pa.table({
+            "_du": pa.array(du), "_dv": pa.array(dv),
+            "_dudv": pa.array(du * dv), "_du2": pa.array(du * du),
+            "_dv2": pa.array(dv * dv)})
+
+    agg = j2.map_batches(_moments, batch_format="pyarrow").aggregate(
+        Count(), Sum("_du"), Sum("_dv"), Sum("_dudv"),
+        Sum("_du2"), Sum("_dv2"))
+    m = int(agg["count()"])
+    sdu, sdv = int(agg["sum(_du)"]), int(agg["sum(_dv)"])
+    sdudv = int(agg["sum(_dudv)"])
+    sdu2, sdv2 = int(agg["sum(_du2)"]), int(agg["sum(_dv2)"])
+    r = round(float(m * sdudv - sdu * sdv)
+              / math.sqrt(float(m * sdu2 - sdu * sdu)
+                          * float(m * sdv2 - sdv * sdv)), 6)
+    return pd.DataFrame([{
+        "n_edges": np.int64(m), "s_du": np.int64(sdu),
+        "s_dv": np.int64(sdv), "s_dudv": np.int64(sdudv),
+        "assortativity": r}])
+
+
 @register("link_reciprocity_pages", sql=_LINKS_SQL_CTE + """,
 m AS (SELECT e1.src FROM e e1
       JOIN e e2 ON e1.dst = e2.src AND e1.src = e2.dst)
