@@ -136,3 +136,50 @@ def test_two_hop_reach_matches_brute(ray_session):
         if reach:
             exp[v] = len(reach)
     assert got == exp
+
+
+def test_assortativity_and_reciprocity_queries_brute(ray_session,
+                                                     tmp_path):
+    """Drive the registered queries on a tiny synthetic sf dir and
+    check against direct numpy/python computation of the same
+    definitions (degrees from the SAME injected link formula)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geoflow.pipelines.queries import QUERIES
+
+    n = 97
+    pq.write_table(pa.table({"doc_id": pa.array(
+        np.arange(n, dtype=np.int64))}), tmp_path / "documents.parquet")
+
+    edges = set()
+    for i in range(n):
+        for j in range(1, 2 + i % 3):
+            t = (i * 31 + j * 977 + 7) % n
+            if t != i:
+                edges.add((i, t))
+    e = np.array(sorted(edges), np.int64)
+    outd = np.zeros(n, np.int64)
+    ind = np.zeros(n, np.int64)
+    np.add.at(outd, e[:, 0], 1)
+    np.add.at(ind, e[:, 1], 1)
+
+    res = QUERIES["degree_assortativity_pages"](str(tmp_path))
+    du = outd[e[:, 0]].astype(np.float64)
+    dv = ind[e[:, 1]].astype(np.float64)
+    exp_r = np.corrcoef(du, dv)[0, 1]
+    row = res.iloc[0]
+    assert row["n_edges"] == len(e)
+    assert abs(row["assortativity"] - exp_r) < 1e-6
+
+    rec = QUERIES["link_reciprocity_pages"](str(tmp_path))
+    rec = (rec.to_pandas() if hasattr(rec, "to_pandas") else rec) \
+        .set_index("doc_id")
+    nrec = np.zeros(n, np.int64)
+    for s, d in edges:
+        if (d, s) in edges:
+            nrec[s] += 1
+    got_out = rec["out_deg"].reindex(range(n)).to_numpy()
+    got_rec = rec["n_recip"].reindex(range(n)).to_numpy()
+    np.testing.assert_array_equal(got_out, outd)
+    np.testing.assert_array_equal(got_rec, nrec)
