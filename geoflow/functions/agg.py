@@ -30,7 +30,9 @@ def partial_group_sums(key_cols: list[str], sum_cols: list[str],
     min_cols = min_cols or []
     max_cols = max_cols or []
 
-    def _combine(batch: pa.Table) -> pa.Table:
+    def _combine(batch: pa.Table):
+        if batch.num_rows == 0:      # post-shuffle zero-row blocks can
+            return                   # carry an EMPTY schema — emit nothing
         t = batch.select(key_cols + sorted(set(sum_cols + min_cols
                                                + max_cols)))
         # Arrow C++ hash aggregate (same swap as flagship dedup's local
@@ -49,7 +51,7 @@ def partial_group_sums(key_cols: list[str], sum_cols: list[str],
         for c in max_cols:
             cols[f"{c}_max"] = out.column(f"{c}_max")
         cols[count_col] = out.column("count_all")
-        return pa.table(cols)
+        yield pa.table(cols)
 
     return _combine
 
@@ -140,7 +142,13 @@ def grouped_count_sum_driver(ds, key_cols: list[str], sum_cols: list[str],
                                  max_cols=max_cols)
     partials = ds.map_batches(partial, batch_format="pyarrow")
     pieces = [b for b in partials.iter_batches(batch_size=None,
-                                               batch_format="pandas")]
+                                               batch_format="pandas")
+              if len(b) > 0]                  # post-shuffle zero-row
+    if not pieces:
+        cols = (key_cols + [count_alias] + [f"{c}_sum" for c in sum_cols]
+                + [f"{c}_min" for c in (min_cols or [])]
+                + [f"{c}_max" for c in (max_cols or [])])
+        return pd.DataFrame({c: [] for c in cols})
     allp = pd.concat(pieces, ignore_index=True)
     g = allp.groupby(key_cols, sort=False, observed=True)
     spec = {count_alias: (f"_n", "sum")}
@@ -260,6 +268,45 @@ def profile_columns(ds, cols: list[str]):
 
     return partials.groupby("column").map_groups(
         _combine, batch_format="pandas")
+
+
+def nonempty_arrow_blocks(ds) -> list[pa.Table]:
+    """Materialized Arrow blocks of ``ds`` with zero-row blocks dropped.
+
+    Ray's sort-based shuffle (groupby / sort / repartition(shuffle))
+    can emit zero-row blocks whose schema is EMPTY (no columns at
+    all) — indexing a column on such a block raises KeyError
+    nondeterministically (depends on block-to-task placement, so it
+    appears only at some CPU counts). Every ``to_arrow_refs`` consumer
+    must go through this helper instead of fetching refs directly.
+    """
+    import ray
+
+    blocks = ray.get(list(ds.to_arrow_refs()))
+    return [b for b in blocks if b.num_rows > 0]
+
+
+def nonempty_batches(ds, **kwargs):
+    """``iter_batches(batch_format="pyarrow")`` with zero-row (possibly
+    empty-schema) batches skipped — same defense as
+    ``nonempty_arrow_blocks`` for streaming consumers."""
+    for b in ds.iter_batches(batch_format="pyarrow", **kwargs):
+        if b.num_rows > 0:
+            yield b
+
+
+def skip_empty(fn, schema: pa.Schema):
+    """Wrap a ``map_batches`` fn so zero-row input blocks (which after a
+    shuffle may carry an EMPTY schema and so cannot be column-indexed)
+    short-circuit to a typed empty table with the declared output
+    schema. Declaring the schema also keeps every output block
+    schema-identical, silencing Ray's "RefBundle with a different
+    schema" warnings for the stage."""
+    def _wrapped(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return schema.empty_table()
+        return fn(b)
+    return _wrapped
 
 
 def iter_cap(state_ds, floor: int = 16) -> int:

@@ -86,15 +86,15 @@ def build_bloom(keys_ds, key_col: str, num_bits: int,
 
     def _partial(b: pa.Table) -> pa.Table:
         w = np.zeros(words, dtype=np.uint64)
-        k = b.column(key_col).to_numpy().astype(np.int64)
-        if len(k):
+        if b.num_rows:                        # post-shuffle zero-row
+            k = b.column(key_col).to_numpy().astype(np.int64)
             _set_bits(w, _probe_positions(k, num_bits, num_hashes))
         return pa.table({"bits": pa.array([w.tobytes()], pa.binary())})
 
+    from .agg import nonempty_batches
     acc = np.zeros(words, dtype=np.uint64)
-    for part in keys_ds.map_batches(
-            _partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
+    for part in nonempty_batches(
+            keys_ds.map_batches(_partial, batch_format="pyarrow")):
         for buf in part.column("bits").to_pylist():
             acc |= np.frombuffer(buf, dtype=np.uint64)
     return acc

@@ -72,9 +72,12 @@ def approx_distinct(ds, hash_fn, p: int = 12) -> float:
         regs = hll_registers(hash_fn(batch), p)
         return pa.table({"regs": pa.array([regs], pa.list_(pa.uint8()))})
 
+    from .agg import nonempty_batches, skip_empty
+    _schema = pa.schema([("regs", pa.list_(pa.uint8()))])
     merged = np.zeros(1 << p, dtype=np.uint8)
-    parts = ds.map_batches(_partial, batch_format="pyarrow")
-    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+    parts = ds.map_batches(skip_empty(_partial, _schema),
+                           batch_format="pyarrow")
+    for b in nonempty_batches(parts, batch_size=None):
         for r in b.column("regs").to_pylist():
             np.maximum(merged, np.asarray(r, dtype=np.uint8), out=merged)
     return hll_estimate(merged)
@@ -283,13 +286,14 @@ def approx_quantiles(ds, col: str, qs, k: int = 200):
     is one sketch, rows never leave the workers."""
     def _partial(b: pa.Table) -> pa.Table:
         sk = QuantileSketch(k)
-        sk.update(b.column(col).to_numpy(zero_copy_only=False))
-        return sk.to_row()
+        if b.num_rows:                        # post-shuffle zero-row
+            sk.update(b.column(col).to_numpy(zero_copy_only=False))
+        return sk.to_row()                    # empty sketch row is valid
 
+    from .agg import nonempty_batches
     merged = QuantileSketch(k)
-    for part in ds.map_batches(
-            _partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
+    for part in nonempty_batches(
+            ds.map_batches(_partial, batch_format="pyarrow")):
         merged.merge(QuantileSketch.from_rows(part, k))
     return merged.quantiles(qs), merged.n()
 

@@ -44,6 +44,12 @@ from collections import Counter
 import numpy as np
 import pyarrow as pa
 
+from geoflow.functions.agg import (nonempty_arrow_blocks, nonempty_batches,
+                                   skip_empty)
+
+_SYM_SCHEMA = pa.schema([("s", pa.string()), ("f", pa.int64())])
+_PAIR_SCHEMA = pa.schema([("pr", pa.string()), ("n", pa.int64())])
+
 # Words are truncated to this many characters (= max initial symbols
 # per type). REPLACE_PASSES = MAX_WORD_CHARS // 2 chained replaces
 # reach the merge fixpoint for any such word (a conflict chain
@@ -87,7 +93,11 @@ def word_types(ds, text_col: str = "text"):
             "f": pa.array(b.column("f").to_numpy().astype(np.int64)),
         })
 
-    return types.map_batches(_to_sym, batch_format="pyarrow")
+    # _to_sym consumes groupby-shuffle output, which can include
+    # zero-row EMPTY-SCHEMA blocks — skip_empty both survives them and
+    # pins the output schema
+    return types.map_batches(skip_empty(_to_sym, _SYM_SCHEMA),
+                             batch_format="pyarrow")
 
 
 def _pair_counter(strings, freqs) -> Counter:
@@ -132,9 +142,7 @@ def train_bpe(ds, num_merges: int = 10, text_col: str = "text",
     merges: list[tuple[int, str, int]] = []
 
     if types.count() <= driver_limit:
-        tbl = types.to_arrow_refs()
-        import ray
-        blocks = [ray.get(r) for r in tbl]
+        blocks = nonempty_arrow_blocks(types)
         strings = [s for b in blocks for s in b.column("s").to_pylist()]
         freqs = np.concatenate(
             [b.column("f").to_numpy() for b in blocks]) if blocks else \
@@ -158,9 +166,9 @@ def train_bpe(ds, num_merges: int = 10, text_col: str = "text",
             # partials are pair-vocab-sized per block; the driver folds
             # only that, never the type table itself
             total: Counter = Counter()
-            for part in types.map_batches(
-                    _partial, batch_format="pyarrow").iter_batches(
-                    batch_format="pyarrow"):
+            for part in nonempty_batches(types.map_batches(
+                    skip_empty(_partial, _PAIR_SCHEMA),
+                    batch_format="pyarrow")):
                 for pr, n in zip(part.column("pr").to_pylist(),
                                  part.column("n").to_numpy()):
                     total[pr] += int(n)
@@ -179,7 +187,8 @@ def train_bpe(ds, num_merges: int = 10, text_col: str = "text",
                 })
 
             types = types.map_batches(
-                _apply, batch_format="pyarrow").materialize()
+                skip_empty(_apply, _SYM_SCHEMA),
+                batch_format="pyarrow").materialize()
 
     return pa.table({
         "merge_rank": pa.array([m[0] for m in merges], pa.int64()),

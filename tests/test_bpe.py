@@ -96,6 +96,47 @@ def test_encode_roundtrip_and_memo(ray_session):
         assert "".join(sub.piece) == t.replace(" ", "")
 
 
+def test_train_bpe_survives_empty_shuffle_blocks(ray_session):
+    # Ray's sort shuffle emits one output block per input block, so a
+    # tiny corpus spread over many blocks yields zero-row blocks with an
+    # EMPTY schema after word_types' groupby — the exact shape that
+    # crashed bpe_merges in the round-3 driver run (KeyError 'Field "s"').
+    ds = rd.from_items([{"text": t} for t in CORPUS]).repartition(64)
+    ref = train_bpe(rd.from_items([{"text": t} for t in CORPUS]),
+                    num_merges=8)
+    got = train_bpe(ds, num_merges=8)
+    assert got.equals(ref)
+    # distributed merge path over the same fragmented layout
+    dist = train_bpe(
+        rd.from_items([{"text": t} for t in CORPUS]).repartition(64),
+        num_merges=8, driver_limit=0)
+    assert dist.equals(ref)
+
+
+def test_nonempty_block_helpers(ray_session):
+    import pyarrow as pa
+
+    from geoflow.functions.agg import (nonempty_arrow_blocks,
+                                       nonempty_batches, skip_empty)
+
+    # groupby over heavily over-partitioned tiny data produces zero-row
+    # (often empty-schema) blocks; the helpers must drop them
+    from ray.data.aggregate import Sum
+    ds = (rd.from_items([{"k": i % 2, "v": i} for i in range(6)])
+          .repartition(32).groupby("k").aggregate(Sum("v", alias_name="s")))
+    blocks = nonempty_arrow_blocks(ds)
+    assert all(b.num_rows > 0 for b in blocks)
+    assert sum(b.num_rows for b in blocks) == 2
+    assert sum(b.num_rows for b in nonempty_batches(ds)) == 2
+
+    # skip_empty: empty-schema input short-circuits to the typed table
+    schema = pa.schema([("x", pa.int64())])
+    fn = skip_empty(lambda b: pa.table({"x": b.column("k")}), schema)
+    out = fn(pa.table({}))
+    assert out.schema == schema and out.num_rows == 0
+    assert fn(pa.table({"k": [1, 2]})).num_rows == 2
+
+
 @pytest.mark.parametrize("sf", ["/root/testdata/sf0.001"])
 def test_bpe_oracle_replay(ray_session, sf):
     from geoflow.pipelines.queries import QUERIES, _bpe_sql
