@@ -417,9 +417,10 @@ TOKENS_PER_LINE = 10
 
 # The frequent-line / duplicated-window sets are heavy-hitter-bounded
 # (a line needs >= min_df distinct docs to qualify), so they broadcast.
-# Above this cardinality the membership attach must instead run as a
-# bucketed semi-join on a line hash (the tfidf DF-attach plan) — at
-# sandbox scale the broadcast path is the one the oracle verifies.
+# Above this cardinality the membership attach AUTO-ROUTES to a
+# bucketed semi-join on a line/window hash (the tfidf DF-attach plan;
+# see the _*_semijoin twins below) — same output contract, verified by
+# path-equality tests that monkeypatch this limit to 0.
 LINESET_BROADCAST_LIMIT = 5_000_000
 
 
@@ -507,13 +508,15 @@ def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
 
     freq_ds = (ds.map_batches(_partial, batch_format="pyarrow")
                .groupby("bucket")
-               .map_groups(_combine, batch_format="pandas"))
+               .map_groups(_combine, batch_format="pandas")).materialize()
+    if freq_ds.count() > LINESET_BROADCAST_LIMIT:
+        # frequent-line set exceeds the broadcast budget: route the
+        # membership attach through a bucketed semi-join on the line
+        # hash — never lands on the driver (see _line_dedup_semijoin)
+        return _line_dedup_semijoin(ds, freq_ds, id_col, text_col,
+                                    tokens_per_line, boilerplate,
+                                    num_buckets)
     freq_df = freq_ds.to_pandas()        # heavy-hitter-bounded (df cap)
-    if len(freq_df) > LINESET_BROADCAST_LIMIT:
-        raise NotImplementedError(
-            "frequent-line set exceeds broadcast budget; route the "
-            "membership attach through a bucketed semi-join on the "
-            "line hash (tfidf DF-attach plan)")
     # an all-empty map_groups output carries no schema -> no columns
     freq_vals = (freq_df["line"].to_numpy() if "line" in freq_df.columns
                  else np.array([], dtype=object))
@@ -549,6 +552,98 @@ def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def _line_dedup_semijoin(ds, freq_ds, id_col: str, text_col: str,
+                         tokens_per_line: int, boilerplate,
+                         num_buckets: int):
+    """Scale path of ``line_dedup``: the frequent-line set never lands
+    on the driver. Membership is attached by a bucketed SEMI-JOIN on
+    the line hash (the tfidf DF-attach plan): exploded (doc, line_no,
+    line) rows and frequent lines co-group in poly-hash(line) buckets
+    where a vectorized string-equality ``isin`` marks drops (hash only
+    ROUTES — exactness comes from in-bucket string compare); a second
+    doc-keyed shuffle reassembles (id, n_lines, n_removed, clean_text).
+    Two shuffles of exploded line rows vs the broadcast path's zero —
+    the price of unbounded frequent-set cardinality; output contract
+    and values identical (path-equality tested with the limit
+    monkeypatched to 0)."""
+    from ..functions.joins import _mix64
+
+    def _explode(b: pa.Table):
+        if b.num_rows == 0:
+            return
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        texts = b.column(text_col).to_pylist()
+        lid, lno, lines = doc_lines(ids, texts, tokens_per_line,
+                                    boilerplate)
+        if not lid:
+            return
+        lb = poly_string_hash_vec(lines) % num_buckets
+        yield pa.table({
+            "_d": pa.array(lid, pa.int64()),
+            "_no": pa.array(lno, pa.int64()),
+            "line": pa.array(lines, pa.string()),
+            "_lb": pa.array(lb.astype(np.int64)),
+            "_side": pa.array(np.zeros(len(lid), dtype=np.int8))})
+
+    def _tag_freq(b: pa.Table):
+        if b.num_rows == 0:
+            return
+        lines = b.column("line").to_pylist()
+        lb = poly_string_hash_vec(lines) % num_buckets
+        n = len(lines)
+        yield pa.table({
+            "_d": pa.array(np.full(n, -1, dtype=np.int64)),
+            "_no": pa.array(np.full(n, -1, dtype=np.int64)),
+            "line": pa.array(lines, pa.string()),
+            "_lb": pa.array(lb.astype(np.int64)),
+            "_side": pa.array(np.ones(n, dtype=np.int8))})
+
+    _marked_empty = {"_d": pd.Series(dtype=np.int64),
+                     "_no": pd.Series(dtype=np.int64),
+                     "line": pd.Series(dtype=object),
+                     "_drop": pd.Series(dtype=bool)}
+
+    def _mark(g: pd.DataFrame) -> pd.DataFrame:
+        rows = g[g["_side"] == 0]
+        if rows.empty:
+            return pd.DataFrame(_marked_empty)
+        freq = set(g.loc[g["_side"] == 1, "line"])
+        drop = rows["line"].isin(freq) & (rows["line"] != "")
+        return pd.DataFrame({"_d": rows["_d"].to_numpy(),
+                             "_no": rows["_no"].to_numpy(),
+                             "line": rows["line"].to_numpy(),
+                             "_drop": drop.to_numpy()})
+
+    marked = (ds.map_batches(_explode, batch_format="pyarrow")
+              .union(freq_ds.map_batches(_tag_freq,
+                                         batch_format="pyarrow"))
+              .groupby("_lb").map_groups(_mark, batch_format="pandas"))
+
+    def _tag_doc(b: pa.Table):
+        if b.num_rows == 0:
+            return
+        d = b.column("_d").to_numpy().astype(np.int64)
+        db = (_mix64(d) % np.uint64(num_buckets)).astype(np.int32)
+        yield b.append_column("_db", pa.array(db))
+
+    def _assemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_d", "_no"], kind="mergesort")
+        tot = g.groupby("_d", sort=True).size()
+        rem = g.groupby("_d", sort=True)["_drop"].sum().astype(np.int64)
+        kept = g[~g["_drop"]]
+        joined = (kept.groupby("_d", sort=True)["line"]
+                  .agg(lambda s: "\n".join(s)))
+        clean = joined.reindex(tot.index, fill_value="")
+        return pd.DataFrame({
+            id_col: tot.index.to_numpy().astype(np.int64),
+            "n_lines": tot.to_numpy().astype(np.int64),
+            "n_removed": rem.to_numpy(),
+            "clean_text": clean.to_numpy()})
+
+    return (marked.map_batches(_tag_doc, batch_format="pyarrow")
+            .groupby("_db").map_groups(_assemble, batch_format="pandas"))
 
 
 def doc_windows(ids: np.ndarray, texts: list[str], window: int = 8):
@@ -603,12 +698,13 @@ def dup_window_stats(ds, id_col: str = "doc_id", text_col: str = "text",
 
     dup_ds = (ds.map_batches(_partial, batch_format="pyarrow")
               .groupby("bucket")
-              .map_groups(_combine, batch_format="pandas"))
+              .map_groups(_combine, batch_format="pandas")).materialize()
+    if dup_ds.count() > LINESET_BROADCAST_LIMIT:
+        # duplicated-window set exceeds the broadcast budget: bucketed
+        # semi-join on the window hash (see _dup_window_stats_semijoin)
+        return _dup_window_stats_semijoin(ds, dup_ds, id_col, text_col,
+                                          window, num_buckets)
     dup_df = dup_ds.to_pandas()      # bounded by real duplication
-    if len(dup_df) > LINESET_BROADCAST_LIMIT:
-        raise NotImplementedError(
-            "duplicated-window set exceeds broadcast budget; route "
-            "through a bucketed semi-join on the window hash")
     dup_vals = (dup_df["w"].to_numpy() if "w" in dup_df.columns
                 else np.array([], dtype=object))
     dup_ref = ray.put(dup_vals)
@@ -637,6 +733,111 @@ def dup_window_stats(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return ds.map_batches(_stats, batch_format="pyarrow")
+
+
+def _dup_window_stats_semijoin(ds, dup_ds, id_col: str, text_col: str,
+                               window: int, num_buckets: int):
+    """Scale path of ``dup_window_stats``: the duplicated-window set
+    stays distributed. Two slim emissions union into ONE doc-keyed
+    grouped sum (the link_degrees idiom): (a) per-doc window totals
+    straight from the explode pass; (b) per-doc duplicated-position
+    counts from a bucketed semi-join — (doc, window, occurrence-count)
+    rows co-group with the duplicated windows in poly-hash(window)
+    buckets and in-bucket string ``isin`` keeps exactness (the hash
+    only routes). Nothing corpus-sized touches the driver."""
+    from ..functions.joins import _mix64
+
+    def _explode(b: pa.Table):
+        if b.num_rows == 0:
+            return
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        texts = b.column(text_col).to_pylist()
+        wid, _, ws = doc_windows(ids, texts, window)
+        if not wid:
+            return
+        t = pa.table({"_d": pa.array(wid, pa.int64()),
+                      "w": pa.array(ws, pa.string())})
+        # per-(doc, window) occurrence counts: one doc lives in one
+        # batch, so the batch-local collapse is globally exact
+        g = pa.TableGroupBy(t, ["_d", "w"]).aggregate([([], "count_all")])
+        wb = poly_string_hash_vec(g.column("w").to_pylist()) % num_buckets
+        yield pa.table({
+            "_d": g.column("_d"), "w": g.column("w"),
+            "cnt": g.column("count_all"),
+            "_wb": pa.array(wb.astype(np.int64)),
+            "_side": pa.array(np.zeros(g.num_rows, dtype=np.int8))})
+
+    def _tag_dup(b: pa.Table):
+        if b.num_rows == 0:
+            return
+        ws = b.column("w").to_pylist()
+        wb = poly_string_hash_vec(ws) % num_buckets
+        n = len(ws)
+        yield pa.table({
+            "_d": pa.array(np.full(n, -1, dtype=np.int64)),
+            "w": pa.array(ws, pa.string()),
+            "cnt": pa.array(np.zeros(n, dtype=np.int64)),
+            "_wb": pa.array(wb.astype(np.int64)),
+            "_side": pa.array(np.ones(n, dtype=np.int8))})
+
+    _hit_empty = {"_d": pd.Series(dtype=np.int64),
+                  "nw": pd.Series(dtype=np.int64),
+                  "ndup": pd.Series(dtype=np.int64)}
+
+    def _hits(g: pd.DataFrame) -> pd.DataFrame:
+        rows = g[g["_side"] == 0]
+        if rows.empty:
+            return pd.DataFrame(_hit_empty)
+        dup = set(g.loc[g["_side"] == 1, "w"])
+        sel = rows[rows["w"].isin(dup)]
+        if sel.empty:
+            return pd.DataFrame(_hit_empty)
+        per = sel.groupby("_d", sort=False)["cnt"].sum()
+        return pd.DataFrame({
+            "_d": per.index.to_numpy().astype(np.int64),
+            "nw": np.zeros(len(per), dtype=np.int64),
+            "ndup": per.to_numpy().astype(np.int64)})
+
+    def _totals(b: pa.Table):
+        if b.num_rows == 0:
+            return
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        texts = b.column(text_col).to_pylist()
+        wid, _, _ws = doc_windows(ids, texts, window)
+        if not wid:
+            return
+        t = pa.table({"_d": pa.array(wid, pa.int64())})
+        g = pa.TableGroupBy(t, ["_d"]).aggregate([([], "count_all")])
+        yield pa.table({
+            "_d": g.column("_d"),
+            "nw": g.column("count_all"),
+            "ndup": pa.array(np.zeros(g.num_rows, dtype=np.int64))})
+
+    exploded = ds.map_batches(_explode, batch_format="pyarrow")
+    dup_hits = (exploded.union(dup_ds.map_batches(
+                    _tag_dup, batch_format="pyarrow"))
+                .groupby("_wb").map_groups(_hits, batch_format="pandas"))
+    emissions = ds.map_batches(_totals,
+                               batch_format="pyarrow").union(dup_hits)
+
+    def _tag_doc(b: pa.Table):
+        if b.num_rows == 0:
+            return
+        d = b.column("_d").to_numpy().astype(np.int64)
+        db = (_mix64(d) % np.uint64(num_buckets)).astype(np.int32)
+        yield b.append_column("_db", pa.array(db))
+
+    def _sum_doc(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.groupby("_d", sort=True).agg(n_windows=("nw", "sum"),
+                                           n_dup_windows=("ndup", "sum"))
+        return pd.DataFrame({
+            id_col: a.index.to_numpy().astype(np.int64),
+            "n_windows": a["n_windows"].to_numpy().astype(np.int64),
+            "n_dup_windows": a["n_dup_windows"].to_numpy()
+                              .astype(np.int64)})
+
+    return (emissions.map_batches(_tag_doc, batch_format="pyarrow")
+            .groupby("_db").map_groups(_sum_doc, batch_format="pandas"))
 
 
 def dedup_windows(ds, id_col: str = "doc_id", text_col: str = "text",
@@ -677,14 +878,15 @@ def dedup_windows(ds, id_col: str = "doc_id", text_col: str = "text",
 
     dup_ds = (ds.map_batches(_partial, batch_format="pyarrow")
               .groupby("bucket")
-              .map_groups(_combine, batch_format="pandas"))
+              .map_groups(_combine, batch_format="pandas")).materialize()
+    if dup_ds.count() > LINESET_BROADCAST_LIMIT:
+        # duplicated-window set exceeds the broadcast budget: bucketed
+        # semi-join on the window hash (see _dedup_windows_semijoin)
+        return _dedup_windows_semijoin(ds, dup_ds, id_col, text_col,
+                                       window, num_buckets)
     dup_df = dup_ds.to_pandas()
     dup_vals = (dup_df["w"].to_numpy() if "w" in dup_df.columns
                 else np.array([], dtype=object))
-    if len(dup_vals) > LINESET_BROADCAST_LIMIT:
-        raise NotImplementedError(
-            "duplicated-window set exceeds broadcast budget; route "
-            "through a bucketed semi-join on the window hash")
     dup_ref = ray.put(set(dup_vals.tolist()))
 
     def _rewrite(b: pa.Table) -> pa.Table:
@@ -716,6 +918,130 @@ def dedup_windows(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return ds.map_batches(_rewrite, batch_format="pyarrow")
+
+
+def _dedup_windows_semijoin(ds, dup_ds, id_col: str, text_col: str,
+                            window: int, num_buckets: int):
+    """Scale path of ``dedup_windows``: the duplicated-window set stays
+    distributed. Stage 1 bucket-semi-joins the DISTINCT (doc, window)
+    explode against the duplicated windows in poly-hash(window) buckets
+    (in-bucket string equality = exact); stage 2 co-groups the original
+    docs with their per-doc duplicated-window hits in doc-hash buckets
+    and runs the identical difference-array rewrite with the doc-local
+    set — a position's window is in the GLOBAL dup set iff it is in the
+    doc-local hit set, so the rewrite is bit-identical to the broadcast
+    path (path-equality tested with the limit monkeypatched to 0)."""
+    from ..functions.joins import _mix64
+
+    def _explode(b: pa.Table):
+        if b.num_rows == 0:
+            return
+        ids = b.column(id_col).to_numpy().astype(np.int64)
+        texts = b.column(text_col).to_pylist()
+        wid, _, ws = doc_windows(ids, texts, window)
+        if not wid:
+            return
+        t = pa.table({"_d": pa.array(wid, pa.int64()),
+                      "w": pa.array(ws, pa.string())})
+        g = pa.TableGroupBy(t, ["_d", "w"]).aggregate([])
+        wb = poly_string_hash_vec(g.column("w").to_pylist()) % num_buckets
+        yield pa.table({
+            "_d": g.column("_d"), "w": g.column("w"),
+            "_wb": pa.array(wb.astype(np.int64)),
+            "_side": pa.array(np.zeros(g.num_rows, dtype=np.int8))})
+
+    def _tag_dup(b: pa.Table):
+        if b.num_rows == 0:
+            return
+        ws = b.column("w").to_pylist()
+        wb = poly_string_hash_vec(ws) % num_buckets
+        n = len(ws)
+        yield pa.table({
+            "_d": pa.array(np.full(n, -1, dtype=np.int64)),
+            "w": pa.array(ws, pa.string()),
+            "_wb": pa.array(wb.astype(np.int64)),
+            "_side": pa.array(np.ones(n, dtype=np.int8))})
+
+    _hit_empty = {"_d": pd.Series(dtype=np.int64),
+                  "w": pd.Series(dtype=object)}
+
+    def _hits(g: pd.DataFrame) -> pd.DataFrame:
+        rows = g[g["_side"] == 0]
+        if rows.empty:
+            return pd.DataFrame(_hit_empty)
+        dup = set(g.loc[g["_side"] == 1, "w"])
+        sel = rows[rows["w"].isin(dup)]
+        return pd.DataFrame({"_d": sel["_d"].to_numpy(),
+                             "w": sel["w"].to_numpy()})
+
+    hits = (ds.map_batches(_explode, batch_format="pyarrow")
+            .union(dup_ds.map_batches(_tag_dup, batch_format="pyarrow"))
+            .groupby("_wb").map_groups(_hits, batch_format="pandas"))
+
+    def _tag_docs(b: pa.Table):
+        if b.num_rows == 0:
+            return
+        d = b.column(id_col).to_numpy().astype(np.int64)
+        db = (_mix64(d) % np.uint64(num_buckets)).astype(np.int32)
+        yield pa.table({
+            "_d": pa.array(d),
+            "text": b.column(text_col),
+            "w": pa.array([None] * len(d), pa.string()),
+            "_db": pa.array(db),
+            "_side": pa.array(np.zeros(len(d), dtype=np.int8))})
+
+    def _tag_hits(b: pa.Table):
+        if b.num_rows == 0:
+            return
+        d = b.column("_d").to_numpy().astype(np.int64)
+        db = (_mix64(d) % np.uint64(num_buckets)).astype(np.int32)
+        yield pa.table({
+            "_d": pa.array(d),
+            "text": pa.array([None] * len(d), pa.string()),
+            "w": b.column("w").cast(pa.string()),
+            "_db": pa.array(db),
+            "_side": pa.array(np.ones(len(d), dtype=np.int8))})
+
+    _out_empty = {id_col: pd.Series(dtype=np.int64),
+                  "n_tokens": pd.Series(dtype=np.int64),
+                  "n_removed": pd.Series(dtype=np.int64),
+                  "clean_text": pd.Series(dtype=object)}
+
+    def _rewrite_group(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["_side"] == 0]
+        if docs.empty:
+            return pd.DataFrame(_out_empty)
+        hw = g[g["_side"] == 1]
+        by_doc = {d: set(sub["w"]) for d, sub in hw.groupby("_d")}
+        out_id, out_nt, out_nr, out_txt = [], [], [], []
+        for did, text in zip(docs["_d"].tolist(), docs["text"].tolist()):
+            toks = (text or "").split()
+            n = len(toks)
+            if n == 0:
+                continue
+            dup = by_doc.get(did, ())
+            diff = np.zeros(n + 1, dtype=np.int32)
+            if dup:
+                for i in range(n - window + 1):
+                    if " ".join(toks[i:i + window]) in dup:
+                        diff[i] += 1
+                        diff[i + window] -= 1
+            covered = np.cumsum(diff[:n]) > 0
+            kept = [t for t, c in zip(toks, covered) if not c]
+            out_id.append(did)
+            out_nt.append(n)
+            out_nr.append(int(covered.sum()))
+            out_txt.append(" ".join(kept))
+        return pd.DataFrame({
+            id_col: np.asarray(out_id, dtype=np.int64),
+            "n_tokens": np.asarray(out_nt, dtype=np.int64),
+            "n_removed": np.asarray(out_nr, dtype=np.int64),
+            "clean_text": np.asarray(out_txt, dtype=object)})
+
+    return (ds.map_batches(_tag_docs, batch_format="pyarrow")
+            .union(hits.map_batches(_tag_hits, batch_format="pyarrow"))
+            .groupby("_db")
+            .map_groups(_rewrite_group, batch_format="pandas"))
 
 
 def build_vocab_encode(ds, id_col: str = "doc_id",

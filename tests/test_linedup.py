@@ -158,6 +158,49 @@ def test_dedup_windows_vs_brute(ray_session):
     assert got.loc[1, "clean_text"] == "zz yy"
 
 
+def test_semijoin_paths_equal_broadcast(ray_session, monkeypatch):
+    # LINESET_BROADCAST_LIMIT = 0 forces all three ops down the bucketed
+    # semi-join scale route; results must be identical to the broadcast
+    # path (same fixtures as the brute-force tests above)
+    import geoflow.stages.webquality as wq
+
+    line_texts = [
+        "a b c x y z",
+        "d e f x y z g h i",
+        "x y z j k l",
+        "x y z",
+        "x y z m n o x y z",
+    ]
+    win_texts = [
+        "a b c d e f g h tail0",
+        "zz a b c d e f g h yy",
+        "p q r s t u v w x",
+        "one two three",
+    ]
+    bp = [(2, 0, "cookie banner text")]
+
+    def _norm(df, key="doc_id"):
+        return (df.sort_values(key).reset_index(drop=True)
+                [sorted(df.columns)])
+
+    ref_line = line_dedup(_corpus(line_texts), min_df=3,
+                          tokens_per_line=3, boilerplate=bp).to_pandas()
+    ref_stats = dup_window_stats(_corpus(win_texts), window=4).to_pandas()
+    ref_rw = dedup_windows(_corpus(win_texts), window=4).to_pandas()
+
+    monkeypatch.setattr(wq, "LINESET_BROADCAST_LIMIT", 0)
+    got_line = line_dedup(_corpus(line_texts), min_df=3,
+                          tokens_per_line=3, boilerplate=bp).to_pandas()
+    got_stats = dup_window_stats(_corpus(win_texts), window=4).to_pandas()
+    got_rw = dedup_windows(_corpus(win_texts), window=4).to_pandas()
+
+    for ref, got in [(ref_line, got_line), (ref_stats, got_stats),
+                     (ref_rw, got_rw)]:
+        a, b = _norm(ref), _norm(got)
+        assert list(a.columns) == list(b.columns)
+        assert a.astype(str).values.tolist() == b.astype(str).values.tolist()
+
+
 def test_build_vocab_encode_vs_brute(ray_session):
     import collections
 
