@@ -106,11 +106,36 @@ class CosineTopK:
         return _topk_rows(qids, sims, self.ids, min(self.k, sims.shape[1]))
 
 
+# Above this corpus row count cosine_topk's brute-force broadcast (the
+# whole corpus on the driver, then pinned per actor) auto-routes to the
+# distributed IVF build — same contract as EMBEDDING_EXACT_ROW_LIMIT in
+# stages/dedup.py. Tests monkeypatch it to force the scale path.
+CORPUS_BROADCAST_ROW_LIMIT = 1_000_000
+
+
 def cosine_topk(queries_ds, corpus_ds, k: int = 5,
                 id_col: str = "vec_id", vec_col: str = "embedding",
-                concurrency: int = 4, exclude_self: bool = True):
-    """Brute-force cosine top-k: broadcast corpus, actor-pool matmul."""
+                concurrency: int = 4, exclude_self: bool = True,
+                broadcast_limit: int | None = None, nlist: int = 64):
+    """Brute-force cosine top-k: broadcast corpus, actor-pool matmul.
+
+    SIZE-GUARDED: corpora above ``broadcast_limit`` rows (default
+    ``CORPUS_BROADCAST_ROW_LIMIT``) never touch the driver — the call
+    auto-routes to ``cosine_topk_ivf`` with a FULL probe, which is
+    exact (probing every bucket makes IVF a pure partition of the
+    corpus; proven by test_ivf_distributed_build_full_probe_is_exact)
+    so results are identical on both paths. Callers that can accept
+    approximate results at scale should call ``cosine_topk_ivf`` with
+    a small ``nprobe`` or ``cosine_topk_lsh`` (no corpus pin at all)
+    directly."""
     import ray
+
+    if broadcast_limit is None:
+        broadcast_limit = CORPUS_BROADCAST_ROW_LIMIT
+    if corpus_ds.count() > broadcast_limit:
+        return cosine_topk_ivf(queries_ds, corpus_ds, k=k, id_col=id_col,
+                               vec_col=vec_col, concurrency=concurrency,
+                               exclude_self=exclude_self, nlist=nlist)
 
     corpus = corpus_ds.select_columns([id_col, vec_col]).to_pandas()
     ref = ray.put(normalized_matrix(corpus, id_col, vec_col))
@@ -126,6 +151,39 @@ def cosine_topk(queries_ds, corpus_ds, k: int = 5,
     return q.map_batches(
         CosineTopK, batch_format="pyarrow",
         fn_constructor_kwargs=dict(corpus_ref=ref, k=k,
+                                   exclude_self=exclude_self),
+        concurrency=(1, concurrency), batch_size=256,
+    )
+
+
+def cosine_topk_ivf(queries_ds, corpus_ds, k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    concurrency: int = 4, exclude_self: bool = True,
+                    nlist: int = 64, nprobe: int | None = None):
+    """IVF top-k with the DISTRIBUTED index build (nothing corpus-sized
+    on the driver: k-means via map_batches partials, corpus blocks stay
+    in the object store, actors assemble buckets worker-side).
+
+    ``nprobe=None`` probes EVERY bucket — exact, equal to brute force —
+    which is what the ``cosine_topk`` auto-route uses to keep results
+    path-independent; pass a small ``nprobe`` for the approximate
+    ~nprobe/nlist-of-the-scan trade. Note each actor still pins the
+    assembled corpus worker-side; for a fully pin-free plan use
+    ``cosine_topk_lsh``."""
+    import ray
+
+    index = build_ivf_index_distributed(corpus_ds, id_col, vec_col,
+                                        nlist=nlist)
+    if nprobe is None:
+        nprobe = len(index[0])              # full probe = exact
+    ref = ray.put(index)
+    q = queries_ds.map_batches(
+        lambda b: pa.table({"query_id": b.column(id_col),
+                            "embedding": b.column(vec_col)}),
+        batch_format="pyarrow")
+    return q.map_batches(
+        CosineTopKIVF, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(index_ref=ref, k=k, nprobe=nprobe,
                                    exclude_self=exclude_self),
         concurrency=(1, concurrency), batch_size=256,
     )

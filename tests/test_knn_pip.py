@@ -29,6 +29,23 @@ def test_cosine_topk_matches_bruteforce(ray_session):
         assert got["neighbor_id"].tolist() == ids[top].tolist()
 
 
+def test_cosine_topk_size_guard_routes_to_ivf(ray_session):
+    """broadcast_limit=0 forces the auto-route: the distributed-IVF
+    full-probe path must return EXACTLY the brute-force broadcast
+    result (neighbor sets, ranks, and cosines)."""
+    import ray.data as rd
+    df = _embeddings(250)
+    brute = knn.cosine_topk(rd.from_pandas(df.head(12)),
+                            rd.from_pandas(df), k=5).to_pandas()
+    routed = knn.cosine_topk(rd.from_pandas(df.head(12)),
+                             rd.from_pandas(df).repartition(4), k=5,
+                             broadcast_limit=0, nlist=6).to_pandas()
+    a = brute.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = routed.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a["neighbor_id"].tolist() == b["neighbor_id"].tolist()
+    assert np.allclose(a["cosine"], b["cosine"], atol=1e-12)
+
+
 def test_cosine_topk_ivf_recall(ray_session):
     import ray
     import ray.data as rd
