@@ -37,9 +37,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     registration order), self-checking no-oracle entries last — so a
     driver that samples a prefix of this dict sees maximal hard
     signal."""
-    from geoflow.pipelines.queries import QUERIES, get_oracle_sql
+    from geoflow.pipelines.queries import (ORACLE_SQL, ORACLE_SQL_LAZY,
+                                           QUERIES)
 
-    has_oracle = set(get_oracle_sql())
+    # key membership only — invoking get_oracle_sql() here would execute
+    # every lazy SQL builder (incl. deferred golden-fixture computations)
+    # just to order the dict
+    has_oracle = set(ORACLE_SQL) | set(ORACLE_SQL_LAZY)
     ordered = {k: v for k, v in QUERIES.items() if k in has_oracle}
     ordered.update({k: v for k, v in QUERIES.items()
                     if k not in has_oracle})

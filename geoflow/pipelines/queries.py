@@ -7167,11 +7167,16 @@ def daily_distinct_users(sf_dir: str):
                                  .astype(np.int64)),
         p=8).to_pandas()
     merged = exact.merge(approx, on="day", how="outer")
-    assert not merged.isna().any().any(), "sketch lost or invented days"
+    # explicit raises, not asserts: the in-query hard signal must
+    # survive `python -O` (ADVICE r3)
+    if merged.isna().any().any():
+        raise ValueError("sketch lost or invented days")
     rel = (merged["approx_distinct"] - merged["n_users"]).abs() \
         / merged["n_users"]
-    assert float(rel.max()) <= 0.33, f"HLL off by {rel.max():.2%}"
-    assert float(rel.mean()) <= 0.10, f"HLL mean err {rel.mean():.2%}"
+    if float(rel.max()) > 0.33:
+        raise ValueError(f"HLL off by {rel.max():.2%}")
+    if float(rel.mean()) > 0.10:
+        raise ValueError(f"HLL mean err {rel.mean():.2%}")
     return exact.sort_values("day").reset_index(drop=True)
 
 

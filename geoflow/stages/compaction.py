@@ -446,6 +446,14 @@ def geary_c(cells_ds):
         x = b.column("x").to_numpy().astype(np.int64)
         y = b.column("y").to_numpy().astype(np.int64)
         zt = n * b.column("n_docs").to_numpy().astype(np.int64) - s
+        amax = int(np.abs(zt).max()) if len(zt) else 0
+        if amax > 3037000499:          # isqrt(2^63 - 1)
+            # zt*zt would wrap silently in numpy int64 (the closing
+            # reductions use Python ints, but the scattered squares
+            # must already be exact) — fail loudly instead
+            raise OverflowError(
+                f"geary_c moment overflow: |n*x - S| = {amax} exceeds "
+                "int64 square headroom; rescale the cell counts")
         m = len(x)
         keys, zc, z2c, wc, zs, mk = [], [], [], [], [], []
         for dx in (-1, 0, 1):

@@ -740,6 +740,12 @@ def hits_int(pairs_ds, nodes_ds, id_col: str = "doc_id",
                                               pa.int64())}),
             batch_format="pyarrow").materialize()
         mx = max(int(raw.aggregate(Max("_s"))["max(_s)"] or 0), 1)
+        if mx > (2 ** 63 - 1) // scale:
+            # s * scale would wrap silently in numpy int64 while the
+            # DuckDB oracle computes in HUGEINT — fail loudly instead
+            raise OverflowError(
+                f"hits normalization overflow: max score {mx} * scale "
+                f"{scale} exceeds int64; lower the score scale")
 
         def _norm(b: pa.Table) -> pa.Table:
             s = b.column("_s").to_numpy()
