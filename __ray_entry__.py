@@ -33,10 +33,21 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """All registered pipelines, DuckDB-verified entries FIRST (in
-    registration order), self-checking no-oracle entries last — so a
-    driver that samples a prefix of this dict sees maximal hard
-    signal."""
+    """All registered pipelines, ordered for maximal NEW hard signal
+    under a driver that samples a prefix of this dict:
+
+    1. oracle-bearing entries that have NEVER hash-matched in a past
+       driver round (rotating the window converts their local-sweep
+       evidence into hard driver signal),
+    2. oracle-bearing entries already driver-verified,
+    3. self-checking no-oracle entries last.
+
+    Registration order is preserved within each class (stable sort).
+    Past coverage is read from the CORRECTNESS_r*.json files the driver
+    leaves in the repo root, so the rotation is self-maintaining."""
+    import glob
+    import json
+
     from geoflow.pipelines.queries import (ORACLE_SQL, ORACLE_SQL_LAZY,
                                            QUERIES)
 
@@ -44,10 +55,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # every lazy SQL builder (incl. deferred golden-fixture computations)
     # just to order the dict
     has_oracle = set(ORACLE_SQL) | set(ORACLE_SQL_LAZY)
-    ordered = {k: v for k, v in QUERIES.items() if k in has_oracle}
-    ordered.update({k: v for k, v in QUERIES.items()
-                    if k not in has_oracle})
-    return ordered
+    seen = set()
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            seen.update(k for k, v in rec.items()
+                        if (v or {}).get("hash_match") is True)
+        except Exception:
+            continue
+
+    def _prio(k: str) -> int:
+        if k in has_oracle:
+            return 0 if k not in seen else 1
+        return 2
+
+    return dict(sorted(QUERIES.items(), key=lambda kv: _prio(kv[0])))
 
 
 def oracle_sql() -> dict[str, str]:

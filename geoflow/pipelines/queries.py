@@ -3032,6 +3032,73 @@ def image_ahash_dup_groups(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+@register("jpeg_ahash_dup_groups", sql="""
+WITH e AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 7 = 3 THEN vec_id - 3 ELSE vec_id END AS seed
+  FROM embeddings
+),
+px AS (
+  SELECT vec_id, k,
+         (x * x) % 4294967296 // 16777216 AS p
+  FROM (
+    SELECT vec_id, k,
+           (seed * 2654435761 + k * 40503 + 97) % 2147483647 AS x
+    FROM e, unnest(generate_series(0, 63)) AS u(k)
+  )
+),
+tot AS (SELECT vec_id, sum(p) AS s, count(*) AS n FROM px GROUP BY 1),
+bits AS (
+  SELECT px.vec_id,
+         string_agg(CASE WHEN px.p * t.n > t.s THEN '1' ELSE '0' END,
+                    '' ORDER BY px.k) AS ah
+  FROM px JOIN tot t USING (vec_id) GROUP BY px.vec_id
+)
+SELECT min(vec_id) AS rep_id, CAST(count(*) AS BIGINT) AS n_images
+FROM bits GROUP BY ah HAVING count(*) > 1
+""")
+def jpeg_ahash_dup_groups(sf_dir: str):
+    """Perceptual image dedup through the REAL baseline JPEG codec
+    (stages/jpeg.py, pure numpy against the public T.81 spec).
+
+    Payloads are BINARY 8x8 images: pixel k is 255 where the LCG
+    twin's threshold bit (p*64 > sum, the exact expression the SQL
+    replays) is 1, else 0. JPEG at q98 perturbs pixels by only a few
+    levels, far inside the 0/255-vs-mean margin, so the decoded
+    average-hash reproduces the source bit pattern exactly — making
+    the lossy encode -> decode -> hash -> group chain hash-checkable:
+    the oracle groups by the replayed bit string itself (clones AND
+    any cross-seed bit-pattern coincidences are both captured), so any
+    decoder drift, entropy-coding bug, or bit flip breaks the match."""
+    from ..stages.jpeg import encode_jpeg
+    from ..stages.multimodal import image_ahash_dup_groups as _groups
+    from ..stages.multimodal import render_lcg_image
+
+    ds = _read(sf_dir, "embeddings", ["vec_id"])
+
+    def _binimg(seed: int) -> np.ndarray:
+        p = render_lcg_image(seed).astype(np.int64)
+        bits = p * p.size > p.sum()
+        return np.where(bits, 255, 0).astype(np.uint8)
+
+    def _render(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy().astype(np.int64)
+        payloads = []
+        for i in ids.tolist():
+            seed = i - 3 if i % 7 == 3 else i
+            payloads.append(encode_jpeg(_binimg(seed), quality=98))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "payload": pa.array(payloads, pa.binary())})
+
+    media = ds.map_batches(_render, batch_format="pyarrow")
+    out = _groups(media)
+    return out.map_batches(
+        lambda b: pa.table({
+            "rep_id": pc.cast(b.column("rep_id"), pa.int64()),
+            "n_images": pc.cast(b.column("n_images"), pa.int64()),
+        }), batch_format="pyarrow")
+
+
 @register("packed_sequences", sql="""
 WITH RECURSIVE r AS (
   SELECT doc_id, lang, doc_id // 256 AS shard, n_chars,
@@ -3590,6 +3657,20 @@ def bpe_merges(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["text"])
     return train_bpe(ds, num_merges=10)
+
+
+@register("bpe_merges_distributed", sql=_bpe_sql())
+def bpe_merges_distributed(sf_dir: str):
+    """Same BPE training as bpe_merges, but with ``driver_limit=0`` so
+    the DISTRIBUTED merge path runs at oracle scale: every round is one
+    map_batches pair-count partial pass (driver folds only the
+    vocab-sized pair table) plus a broadcast merge-application pass.
+    Must be bit-identical to the driver-local path — same chained-CTE
+    DuckDB replay verifies both."""
+    from ..stages.bpe import train_bpe
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return train_bpe(ds, num_merges=10, driver_limit=0)
 
 
 _NEAR_INGEST_SQL = r"""

@@ -3,14 +3,18 @@
 Task-brief component: "treat image/audio/video as opaque binary columns
 with typed metadata; implement decode / feature-extract / resize /
 frame-sample as actor-pool map_batches stages". The CODEC layer is
-pluggable and now handles TWO REAL formats end-to-end with stdlib only:
+pluggable and handles THREE REAL formats end-to-end with no external
+dependency:
 
 - PNG (8-bit gray/RGB/RGBA, non-interlaced): zlib inflate + full
   filter-type 0-4 reconstruction (``decode_png``/``encode_png``),
+- baseline JPEG (SOF0, any 1/2/4 chroma sampling, stream Huffman
+  tables, restart markers): ``stages/jpeg.py``, written against the
+  public T.81 spec,
 - WAV (PCM16): stdlib ``wave`` (``decode_wav``/``encode_wav``).
 
-Heavier codecs (JPEG/FLAC/video) slot in behind the same ``Codec``
-interface (PIL / torchaudio / pyav) when available; the deterministic
+Heavier codecs (FLAC/video) slot in behind the same ``Codec``
+interface (torchaudio / pyav) when available; the deterministic
 fake header format remains for tests that want arbitrary shapes cheap.
 
 Schema convention for a media table::
@@ -190,13 +194,16 @@ class Codec:
     def decode_image(self, payload: bytes) -> np.ndarray:
         if payload[:8] == _PNG_SIG:
             return decode_png(payload)
+        if payload[:2] == b"\xff\xd8":          # JPEG SOI
+            from .jpeg import decode_jpeg
+            return decode_jpeg(payload)
         if payload[:4] == MAGIC_IMAGE:
             w, h, c = struct.unpack("<III", payload[4:16])
             return np.frombuffer(payload, dtype=np.uint8,
                                  offset=16).reshape(h, w, c)
         raise NotImplementedError(
-            "unsupported image format (PNG and the fake-codec header are "
-            "decodable here; JPEG needs an external codec library)")
+            "unsupported image format (PNG, baseline JPEG and the "
+            "fake-codec header are decodable here)")
 
     def decode_audio(self, payload: bytes) -> tuple[int, np.ndarray]:
         if payload[:4] == b"RIFF":
