@@ -281,7 +281,7 @@ def run_scaling() -> dict:
     import statistics
 
     have_taskset = shutil.which("taskset") is not None
-    trials = 3
+    trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "3"))
 
     def physical_core_pin(n: int) -> str | None:
         """First n DISTINCT physical cores from lscpu topology (cpus 0-7
@@ -346,6 +346,10 @@ def run_scaling() -> dict:
         "rows_per_sec_32cpu": round(tput_hi, 1),
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_median": round(eff_med, 3),
+        "trials_8cpu": [round(t, 2) for t in lo_times],
+        "trials_32cpu": [round(t, 2) for t in hi_times],
+        "spread_8cpu": round((max(lo_times) - min(lo_times)) / med_lo, 3),
+        "spread_32cpu": round((max(hi_times) - min(hi_times)) / med_hi, 3),
         "trials_per_level": trials,
         "low_level_core_pinned": have_taskset,
         "pin_set": pin if have_taskset else None,

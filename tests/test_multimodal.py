@@ -20,8 +20,11 @@ def test_codec_rejects_unsupported_formats():
     import wave
 
     codec = mm.Codec()
-    with pytest.raises(NotImplementedError):   # JPEG needs external libs
-        codec.decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
+    with pytest.raises(ValueError):            # JPEG magic routes to the
+        codec.decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")  # real decoder,
+        # which rejects a truncated/garbage stream loudly
+    with pytest.raises(NotImplementedError):   # unknown magic entirely
+        codec.decode_image(b"GIF89a not supported")
     with pytest.raises(wave.Error):            # RIFF routes to the real
         codec.decode_audio(b"RIFF....WAVE")    # WAV codec, which rejects
         # truncated/garbage containers loudly
