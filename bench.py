@@ -231,8 +231,29 @@ def run_bench() -> dict:
         # steady-state throughput: repeat in-session and keep the
         # fastest — run 1 still pays one-time costs (worker/actor spin
         # up for this specific stage chain) that a long-running cluster
-        # job amortizes away
-        t_flag = min(t_flag, bench_flagship(pages_path))
+        # job amortizes away. GRAFT_FLAGSHIP_REPEATS controls the
+        # in-session repeat count (default 2 = one extra run); a higher
+        # count tightens the min-estimator against host jitter on this
+        # shared VM at the cost of a longer trial.
+        # GRAFT_FLAGSHIP_SUM_PASSES=k (default 1) instead times k
+        # CONSECUTIVE passes as one region and reports the per-pass
+        # MEAN: at 32 CPUs a single pass is ~10 s, so ±2 s of shared-VM
+        # jitter reads as 20-40% trial spread, while a ~45 s region
+        # (k=4) absorbs it the same way the 8-CPU level's naturally
+        # longer passes do. The mean-of-k estimator measures SUSTAINED
+        # throughput (>= the min estimator), used symmetrically at both
+        # scaling levels; the first in-session run stays untimed warmup.
+        reps = max(1, int(os.environ.get("GRAFT_FLAGSHIP_REPEATS", "2")))
+        passes = max(1, int(os.environ.get("GRAFT_FLAGSHIP_SUM_PASSES", "1")))
+        if passes > 1:
+            meas = []
+            for _ in range(reps):
+                meas.append(sum(bench_flagship(pages_path)
+                                for _ in range(passes)) / passes)
+            t_flag = min(meas)
+        else:
+            for _ in range(reps - 1):
+                t_flag = min(t_flag, bench_flagship(pages_path))
         ray.shutdown()
         return {"metric": "flagship only", "value": round(t_flag, 3),
                 "unit": "sec", "queries": {"flagship_pages": round(t_flag, 3)},
@@ -301,9 +322,12 @@ def run_scaling() -> dict:
         cpus = sorted(int(c) for c in list(seen.values())[:n])
         return ",".join(str(c) for c in cpus) if len(cpus) >= n else "0-7"
 
-    def run_once(ncpu: int, pin: str | None) -> dict:
+    def run_once(ncpu: int, pin: str | None, warm: bool = False) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
                    GRAFT_FLAGSHIP_ONLY="1")
+        if warm:  # single in-session run is enough to warm caches
+            env["GRAFT_FLAGSHIP_REPEATS"] = "1"
+            env["GRAFT_FLAGSHIP_SUM_PASSES"] = "1"
         cmd = [sys.executable, os.path.abspath(__file__)]
         if pin and have_taskset:
             cmd = ["taskset", "-c", pin] + cmd
@@ -321,6 +345,15 @@ def run_scaling() -> dict:
     pin = physical_core_pin(8)
     lo = hi = None
     lo_times, hi_times = [], []
+    # Untimed throwaway trial per level before the timed interleave:
+    # the first minutes of a scaling session consistently measure
+    # slower at BOTH levels (OS page cache for the 2 GB input, /dev/shm
+    # object-store pages, VM frequency/credit ramp) — a decay that
+    # otherwise lands entirely in the early timed trials and inflates
+    # spread. GRAFT_SCALING_WARMUP=0 disables.
+    if int(os.environ.get("GRAFT_SCALING_WARMUP", "1")):
+        run_once(8, pin, warm=True)
+        run_once(32, None, warm=True)
     for _ in range(trials):
         r = run_once(8, pin)
         lo_times.append(r["queries"]["flagship_pages"])
@@ -335,6 +368,15 @@ def run_scaling() -> dict:
     med_hi = statistics.median(hi_times)
     eff_med = ((lo["pages_rows"] / med_hi)
                / (lo["pages_rows"] / med_lo)) / (32 / 8)
+    # Paired per-trial efficiency: trial i's 8- and 32-CPU runs are
+    # adjacent in time (interleaved), so a host-noise burst that slows
+    # one slows both and CANCELS in the ratio — the spread of these is
+    # the measurement's real stability, while raw trial-time spread
+    # also absorbs whole-host bursts (observed: the same trial index
+    # slow at BOTH levels).
+    paired = [round((l / h) / (32 / 8), 3)
+              for l, h in zip(lo_times, hi_times)]
+    pmed = statistics.median(paired)
     return {
         "metric": "flagship throughput scaling 8 -> 32 CPUs",
         "rows": lo["pages_rows"],
@@ -346,11 +388,20 @@ def run_scaling() -> dict:
         "rows_per_sec_32cpu": round(tput_hi, 1),
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_median": round(eff_med, 3),
+        "paired_trial_efficiencies": paired,
+        "paired_efficiency_median": round(pmed, 3),
+        "paired_efficiency_spread": round(
+            (max(paired) - min(paired)) / pmed, 3),
         "trials_8cpu": [round(t, 2) for t in lo_times],
         "trials_32cpu": [round(t, 2) for t in hi_times],
         "spread_8cpu": round((max(lo_times) - min(lo_times)) / med_lo, 3),
         "spread_32cpu": round((max(hi_times) - min(hi_times)) / med_hi, 3),
         "trials_per_level": trials,
+        "repeats_per_trial": max(
+            1, int(os.environ.get("GRAFT_FLAGSHIP_REPEATS", "2"))),
+        "sum_passes_per_repeat": max(
+            1, int(os.environ.get("GRAFT_FLAGSHIP_SUM_PASSES", "1"))),
+        "warmup_trials": int(os.environ.get("GRAFT_SCALING_WARMUP", "1")),
         "low_level_core_pinned": have_taskset,
         "pin_set": pin if have_taskset else None,
         "sf": _sf_token(SF_DIR),

@@ -59,15 +59,29 @@ def partial_group_sums(key_cols: list[str], sum_cols: list[str],
 def grouped_count_sum(ds, key_cols: list[str], sum_cols: list[str],
                       count_alias: str = "n",
                       min_cols: list[str] | None = None,
-                      max_cols: list[str] | None = None):
+                      max_cols: list[str] | None = None,
+                      coalesce: int | None = None):
     """count + sums per key with batch-level pre-aggregation.
 
     Result columns: key_cols, ``count_alias``, and ``{c}_sum`` per sum col
     (plus ``{c}_min``/``{c}_max`` when requested).
+
+    ``coalesce``: when the key cardinality K is known-small (zones,
+    nations, sites — tens to thousands), pass a small block count to
+    collapse the slim partials (O(B*K) rows for B input blocks) before
+    the groupby. Ray's sort shuffle makes one reduce partition per
+    input block, so K keys spread over B>>K partials blocks leaves most
+    reduce partitions EMPTY — each emits a zero-row empty-schema block
+    ("RefBundle with a different schema" warnings) and pays a task
+    launch. Coalescing to ~1 block makes the final combine one small
+    task. Leave None for high-cardinality keys (the partials are no
+    longer slim; use grouped_count_sum_bucketed there instead).
     """
     partial = partial_group_sums(key_cols, sum_cols, min_cols=min_cols,
                                  max_cols=max_cols)
     partials = ds.map_batches(partial, batch_format="pyarrow")
+    if coalesce is not None:
+        partials = coalesce_blocks(partials, coalesce)
     aggs = [Sum("_n", alias_name=count_alias)]
     for c in sum_cols:
         aggs.append(Sum(f"{c}_sum", alias_name=f"{c}_sum"))

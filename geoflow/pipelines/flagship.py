@@ -165,6 +165,14 @@ def dedup_exact(enriched_ds, num_buckets: int = 64):
         })
 
     slim = enriched_ds.map_batches(_local_combine, batch_format="pyarrow")
+    # Ray's sort shuffle makes one reduce partition per input block;
+    # with B blocks >> num_buckets keys, most partitions are EMPTY
+    # (zero-row empty-schema output blocks + a wasted task launch each).
+    # Coalescing the slim pre-combined rows to ~num_buckets/2 blocks
+    # first keeps every reduce partition populated; the narrow
+    # repartition moves only the ~24 B/row combiner output.
+    from ..functions.agg import coalesce_blocks
+    slim = coalesce_blocks(slim, max(2, num_buckets // 2))
     winners = slim.groupby("_bk").map_groups(
         _final_combine, batch_format="pyarrow")
 
@@ -211,7 +219,11 @@ def zonal_page_stats(enriched_ds, zone_res: int = ZONE_CELL_RES):
             "zone", pa.array(zone.astype(np.int64), pa.int64()))
 
     zoned = enriched_ds.map_batches(_add_zone, batch_format="pyarrow")
-    return grouped_count_sum(zoned, ["zone"], ["n_chars"], count_alias="n_pages")
+    # coarse zones (<= 4^zone_res keys): coalesce the slim partials so
+    # the sort shuffle doesn't launch one mostly-empty reduce partition
+    # per input block
+    return grouped_count_sum(zoned, ["zone"], ["n_chars"],
+                             count_alias="n_pages", coalesce=1)
 
 
 def zonal_page_stats_driver(enriched_ds, zone_res: int = ZONE_CELL_RES):

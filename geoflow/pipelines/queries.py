@@ -180,7 +180,7 @@ def q1_pricing_summary(sf_dir: str):
         ds.map_batches(_prep, batch_format="pyarrow"),
         ["l_returnflag", "l_linestatus"],
         ["l_quantity", "base_cents", "disc_e4"],
-        count_alias="n_rows")
+        count_alias="n_rows", coalesce=1)
 
     def _final(b: pa.Table) -> pa.Table:
         n = b.column("n_rows").to_numpy().astype(np.float64)
@@ -259,7 +259,7 @@ def orders_by_nation(sf_dir: str):
         ds.map_batches(_cents, batch_format="pyarrow"),
         "o_custkey", sf_dir, "n_name", nation_of)
     agg = grouped_count_sum(tagged, ["n_name"], ["cents"],
-                            count_alias="n_orders")
+                            count_alias="n_orders", coalesce=1)
 
     def _final(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -361,7 +361,7 @@ def events_hourly(sf_dir: str):
 
     agg = grouped_count_sum(ds.map_batches(_bucket, batch_format="pyarrow"),
                             ["event_type", "hour_bucket"], ["value"],
-                            count_alias="n_events")
+                            count_alias="n_events", coalesce=1)
 
     def _final(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -694,7 +694,7 @@ def geo_zonal_docs(sf_dir: str):
 
     agg = grouped_count_sum(ds.map_batches(_cell, batch_format="pyarrow"),
                             ["cell_x", "cell_y"], ["n_chars"],
-                            count_alias="n_docs")
+                            count_alias="n_docs", coalesce=1)
 
     def _final(b: pa.Table) -> pa.Table:
         n = b.column("n_docs").to_numpy().astype(np.float64)
@@ -802,6 +802,11 @@ def knn_cosine_top5(sf_dir: str):
     queries = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
         lambda b: b.filter(pc.less(b.column("vec_id"), pa.scalar(10))),
         batch_format="pyarrow")
+    # the filter keeps ~10 rows, leaving most blocks EMPTY (untyped
+    # zero-row bundles + one wasted actor task each): collapse to one
+    # block before fanning out to the top-k actors
+    from ..functions.agg import coalesce_blocks
+    queries = coalesce_blocks(queries, 1)
     out = cosine_topk(queries, corpus, k=5)
     return out.map_batches(
         lambda b: pa.table({
@@ -822,8 +827,16 @@ def embedding_close_pairs(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     pairs = embedding_dup_pairs(ds, threshold=0.4)
+    # scoring tasks with no above-threshold pair emit 0-row blocks; a
+    # 0-row block yields no batches, so a downstream map_batches UDF
+    # never runs and the block degrades to an UNTYPED empty. Merging
+    # blocks first keeps the projection's input non-empty (pair output
+    # is small here: the exact route is guarded to <= 1M corpus rows).
+    from ..functions.agg import coalesce_blocks
+    pairs = coalesce_blocks(pairs, 32)
     return pairs.map_batches(
-        lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow")
+        lambda b: b.select(["id_a", "id_b"]), batch_format="pyarrow",
+        batch_size=None)
 
 
 # ---------------------------------------------------------------------------
@@ -1903,7 +1916,7 @@ def revenue_by_region(sf_dir: str):
         joined = bucketed_hash_join(orders, li_rev,
                                     "o_orderkey", "l_orderkey")
     agg = grouped_count_sum(joined, ["r_code"], ["rev_e4"],
-                            count_alias="n_items")
+                            count_alias="n_items", coalesce=1)
 
     def _final(b: pa.Table) -> pa.Table:
         codes = b.column("r_code").to_numpy().astype(np.int64)
@@ -2180,7 +2193,8 @@ def nearest_site_docs(sf_dir: str):
         })
 
     agg = grouped_count_sum(ds.map_batches(_assign, batch_format="pyarrow"),
-                            ["site"], ["dist_km"], count_alias="n_docs")
+                            ["site"], ["dist_km"], count_alias="n_docs",
+                            coalesce=1)
 
     def _final(b: pa.Table) -> pa.Table:
         return pa.table({

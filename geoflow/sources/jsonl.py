@@ -94,7 +94,8 @@ def read_jsonl(paths: list[str], columns: list[str] | None = None,
     I/O bytes)."""
     import ray.data as rd
 
-    plan = rd.from_items(_plan_ranges(list(paths), range_bytes))
+    ranges = _plan_ranges(list(paths), range_bytes)
+    plan = rd.from_items(ranges, override_num_blocks=max(1, len(ranges)))
 
     def _parse(b: pa.Table) -> pa.Table:
         tables = []

@@ -110,6 +110,11 @@ def fit_corrections(terrain_ds, ctx: CorrectionContext = DEFAULT_CONTEXT) -> dic
     """Streaming fit pass -> {raster_id: coeffs} (oracle-shaped dicts)."""
     partials = terrain_ds.map_batches(
         lambda b: fit_moments_batch(b, ctx), batch_format="pyarrow")
+    # few (raster, band) keys over many tile blocks: coalesce the slim
+    # per-batch moment rows so the sort shuffle doesn't make one (mostly
+    # empty) reduce partition per tile block
+    from ..functions.agg import coalesce_blocks
+    partials = coalesce_blocks(partials, 1)
     aggs = [Sum(c, alias_name=c) for c in _MOMENT_COLS]
     table = partials.groupby(["raster_id", "band"]).aggregate(*aggs).to_pandas()
     out: dict[str, dict] = {}

@@ -85,7 +85,9 @@ def cost_distance_tiles(dem: np.ndarray, sources: list[tuple[int, int]],
                 "dist": d.ravel().tolist(),
                 "cost": dem[ty:ty + h, tx:tx + w].ravel()
                 .astype(np.int64).tolist()})
-    ds = rd.from_items(rows)
+    # one block per tile row-item: from_items' default parallelism would
+    # pad short lists with empty untyped blocks
+    ds = rd.from_items(rows, override_num_blocks=max(1, len(rows)))
     nty = (H + tile - 1) // tile
     ntx = (W + tile - 1) // tile
 

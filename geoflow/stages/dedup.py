@@ -980,8 +980,12 @@ def embedding_dup_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
     refs = norm.to_arrow_refs()
     refs_ref = ray.put(refs)
     k = len(refs)
+    items = [{"bi": i, "bj": j} for i in range(k) for j in range(i, k)]
+    # explicit block count: from_items' default parallelism (~200) would
+    # otherwise pad a short pair list with EMPTY untyped blocks, each a
+    # wasted task + an empty-schema bundle downstream
     pair_ds = rd.from_items(
-        [{"bi": i, "bj": j} for i in range(k) for j in range(i, k)])
+        items, override_num_blocks=max(1, (len(items) + 3) // 4))
 
     def _score(batch: pa.Table) -> pa.Table:
         blocks = ray.get(refs_ref)
@@ -1019,4 +1023,9 @@ def embedding_dup_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
             "cosine": pa.array(np.concatenate(out_c)),
         })
 
-    return pair_ds.map_batches(_score, batch_format="pyarrow", batch_size=4)
+    # whole-block batches: the 4-pairs-per-task granularity is set by
+    # from_items' override_num_blocks above; an explicit batch_size made
+    # Ray's slicer emit trailing ZERO-ROW batches that bypassed the UDF
+    # as untyped empty output blocks
+    return pair_ds.map_batches(_score, batch_format="pyarrow",
+                               batch_size=None)

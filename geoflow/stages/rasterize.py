@@ -94,7 +94,7 @@ def rasterize_polygons(polygons: pd.DataFrame, grid_w: int, grid_h: int,
 
     blocks = [{"row_lo": lo, "row_hi": min(lo + rows_per_block, grid_h)}
               for lo in range(0, grid_h, rows_per_block)]
-    plan = rd.from_items(blocks)
+    plan = rd.from_items(blocks, override_num_blocks=max(1, len(blocks)))
 
     def _f(b: pa.Table) -> pa.Table:
         ps = ray.get(ref)
