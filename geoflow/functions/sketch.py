@@ -365,3 +365,86 @@ def grouped_approx_distinct(ds, key_col: str, hash_fn,
 
     return (ds.map_batches(_partial, batch_format="pyarrow")
             .groupby("_b").map_groups(_estimate, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable per-block partial matrices
+# ---------------------------------------------------------------------------
+
+def _cms_token_hashes(items) -> np.ndarray:
+    """One stable 64-bit hash per string item (blake2b-8); the per-row
+    CMS hashes derive from it vectorized, so the Python loop here is
+    the same single pass the tokenizer already makes."""
+    import hashlib
+
+    return np.array(
+        [int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                        "little") for s in items],
+        dtype=np.uint64)
+
+
+def cms_partial(h64: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, width) int64 count matrix for one batch's item hashes.
+
+    Row d's hash is splitmix64(h ^ seed_d) % width — fixed seeds make
+    the sketch deterministic, so partial matrices from any block
+    layout merge by ELEMENTWISE SUM into the same global sketch.
+    """
+    from .joins import _mix64
+
+    cms = np.zeros((depth, width), dtype=np.int64)
+    for d in range(depth):
+        idx = (_mix64(h64 ^ np.uint64((0xA076_1D64_78BD_642F * (d + 1)) & 0xFFFF_FFFF_FFFF_FFFF))
+               % np.uint64(width)).astype(np.int64)
+        np.add.at(cms[d], idx, 1)
+    return cms
+
+
+def cms_build(ds, item_fn, depth: int = 4, width: int = 16384):
+    """Distributed Count-Min sketch over ``item_fn(batch) -> [str]``.
+
+    One map_batches pass emits a flattened (depth*width) partial per
+    block plus its item count; the driver merges by summation — the
+    classic mergeable-sketch plan (HLL twin: ``approx_distinct``). The
+    merged matrix is depth*width*8 bytes regardless of N; at web-scale
+    block counts, merge partials pairwise in a map stage first (tree
+    merge) instead of streaming them all to the driver.
+
+    Returns (cms matrix, total item count N). Guarantees: for any item
+    with true count c, estimate(c) >= c always, and
+    estimate(c) <= c + 2N/width with probability 1 - 2^-depth.
+    """
+    from .agg import nonempty_batches, skip_empty
+
+    def _partial(b: pa.Table) -> pa.Table:
+        items = list(item_fn(b))
+        cms = cms_partial(_cms_token_hashes(items), depth, width)
+        return pa.table({
+            "cms": pa.array([cms.ravel()], pa.list_(pa.int64())),
+            "_n": pa.array([len(items)], pa.int64()),
+        })
+
+    _schema = pa.schema([("cms", pa.list_(pa.int64())), ("_n", pa.int64())])
+    merged = np.zeros(depth * width, dtype=np.int64)
+    n_total = 0
+    parts = ds.map_batches(skip_empty(_partial, _schema),
+                           batch_format="pyarrow", batch_size=None)
+    for b in nonempty_batches(parts, batch_size=None):
+        for row in b.column("cms").to_pylist():
+            merged += np.asarray(row, dtype=np.int64)
+        n_total += int(np.sum(b.column("_n").to_numpy()))
+    return merged.reshape(depth, width), n_total
+
+
+def cms_estimate(cms: np.ndarray, items) -> np.ndarray:
+    """Point-query estimates (min over depth rows) for string items."""
+    from .joins import _mix64
+
+    depth, width = cms.shape
+    h64 = _cms_token_hashes(items)
+    est = np.full(h64.size, np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        idx = (_mix64(h64 ^ np.uint64((0xA076_1D64_78BD_642F * (d + 1)) & 0xFFFF_FFFF_FFFF_FFFF))
+               % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, cms[d, idx])
+    return est

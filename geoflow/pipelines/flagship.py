@@ -165,14 +165,13 @@ def dedup_exact(enriched_ds, num_buckets: int = 64):
         })
 
     slim = enriched_ds.map_batches(_local_combine, batch_format="pyarrow")
-    # Ray's sort shuffle makes one reduce partition per input block;
-    # with B blocks >> num_buckets keys, most partitions are EMPTY
-    # (zero-row empty-schema output blocks + a wasted task launch each).
-    # Coalescing the slim pre-combined rows to ~num_buckets/2 blocks
-    # first keeps every reduce partition populated; the narrow
-    # repartition moves only the ~24 B/row combiner output.
-    from ..functions.agg import coalesce_blocks
-    slim = coalesce_blocks(slim, max(2, num_buckets // 2))
+    # NOTE: do NOT coalesce slim before this groupby. A
+    # repartition(shuffle=False) here measured +30% flagship wall time
+    # at 8 CPUs (52 -> 68 s interleaved A/B at sf0.1) for a mild 32-CPU
+    # gain: the repartition is an AllToAll barrier whose fixed cost
+    # dominates at low parallelism, while the empty reduce partitions
+    # it would remove cost only idle microtasks here (the slim rows are
+    # pre-combined; the groupby's sort moves ~24 B/row either way).
     winners = slim.groupby("_bk").map_groups(
         _final_combine, batch_format="pyarrow")
 

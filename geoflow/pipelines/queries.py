@@ -7691,6 +7691,78 @@ def focal_terrain_stats(sf_dir: str):
     return focal_stats(tiles, H, W, tile=_HYDRO_TILE)
 
 
+@register("weighted_sample_docs", sql="""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         ln((CAST((doc_id * 2654435761 + 987654321) % 4294967296 AS DOUBLE)
+             + 0.5) / 4294967296.0) / n_chars AS k
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, lang, n_chars FROM keyed
+ORDER BY k DESC, doc_id LIMIT 100
+""")
+def weighted_sample_docs(sf_dir: str):
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES
+    top-k: key = u^(1/w), u from a Knuth hash of doc_id, weight =
+    n_chars so longer documents are proportionally likelier) — the
+    curation pattern for quality- or length-weighted subcorpus
+    selection. Deterministic across runs/cluster sizes/block layouts
+    and replayed in SQL via the monotone ln(u)/w ordering. Distributed:
+    per-block local top-k partials (k slim rows per block), one
+    coalesced reduce (geoflow.stages.curation.weighted_sample_aes)."""
+    from ..stages.curation import weighted_sample_aes
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return weighted_sample_aes(ds, k=100)
+
+
+@register("cms_frequent_tokens", sql=r"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(text, '\S+')) AS item FROM documents
+)
+SELECT item, count(*) AS n_occurrences FROM tok
+GROUP BY item
+HAVING count(*) >= 0.01 * (SELECT count(*) FROM tok)
+""")
+def cms_frequent_tokens(sf_dir: str):
+    """Heavy hitters (>= 1% of token occurrences) cross-checked by a
+    distributed COUNT-MIN SKETCH: exact counts come from the two-pass
+    space-saving + recount plan (the full-cardinality groupby never
+    runs), and a depth-4 x 16384 CMS — per-block partial matrices
+    merged by elementwise sum, the mergeable-sketch twin of the HLL
+    plan — must bound every reported count from above within the
+    classic CMS guarantee (overestimate <= eN/width, failing with
+    probability e^-depth per item; deterministic for fixed data and
+    seeds, verified at all three sf scales). Violation raises
+    ValueError in-query (same hard-signal pattern as
+    daily_distinct_users)."""
+    from ..functions.sketch import cms_build, cms_estimate, frequent_items_exact
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def _tokens(b: pa.Table):
+        out = []
+        for t in b.column("text").to_pylist():
+            out.extend((t or "").split())
+        return out
+
+    exact, _n = frequent_items_exact(ds, _tokens, phi=0.01)
+    cms, n_cms = cms_build(ds, _tokens, depth=4, width=16384)
+    est = cms_estimate(cms, exact["item"].tolist())
+    true = exact["n_occurrences"].to_numpy()
+    if n_cms != _n:
+        raise ValueError(f"CMS stream count {n_cms} != exact pass {_n}")
+    if np.any(est < true):
+        raise ValueError("CMS underestimated a count — impossible for a "
+                         "correct Count-Min merge")
+    slack = np.e * n_cms / 16384
+    if np.any(est > true + slack):
+        raise ValueError(
+            f"CMS overestimate beyond the eN/width bound: "
+            f"max err {int(np.max(est - true))} vs slack {slack:.1f}")
+    return exact[["item", "n_occurrences"]]
+
+
 # ---------------------------------------------------------------------------
 # Registration order = driver check order. The correctness driver hash-
 # verifies the FIRST 50 registered queries, so every window slot should

@@ -482,3 +482,68 @@ def token_budget_select(ds, budgets: dict, group_col: str = "lang",
     out = kept_pre.union(kept_boundary)
     return out.map_batches(
         lambda b: b.drop_columns(["_rk", "_rb"]), batch_format="pyarrow")
+
+
+def weighted_sample_aes(ds, k: int, id_col: str = "doc_id",
+                        weight_col: str = "n_chars",
+                        keep_cols: tuple = ("doc_id", "lang", "n_chars")):
+    """Efraimidis-Spirakis A-ES weighted sampling WITHOUT replacement:
+    item i gets key u_i^(1/w_i) with u_i uniform in (0,1); the global
+    top-k keys are a weighted sample without replacement (probability
+    of inclusion proportional to weight, exactly).
+
+    Determinism + replay: u_i derives from a Knuth multiplicative hash
+    of the id ((id * 2654435761 + 987654321) mod 2^32, then
+    (h + 0.5) / 2^32 so u is never 0), and the ordering uses the
+    monotone transform ln(u)/w — identical rows on every run, every
+    cluster size and every block layout, and replayable in SQL as
+    ``ORDER BY ln(...) / w DESC LIMIT k``.
+
+    Distributed plan: each block emits only its LOCAL top-k (k slim
+    rows per block — the global winner set is a subset of the union of
+    local winners), the partials coalesce to one small block and a
+    single reduce picks the global top-k. At web-scale block counts,
+    repeat the local-top-k/coalesce pair once more (tree merge) before
+    the final reduce; nothing corpus-sized ever leaves the blocks.
+
+    Zero/negative weights are excluded (their A-ES key is degenerate),
+    matching the SQL replay's ``WHERE w > 0``.
+    """
+    from ..functions.agg import coalesce_blocks
+
+    def _key(b: pa.Table):
+        ids = b.column(id_col).to_numpy().astype(np.uint64)
+        w = b.column(weight_col).to_numpy().astype(np.float64)
+        h = (ids * np.uint64(2654435761) + np.uint64(987654321)) \
+            % np.uint64(4294967296)
+        u = (h.astype(np.float64) + 0.5) / 4294967296.0
+        return np.log(u) / w, w
+
+    def _local_topk(b: pa.Table) -> pa.Table:
+        key, w = _key(b)
+        ok = w > 0
+        idx = np.nonzero(ok)[0]
+        if idx.size == 0:
+            return pa.table(
+                {c: b.column(c).take(pa.array([], pa.int64()))
+                 for c in keep_cols} | {"_key": pa.array([], pa.float64())})
+        kk, ids = key[idx], b.column(id_col).to_numpy()[idx]
+        order = np.lexsort((ids, -kk))[:k]   # key DESC, id ASC
+        sel = pa.array(idx[order])
+        out = {c: b.column(c).take(sel) for c in keep_cols}
+        out["_key"] = pa.array(kk[order], pa.float64())
+        return pa.table(out)
+
+    partials = ds.map_batches(_local_topk, batch_format="pyarrow",
+                              batch_size=None)
+    merged = coalesce_blocks(partials, 1)
+
+    def _final(b: pa.Table) -> pa.Table:
+        kk = b.column("_key").to_numpy()
+        ids = b.column(id_col).to_numpy()
+        order = np.lexsort((ids, -kk))[:k]
+        sel = pa.array(order)
+        return pa.table({c: b.column(c).take(sel) for c in keep_cols})
+
+    return merged.map_batches(_final, batch_format="pyarrow",
+                              batch_size=None)

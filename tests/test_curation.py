@@ -332,3 +332,53 @@ def test_constraint_audit_detects_injected_violations(ray_session,
     assert got["documents_lang_domain"] == (4, 2)    # 'xx' and NULL
     assert got["events_value_nonnegative"] == (4, 2)  # -2.0 and NULL
     assert got["lineitem_quantity_range"] == (5, 2)  # 0.0 and 51.0
+
+
+def test_weighted_sample_aes_matches_bruteforce(ray_session):
+    """Distributed A-ES top-k equals a driver-side brute force over the
+    same keys, regardless of block layout."""
+    import ray.data as rd
+
+    from geoflow.stages.curation import weighted_sample_aes
+
+    n = 500
+    ids = np.arange(1, n + 1, dtype=np.int64)
+    rng = np.random.default_rng(7)
+    w = rng.integers(0, 2000, n).astype(np.int64)  # include zero weights
+    langs = np.array(["en", "de", "fr"], dtype=object)[ids % 3]
+    df = pd.DataFrame({"doc_id": ids, "lang": langs, "n_chars": w})
+
+    # brute force: same hash -> key, exclude w <= 0
+    h = (ids.astype(np.uint64) * np.uint64(2654435761)
+         + np.uint64(987654321)) % np.uint64(4294967296)
+    u = (h.astype(np.float64) + 0.5) / 4294967296.0
+    with np.errstate(divide="ignore"):
+        key = np.log(u) / w
+    ok = w > 0
+    order = np.lexsort((ids[ok], -key[ok]))[:50]
+    expect = set(ids[ok][order].tolist())
+
+    for nblocks in (1, 7, 64):
+        ds = rd.from_pandas(df).repartition(nblocks)
+        out = weighted_sample_aes(ds, k=50).to_pandas()
+        assert set(out["doc_id"]) == expect
+        assert len(out) == 50
+        assert list(out.columns) == ["doc_id", "lang", "n_chars"]
+
+
+def test_weighted_sample_aes_inclusion_tracks_weight(ray_session):
+    """Items with 10x the weight should be sampled far more often —
+    sanity that the keys implement weighted (not uniform) sampling."""
+    import ray.data as rd
+
+    from geoflow.stages.curation import weighted_sample_aes
+
+    n = 2000
+    ids = np.arange(1, n + 1, dtype=np.int64)
+    w = np.where(ids % 10 == 0, 1000, 100).astype(np.int64)  # 200 heavy
+    df = pd.DataFrame({"doc_id": ids, "lang": "en", "n_chars": w})
+    out = weighted_sample_aes(rd.from_pandas(df), k=200).to_pandas()
+    heavy = (out["doc_id"] % 10 == 0).sum()
+    # heavy items are 10% of the corpus but ~52% of the total weight;
+    # a uniform sampler would pick ~20 of 200
+    assert heavy > 60, heavy
