@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _mix64(keys: np.ndarray) -> np.ndarray:
@@ -416,3 +417,146 @@ def broadcast_range_join(ds, value_col: str, bands: pd.DataFrame,
         return batch.append_column(label_col, pa.array(hit))
 
     return ds.map_batches(_probe, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Windowed interval-join aggregate: per left row, count/sum of right
+# rows with the same key inside (left_on - window, left_on]
+# ---------------------------------------------------------------------------
+
+def _window_sum_core(kl, tl, kr, tr, sums: dict, window_us: int):
+    """Vectorized range-aggregate core shared by the broadcast and
+    bucketed plans: right side sorted once by (key, ts) and prefix-
+    summed; each left row resolves to TWO searchsorted probes on the
+    order-preserving ``key * (distinct_ts + 1) + ts_rank`` encode (the
+    same encode as ``broadcast_asof_lookup``), so the joined rows are
+    never materialized — count = hi - lo, sum = P[hi] - P[lo]."""
+    order = np.lexsort((tr, kr))
+    kr_s, tr_s = kr[order], tr[order]
+    uts = np.unique(tr_s)
+    m = len(uts) + 1
+    if len(kr_s) and int(kr_s.max()) >= (2 ** 63 - 1) // max(m, 1):
+        raise OverflowError("key * ts-rank encode exceeds int64")
+    enc_r = kr_s * m + (np.searchsorted(uts, tr_s) + 1)
+    pref = {c: np.concatenate([[0], np.cumsum(v[order])])
+            for c, v in sums.items()}
+    rank_hi = np.searchsorted(uts, tl, side="right")
+    rank_lo = np.searchsorted(uts, tl - window_us, side="right")
+    hi = np.searchsorted(enc_r, kl * m + rank_hi, side="right")
+    lo = np.searchsorted(enc_r, kl * m + rank_lo, side="right")
+    count = hi - lo
+    return count, {c: p[hi] - p[lo] for c, p in pref.items()}
+
+
+def broadcast_window_sum(left_ds, right_df, key: tuple[str, str],
+                         on: tuple[str, str], window_us: int,
+                         sum_cols: list[str], count_alias: str = "n"):
+    """Per left row: count + sums of BROADCAST right rows with the same
+    key and ``right_on`` in ``(left_on - window, left_on]`` — the
+    sliding-window non-equi join with the aggregate pushed INTO the
+    join (no pair expansion: a user with 1000 orders in the window
+    costs two binary searches, not 1000 output rows). Inner semantics:
+    left rows with an empty window drop. Zero shuffle; the right side
+    ships once via ``ray.put``. Size-guarding is the caller's job
+    (``grouped_window_sum`` is the shuffle twin above the limit)."""
+    import ray
+
+    left_key, right_key = key
+    left_on, right_on = on
+    kr = right_df[right_key].to_numpy(dtype=np.int64)
+    tr = right_df[right_on].to_numpy(dtype="datetime64[us]").view("int64")
+    sums = {c: right_df[c].to_numpy(dtype=np.int64) for c in sum_cols}
+    ref = ray.put((kr, tr, sums))
+
+    def _probe(b: pa.Table) -> pa.Table:
+        kr_, tr_, sums_ = ray.get(ref)
+        kl = b.column(left_key).to_numpy().astype(np.int64)
+        tl = b.column(left_on).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view("int64")
+        count, agg = _window_sum_core(kl, tl, kr_, tr_, sums_, window_us)
+        hit = count > 0
+        out = b.filter(pa.array(hit))
+        out = out.append_column(count_alias,
+                                pa.array(count[hit], pa.int64()))
+        for c in sum_cols:
+            out = out.append_column(f"{c}_sum",
+                                    pa.array(agg[c][hit], pa.int64()))
+        return out
+
+    return left_ds.map_batches(_probe, batch_format="pyarrow")
+
+
+def grouped_window_sum(left_ds, right_ds, key: tuple[str, str],
+                       on: tuple[str, str], window_us: int,
+                       left_id_col: str, sum_cols: list[str],
+                       count_alias: str = "n",
+                       num_buckets: int | None = None):
+    """Shuffle twin of ``broadcast_window_sum`` for right sides above
+    the broadcast budget: both sides tagged with a key-hash bucket,
+    unioned slim, and each bucket group runs the same searchsorted /
+    prefix-sum core — per-key state never leaves its reducer, each row
+    moves exactly once, and the aggregate still never materializes the
+    joined pairs. Partitioning assumption: all rows of one key land in
+    one bucket group (guaranteed by hashing the key itself)."""
+    if num_buckets is None:
+        num_buckets = _auto_buckets(left_ds, right_ds)
+    left_key, right_key = key
+    left_on, right_on = on
+
+    def _slim_left(b: pa.Table) -> pa.Table:
+        k = b.column(left_key).to_numpy().astype(np.int64)
+        t = b.column(left_on).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view("int64")
+        cols = {
+            "_k": pa.array(k), "_t": pa.array(t),
+            "_id": pc.cast(b.column(left_id_col), pa.int64()),
+            "_side": pa.array(np.zeros(len(k), dtype=np.int8)),
+        }
+        for c in sum_cols:
+            cols[c] = pa.array(np.zeros(len(k), dtype=np.int64))
+        bk = (_mix64(k.astype(np.uint64)) % np.uint64(num_buckets))
+        cols["_b"] = pa.array(bk.astype(np.int32))
+        return pa.table(cols)
+
+    def _slim_right(b: pa.Table) -> pa.Table:
+        k = b.column(right_key).to_numpy().astype(np.int64)
+        t = b.column(right_on).to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view("int64")
+        cols = {
+            "_k": pa.array(k), "_t": pa.array(t),
+            "_id": pa.array(np.zeros(len(k), dtype=np.int64)),
+            "_side": pa.array(np.ones(len(k), dtype=np.int8)),
+        }
+        for c in sum_cols:
+            cols[c] = pc.cast(b.column(c), pa.int64())
+        bk = (_mix64(k.astype(np.uint64)) % np.uint64(num_buckets))
+        cols["_b"] = pa.array(bk.astype(np.int32))
+        return pa.table(cols)
+
+    unioned = (left_ds.map_batches(_slim_left, batch_format="pyarrow")
+               .union(right_ds.map_batches(_slim_right,
+                                           batch_format="pyarrow")))
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["_side"] == 0]
+        right = g[g["_side"] == 1]
+        if not len(left) or not len(right):
+            return pd.DataFrame({
+                left_id_col: pd.Series(dtype=np.int64),
+                count_alias: pd.Series(dtype=np.int64),
+                **{f"{c}_sum": pd.Series(dtype=np.int64)
+                   for c in sum_cols}})
+        sums = {c: right[c].to_numpy(dtype=np.int64) for c in sum_cols}
+        count, agg = _window_sum_core(
+            left["_k"].to_numpy(dtype=np.int64),
+            left["_t"].to_numpy(dtype=np.int64),
+            right["_k"].to_numpy(dtype=np.int64),
+            right["_t"].to_numpy(dtype=np.int64), sums, window_us)
+        hit = count > 0
+        out = {left_id_col: left["_id"].to_numpy()[hit],
+               count_alias: count[hit]}
+        for c in sum_cols:
+            out[f"{c}_sum"] = agg[c][hit]
+        return pd.DataFrame(out)
+
+    return unioned.groupby("_b").map_groups(_bucket, batch_format="pandas")

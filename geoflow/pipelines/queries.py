@@ -7716,6 +7716,86 @@ def weighted_sample_docs(sf_dir: str):
     return weighted_sample_aes(ds, k=100)
 
 
+_WINDOW_ACTIVITY_SQL = """
+SELECT a.event_id,
+       count(*) AS n_window,
+       CAST(sum(CAST(round(b.value * 10000) AS BIGINT)) AS BIGINT)
+           AS value_e4_sum
+FROM events a JOIN events b
+  ON b.user_id = a.user_id
+ AND b.ts <= a.ts
+ AND b.ts > a.ts - INTERVAL 1 HOUR
+GROUP BY a.event_id
+"""
+
+
+def _events_window_activity(sf_dir: str, force_grouped: bool = False):
+    from ..functions.joins import broadcast_window_sum, grouped_window_sum
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    right = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def _e4(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "ts": b.column("ts"),
+            "value_e4": np.round(
+                b.column("value").to_numpy() * 10000).astype(np.int64),
+        })
+
+    r = right.map_batches(_e4, batch_format="pyarrow")
+    window_us = 3_600 * 1_000_000
+    if not force_grouped and right.count() <= BROADCAST_ROW_LIMIT:
+        joined = broadcast_window_sum(
+            events, r.to_pandas(), key=("user_id", "user_id"),
+            on=("ts", "ts"), window_us=window_us,
+            sum_cols=["value_e4"], count_alias="n_window")
+        return joined.map_batches(
+            lambda b: pa.table({
+                "event_id": pc.cast(b.column("event_id"), pa.int64()),
+                "n_window": b.column("n_window"),
+                "value_e4_sum": b.column("value_e4_sum"),
+            }), batch_format="pyarrow")
+    out = grouped_window_sum(
+        events, r, key=("user_id", "user_id"),
+        on=("ts", "ts"), window_us=window_us,
+        left_id_col="event_id", sum_cols=["value_e4"],
+        count_alias="n_window")
+    return out.map_batches(
+        lambda b: pa.table({
+            "event_id": b.column("event_id"),
+            "n_window": b.column("n_window"),
+            "value_e4_sum": b.column("value_e4_sum"),
+        }), batch_format="pyarrow")
+
+
+@register("events_window_activity", sql=_WINDOW_ACTIVITY_SQL)
+def events_window_activity(sf_dir: str):
+    """Sliding-window interval self-join with the aggregate pushed INTO
+    the join: per event, count + exact e4-integer value-sum of the SAME
+    user's events in (ts - 1 hour, ts] — the trailing-activity feature
+    every abuse/engagement pipeline derives. The joined pairs are NEVER
+    materialized: the right side is sorted + prefix-summed once and
+    each event resolves to two vectorized searchsorted probes (a user
+    with 1000 in-window events costs two binary searches, not 1000
+    intermediate rows), so the plan is immune to the quadratic pair
+    blow-up a generic non-equi join hits on hot keys at web scale.
+    Size-guarded: broadcast probe under BROADCAST_ROW_LIMIT right rows,
+    one-shuffle bucketed twin above
+    (functions.joins.broadcast_window_sum / grouped_window_sum)."""
+    return _events_window_activity(sf_dir)
+
+
+@register("events_window_activity_grouped", sql=_WINDOW_ACTIVITY_SQL)
+def events_window_activity_grouped(sf_dir: str):
+    """Scale-path twin of events_window_activity with the broadcast
+    guard forced off: the one-shuffle bucketed plan (slim union,
+    per-bucket searchsorted/prefix-sum core) must replay the SAME
+    oracle — the bpe_merges_distributed pattern of exercising the
+    big-data route at oracle scale."""
+    return _events_window_activity(sf_dir, force_grouped=True)
+
+
 @register("cms_frequent_tokens", sql=r"""
 WITH tok AS (
   SELECT unnest(regexp_extract_all(text, '\S+')) AS item FROM documents

@@ -206,3 +206,58 @@ def test_resample_ffill_ties_and_bounds(ray_session):
     assert out["step"].tolist() == [d0, d0 + 1, d0 + 2]
     # day 2 midnight: the exact-match tie resolves to event_id 4
     assert out["last_value"].tolist() == [10.0, 30.0, 30.0]
+
+
+def test_window_sum_core_matches_bruteforce():
+    from geoflow.functions.joins import _window_sum_core
+
+    rng = np.random.default_rng(11)
+    n_r, n_l, W = 400, 200, 50
+    kr = rng.integers(0, 12, n_r).astype(np.int64)
+    tr = rng.integers(0, 500, n_r).astype(np.int64)
+    vals = rng.integers(-100, 100, n_r).astype(np.int64)
+    kl = rng.integers(0, 14, n_l).astype(np.int64)  # some keys unseen
+    tl = rng.integers(0, 500, n_l).astype(np.int64)
+    count, sums = _window_sum_core(kl, tl, kr, tr, {"v": vals}, W)
+    for i in range(n_l):
+        m = (kr == kl[i]) & (tr <= tl[i]) & (tr > tl[i] - W)
+        assert count[i] == m.sum()
+        assert sums["v"][i] == vals[m].sum()
+
+
+def test_window_sum_broadcast_equals_grouped(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from geoflow.functions.joins import (broadcast_window_sum,
+                                         grouped_window_sum)
+
+    rng = np.random.default_rng(5)
+    n = 500
+    base = np.datetime64("2024-01-01", "us")
+    right = pd.DataFrame({
+        "k": rng.integers(0, 20, n).astype(np.int64),
+        "t": base + rng.integers(0, 10**7, n).astype("timedelta64[us]"),
+        "v": rng.integers(0, 1000, n).astype(np.int64),
+    })
+    left = pd.DataFrame({
+        "k": rng.integers(0, 22, n).astype(np.int64),
+        "t": base + rng.integers(0, 10**7, n).astype("timedelta64[us]"),
+        "lid": np.arange(n, dtype=np.int64),
+    })
+    W = 2 * 10**6
+    bc = broadcast_window_sum(
+        rd.from_pandas(left).repartition(7), right, key=("k", "k"),
+        on=("t", "t"), window_us=W, sum_cols=["v"],
+        count_alias="n").to_pandas()
+    gp = grouped_window_sum(
+        rd.from_pandas(left).repartition(7),
+        rd.from_pandas(right).repartition(5), key=("k", "k"),
+        on=("t", "t"), window_us=W, left_id_col="lid",
+        sum_cols=["v"], count_alias="n").to_pandas()
+    a = bc[["lid", "n", "v_sum"]].sort_values("lid").reset_index(drop=True)
+    b = gp[["lid", "n", "v_sum"]].sort_values("lid").reset_index(drop=True)
+    b["lid"] = b["lid"].astype(np.int64)
+    b["n"] = b["n"].astype(np.int64)
+    b["v_sum"] = b["v_sum"].astype(np.int64)
+    pd.testing.assert_frame_equal(a, b)
