@@ -8222,6 +8222,14 @@ _PAST_WINDOW = [
     # vectors. The Hilbert rotation chain is machinery no other query
     # exercises.
     "geohash_cells",
+    # demotion admitting tfidf_top_terms back into the window: the
+    # grouped window-join twin forces the SAME bucketed
+    # searchsorted/prefix-sum core its in-window sibling
+    # events_window_activity runs behind the broadcast guard, and the
+    # path-equality pytest (broadcast == grouped) already pins the two
+    # routes together; tf-idf's integer-score ranking has no other
+    # window rep.
+    "events_window_activity_grouped",
     # self-checking no-oracle entries
     "video_frame_embeddings", "ann_ivf_top5", "ann_lsh_top5",
     "flagship_zonal", "raster_pages_cell_join",
