@@ -330,6 +330,45 @@ def iter_cap(state_ds, floor: int = 16) -> int:
     return max(floor, state_ds.num_blocks())
 
 
+def estimate_num_blocks(ds) -> int | None:
+    """Cheap plan-time block-count estimate: input bytes divided by the
+    context's target block size. Parquet reads report 1 plan-time block
+    (file splitting is decided at execution), so byte size is the only
+    honest pre-execution signal; used to decide whether a reduce needs
+    an intermediate tree-merge level, where approximate is fine."""
+    from ray.data import DataContext
+
+    from .joins import estimate_size_bytes
+
+    sz = estimate_size_bytes(ds)
+    if sz is None:
+        return None
+    tgt = DataContext.get_current().target_max_block_size or (128 << 20)
+    return max(1, -(-sz // tgt))
+
+
+def tree_merge(partials, merge_fn, fanin: int, num_blocks_hint: int | None):
+    """Insert intermediate merge levels between per-block partials and a
+    terminal single-block reduce, so the final reduce's fan-in is
+    bounded by ``fanin`` regardless of block count (at 10^6 input
+    blocks a single coalesce/driver merge receives 10^6 partials; the
+    tree keeps every task's input ~fanin partials).
+
+    ``merge_fn`` must be associative over whole partial blocks (it maps
+    one coalesced Arrow block of partials to one merged partial block).
+    Levels repeat until the (estimated) block count is within fanin;
+    exactness is preserved because each level applies the same
+    deterministic merge the terminal reduce would.
+    """
+    fanin = max(2, fanin)            # fanin 1 would never converge
+    nb = num_blocks_hint
+    while nb is not None and nb > fanin:
+        nb = max(1, -(-nb // fanin))
+        partials = coalesce_blocks(partials, nb).map_batches(
+            merge_fn, batch_format="pyarrow", batch_size=None)
+    return partials
+
+
 def coalesce_blocks(ds, num_blocks: int):
     """Cap block count between BSP rounds. Ray's sort-based shuffle
     emits one output block per input block, so an iterate that unions

@@ -435,8 +435,16 @@ def _window_sum_core(kl, tl, kr, tr, sums: dict, window_us: int):
     kr_s, tr_s = kr[order], tr[order]
     uts = np.unique(tr_s)
     m = len(uts) + 1
-    if len(kr_s) and int(kr_s.max()) >= (2 ** 63 - 1) // max(m, 1):
-        raise OverflowError("key * ts-rank encode exceeds int64")
+    lim = (2 ** 63 - 1) // max(m, 1)
+    # Guard BOTH sides: a left key above the limit would silently wrap
+    # in `kl * m + rank` and probe the wrong positions (there is no
+    # post-probe key-equality recheck here, unlike broadcast_asof_lookup).
+    if len(kr_s) and int(np.abs(kr_s).max()) >= lim:
+        raise OverflowError("right key * ts-rank encode exceeds int64")
+    if len(kl) and int(np.abs(kl).max()) >= lim:
+        raise OverflowError(
+            "left key * ts-rank encode exceeds int64 "
+            "(route via the grouped/bucketed window-sum path)")
     enc_r = kr_s * m + (np.searchsorted(uts, tr_s) + 1)
     pref = {c: np.concatenate([[0], np.cumsum(v[order])])
             for c, v in sums.items()}

@@ -400,21 +400,34 @@ def cms_partial(h64: np.ndarray, depth: int, width: int) -> np.ndarray:
     return cms
 
 
-def cms_build(ds, item_fn, depth: int = 4, width: int = 16384):
+# Partial matrices fed to one CMS merge task; above this (estimated)
+# block count intermediate elementwise-sum levels run before the driver
+# merge so the driver never receives more than ~fanin matrices.
+CMS_TREE_FANIN = 256
+
+
+def cms_build(ds, item_fn, depth: int = 4, width: int = 16384,
+              tree_fanin: int = CMS_TREE_FANIN,
+              num_blocks_hint: int | None = None):
     """Distributed Count-Min sketch over ``item_fn(batch) -> [str]``.
 
     One map_batches pass emits a flattened (depth*width) partial per
-    block plus its item count; the driver merges by summation — the
+    block plus its item count; partials merge by elementwise sum — the
     classic mergeable-sketch plan (HLL twin: ``approx_distinct``). The
-    merged matrix is depth*width*8 bytes regardless of N; at web-scale
-    block counts, merge partials pairwise in a map stage first (tree
-    merge) instead of streaming them all to the driver.
+    merged matrix is depth*width*8 bytes regardless of N. Above
+    ``tree_fanin`` (estimated) partial blocks, intermediate map-side
+    sum levels (``tree_merge``) bound the driver's fan-in — at 10^6
+    blocks a flat driver merge would stream 10^6 half-MB matrices;
+    the tree keeps it ~fanin. Integer sums commute, so the multi-level
+    sketch is bit-identical to the flat one (pinned by test_sketch's
+    forced-tree equality test).
 
     Returns (cms matrix, total item count N). Guarantees: for any item
     with true count c, estimate(c) >= c always, and
     estimate(c) <= c + 2N/width with probability 1 - 2^-depth.
     """
-    from .agg import nonempty_batches, skip_empty
+    from .agg import (estimate_num_blocks, nonempty_batches, skip_empty,
+                      tree_merge)
 
     def _partial(b: pa.Table) -> pa.Table:
         items = list(item_fn(b))
@@ -425,10 +438,26 @@ def cms_build(ds, item_fn, depth: int = 4, width: int = 16384):
         })
 
     _schema = pa.schema([("cms", pa.list_(pa.int64())), ("_n", pa.int64())])
+
+    def _sum_block(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _schema.empty_table()
+        flat = np.asarray(b.column("cms").combine_chunks().flatten(),
+                          dtype=np.int64)
+        mat = flat.reshape(b.num_rows, depth * width).sum(axis=0)
+        n = int(np.sum(b.column("_n").to_numpy()))
+        return pa.table({
+            "cms": pa.array([mat], pa.list_(pa.int64())),
+            "_n": pa.array([n], pa.int64()),
+        })
+
     merged = np.zeros(depth * width, dtype=np.int64)
     n_total = 0
     parts = ds.map_batches(skip_empty(_partial, _schema),
                            batch_format="pyarrow", batch_size=None)
+    if num_blocks_hint is None:
+        num_blocks_hint = estimate_num_blocks(ds)
+    parts = tree_merge(parts, _sum_block, tree_fanin, num_blocks_hint)
     for b in nonempty_batches(parts, batch_size=None):
         for row in b.column("cms").to_pylist():
             merged += np.asarray(row, dtype=np.int64)

@@ -484,9 +484,17 @@ def token_budget_select(ds, budgets: dict, group_col: str = "lang",
         lambda b: b.drop_columns(["_rk", "_rb"]), batch_format="pyarrow")
 
 
+# Partial blocks fed to one A-ES merge task; above this (estimated)
+# block count an intermediate local-top-k level runs before the final
+# reduce so the terminal task never sees more than ~fanin * k rows.
+AES_TREE_FANIN = 256
+
+
 def weighted_sample_aes(ds, k: int, id_col: str = "doc_id",
                         weight_col: str = "n_chars",
-                        keep_cols: tuple = ("doc_id", "lang", "n_chars")):
+                        keep_cols: tuple = ("doc_id", "lang", "n_chars"),
+                        tree_fanin: int = AES_TREE_FANIN,
+                        num_blocks_hint: int | None = None):
     """Efraimidis-Spirakis A-ES weighted sampling WITHOUT replacement:
     item i gets key u_i^(1/w_i) with u_i uniform in (0,1); the global
     top-k keys are a weighted sample without replacement (probability
@@ -501,15 +509,19 @@ def weighted_sample_aes(ds, k: int, id_col: str = "doc_id",
 
     Distributed plan: each block emits only its LOCAL top-k (k slim
     rows per block — the global winner set is a subset of the union of
-    local winners), the partials coalesce to one small block and a
-    single reduce picks the global top-k. At web-scale block counts,
-    repeat the local-top-k/coalesce pair once more (tree merge) before
-    the final reduce; nothing corpus-sized ever leaves the blocks.
+    local winners); above ``tree_fanin`` (estimated) partial blocks,
+    intermediate local-top-k merge levels run (``tree_merge``) so the
+    terminal reduce's fan-in stays bounded — nothing corpus-sized ever
+    leaves the blocks, and no task ever sees more than ~fanin*k rows.
+    Every level applies the same deterministic (key DESC, id ASC)
+    top-k, so the multi-level result is IDENTICAL to the single-level
+    one (pinned by test_curation's forced-tree equality test).
 
     Zero/negative weights are excluded (their A-ES key is degenerate),
     matching the SQL replay's ``WHERE w > 0``.
     """
-    from ..functions.agg import coalesce_blocks
+    from ..functions.agg import (coalesce_blocks, estimate_num_blocks,
+                                 tree_merge)
 
     def _key(b: pa.Table):
         ids = b.column(id_col).to_numpy().astype(np.uint64)
@@ -517,7 +529,10 @@ def weighted_sample_aes(ds, k: int, id_col: str = "doc_id",
         h = (ids * np.uint64(2654435761) + np.uint64(987654321)) \
             % np.uint64(4294967296)
         u = (h.astype(np.float64) + 0.5) / 4294967296.0
-        return np.log(u) / w, w
+        # zero-weight rows are filtered AFTER the divide; silence the
+        # inf/nan the discarded lanes would otherwise warn about
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.log(u) / w, w
 
     def _local_topk(b: pa.Table) -> pa.Table:
         key, w = _key(b)
@@ -534,8 +549,23 @@ def weighted_sample_aes(ds, k: int, id_col: str = "doc_id",
         out["_key"] = pa.array(kk[order], pa.float64())
         return pa.table(out)
 
+    def _merge_topk(b: pa.Table) -> pa.Table:
+        # intermediate tree level: same deterministic top-k over rows
+        # that already carry their A-ES key
+        kk = b.column("_key").to_numpy()
+        ids = b.column(id_col).to_numpy()
+        order = np.lexsort((ids, -kk))[:k]
+        sel = pa.array(order)
+        out = {c: b.column(c).take(sel) for c in keep_cols}
+        out["_key"] = b.column("_key").take(sel)
+        return pa.table(out)
+
     partials = ds.map_batches(_local_topk, batch_format="pyarrow",
                               batch_size=None)
+    if num_blocks_hint is None:
+        num_blocks_hint = estimate_num_blocks(ds)
+    partials = tree_merge(partials, _merge_topk, tree_fanin,
+                          num_blocks_hint)
     merged = coalesce_blocks(partials, 1)
 
     def _final(b: pa.Table) -> pa.Table:

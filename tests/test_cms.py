@@ -46,3 +46,26 @@ def test_cms_build_distributed(ray_session):
     est = cms_estimate(cms, ["a", "b", "c", "zz"])
     assert list(est[:3] >= np.array([75, 50, 25])) == [True] * 3
     assert est[3] <= np.e * n / 128
+
+
+def test_cms_tree_merge_identical_to_flat(ray_session):
+    """Forcing the multi-level tree-merge path (fanin 2 over a 16-block
+    hint -> 3 intermediate levels) yields a bit-identical sketch and
+    count: integer elementwise sums commute across levels."""
+    import ray.data as rd
+
+    docs = pd.DataFrame({"text": [f"w{i % 37} w{i % 11}" for i in range(400)]})
+    ds = rd.from_pandas(docs).repartition(16)
+
+    def _tokens(b: pa.Table):
+        out = []
+        for t in b.column("text").to_pylist():
+            out.extend(t.split())
+        return out
+
+    flat, n_flat = cms_build(ds, _tokens, depth=4, width=256,
+                             num_blocks_hint=1)     # no tree levels
+    tree, n_tree = cms_build(ds, _tokens, depth=4, width=256,
+                             tree_fanin=2, num_blocks_hint=16)
+    assert n_flat == n_tree == 800
+    assert np.array_equal(flat, tree)

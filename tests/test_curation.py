@@ -382,3 +382,29 @@ def test_weighted_sample_aes_inclusion_tracks_weight(ray_session):
     # heavy items are 10% of the corpus but ~52% of the total weight;
     # a uniform sampler would pick ~20 of 200
     assert heavy > 60, heavy
+
+
+def test_weighted_sample_aes_tree_merge_identical(ray_session):
+    """Forcing intermediate tree-merge levels (fanin 2 over a 32-block
+    hint -> 4 levels) returns the IDENTICAL sample: every level applies
+    the same deterministic (key DESC, id ASC) top-k, and the A-ES key
+    is a pure function of the id."""
+    import ray.data as rd
+
+    from geoflow.stages.curation import weighted_sample_aes
+
+    n = 800
+    ids = np.arange(1, n + 1, dtype=np.int64)
+    rng = np.random.default_rng(11)
+    w = rng.integers(0, 3000, n).astype(np.int64)
+    df = pd.DataFrame({"doc_id": ids, "lang": "en", "n_chars": w})
+    ds = rd.from_pandas(df).repartition(32)
+
+    single = weighted_sample_aes(ds, k=64, num_blocks_hint=1).to_pandas()
+    tree = weighted_sample_aes(ds, k=64, tree_fanin=2,
+                               num_blocks_hint=32).to_pandas()
+    key = ["doc_id", "lang", "n_chars"]
+    pd.testing.assert_frame_equal(
+        single.sort_values("doc_id").reset_index(drop=True)[key],
+        tree.sort_values("doc_id").reset_index(drop=True)[key])
+    assert len(tree) == 64
