@@ -966,9 +966,21 @@ def embedding_dup_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
     blocks and emits its exact above-threshold pairs. Memory per task =
     2 blocks; total network = O(N * num_blocks), the classic exact
     all-pairs map-reduce bound.
+
+    Pair granularity is DATA-sized, not read-parallelism-sized: the
+    corpus block refs are grouped driver-side into ~32 MB super-groups
+    and a task handles one GROUP pair, fetching its member blocks.
+    Ray splits a read into ~num_cpus blocks regardless of size and the
+    pair-task count is quadratic in the unit count — an interleaved
+    A/B at 32 CPUs on a 1 MB corpus measured 2.6 s for 528 trivial
+    block-pair tasks (k=32 read blocks) vs ~1.2 s with one group pair.
+    Grouping the refs (instead of a coalescing repartition) adds no
+    barrier stage to the plan.
     """
     import ray
     import ray.data as rd
+
+    from ..functions.joins import estimate_size_bytes
 
     if exact_limit is None:
         exact_limit = EMBEDDING_EXACT_ROW_LIMIT
@@ -979,21 +991,34 @@ def embedding_dup_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
         lambda b: _unit_rows(b, id_col, vec_col), batch_format="pyarrow")
     refs = norm.to_arrow_refs()
     refs_ref = ray.put(refs)
-    k = len(refs)
-    items = [{"bi": i, "bj": j} for i in range(k) for j in range(i, k)]
+    # 2x: _unit_rows widens float32 inputs to float64. Cap 64 groups =
+    # <= 2080 pair tasks; at the 1M-row route limit x wide vectors each
+    # group stays ~tens of MB, two per task.
+    est = estimate_size_bytes(ds) or (32 << 20)
+    g = int(np.clip(-(-2 * est // (32 << 20)), 1, min(64, len(refs)) or 1))
+    groups = [a.tolist() for a in np.array_split(np.arange(len(refs)), g)]
+    items = [{"bi": groups[i], "bj": groups[j]}
+             for i in range(g) for j in range(i, g)]
     # explicit block count: from_items' default parallelism (~200) would
     # otherwise pad a short pair list with EMPTY untyped blocks, each a
     # wasted task + an empty-schema bundle downstream
-    pair_ds = rd.from_items(
-        items, override_num_blocks=max(1, (len(items) + 3) // 4))
+    pair_ds = rd.from_items(items, override_num_blocks=len(items))
+
+    def _fetch_group(blocks, idxs):
+        parts = [_unpack_block(ray.get(blocks[i])) for i in idxs]
+        parts = [(ids, m) for ids, m in parts if len(ids)]
+        if not parts:
+            return np.array([], np.int64), np.zeros((0, 1))
+        return (np.concatenate([p[0] for p in parts]),
+                np.vstack([p[1] for p in parts]))
 
     def _score(batch: pa.Table) -> pa.Table:
         blocks = ray.get(refs_ref)
         out_a, out_b, out_c = [], [], []
         for bi, bj in zip(batch.column("bi").to_pylist(),
                           batch.column("bj").to_pylist()):
-            ids_a, A = _unpack_block(ray.get(blocks[bi]))
-            ids_b, B = _unpack_block(ray.get(blocks[bj]))
+            ids_a, A = _fetch_group(blocks, bi)
+            ids_b, B = (ids_a, A) if bi == bj else _fetch_group(blocks, bj)
             if not len(ids_a) or not len(ids_b):
                 continue
             sims = A @ B.T
@@ -1023,9 +1048,9 @@ def embedding_dup_pairs(ds, id_col: str = "vec_id", vec_col: str = "embedding",
             "cosine": pa.array(np.concatenate(out_c)),
         })
 
-    # whole-block batches: the 4-pairs-per-task granularity is set by
-    # from_items' override_num_blocks above; an explicit batch_size made
-    # Ray's slicer emit trailing ZERO-ROW batches that bypassed the UDF
-    # as untyped empty output blocks
+    # whole-block batches: one group-pair per task is set by from_items'
+    # override_num_blocks above; an explicit batch_size made Ray's
+    # slicer emit trailing ZERO-ROW batches that bypassed the UDF as
+    # untyped empty output blocks
     return pair_ds.map_batches(_score, batch_format="pyarrow",
                                batch_size=None)
