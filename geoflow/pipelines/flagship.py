@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..stages import cells
-from ..stages.extract import extract_text
+from ..stages.extract import extract_text, extract_texts_arrow
 from ..stages.geocode import geocode_urls
 
 PAGE_CELL_RES = 12   # fine cell carried per page (~10 km grid step)
@@ -48,7 +48,8 @@ def text_hash64(texts) -> np.ndarray:
 
 def enrich_pages_batch(batch: pa.Table, cell_res: int = PAGE_CELL_RES,
                        verify: bool = True, strict: bool = False,
-                       slim: bool = False) -> pa.Table:
+                       slim: bool = False,
+                       extractor: str = "scalar") -> pa.Table:
     """One fused pass: extract + verify + geocode + cell + content hash.
 
     Fusing these into a single Arrow batch transform means the pipeline
@@ -58,14 +59,27 @@ def enrich_pages_batch(batch: pa.Table, cell_res: int = PAGE_CELL_RES,
     ``strict=True`` turns the byte-identity check into an in-pipeline
     assertion: any row whose stored ``text`` differs from the extractor
     output fails the task loudly (north-rule invariant enforcement).
+
+    ``extractor`` routes the extraction pass: ``"scalar"`` (default)
+    is the per-row definition; ``"arrow"`` runs the whole-column RE2
+    twin (byte-parity-tested against the scalar definition). The
+    round-5 promotion of the arrow twin to default was REJECTED on an
+    interleaved flagship A/B at sf0.1: scalar median 9.7 s vs arrow
+    14.6 s at 32 CPUs, 41.5 s vs 67.6 s at pinned 8 — each
+    ``replace_substring_regex`` pass in the twin copies the full
+    column, and the chained passes cost more than the single
+    compiled-regex scan per row. The flag stays for corpora where the
+    per-row Python overhead dominates (many tiny documents).
     """
     urls = batch.column("url").to_pylist()
-    htmls = batch.column("html").to_pylist()
-    # scalar extraction: measured at parity with extract_texts_arrow on
-    # this corpus (the win was pinning the patterns to portable ASCII
-    # constructs — 1.5x BOTH paths) and it handles invalid UTF-8 per
-    # row instead of per batch
-    extracted = [extract_text(h) if h is not None else "" for h in htmls]
+    if extractor == "arrow":
+        # nulls -> "" to match the scalar path's `h is None` branch
+        import pyarrow.compute as pc
+        extracted = pc.fill_null(
+            extract_texts_arrow(batch.column("html")), "").to_pylist()
+    else:
+        htmls = batch.column("html").to_pylist()
+        extracted = [extract_text(h) if h is not None else "" for h in htmls]
     if verify and "text" in batch.column_names:
         stored = batch.column("text").to_pylist()
         ok = np.fromiter((a == b for a, b in zip(extracted, stored)),
@@ -110,14 +124,17 @@ def enrich_pages_batch(batch: pa.Table, cell_res: int = PAGE_CELL_RES,
 
 
 def enrich_pages(pages_ds, cell_res: int = PAGE_CELL_RES, verify: bool = True,
-                 strict: bool = False, slim: bool = False):
+                 strict: bool = False, slim: bool = False,
+                 extractor: str = "scalar"):
     return pages_ds.map_batches(
-        lambda b: enrich_pages_batch(b, cell_res, verify, strict, slim),
+        lambda b: enrich_pages_batch(b, cell_res, verify, strict, slim,
+                                     extractor),
         batch_format="pyarrow",
     )
 
 
-def dedup_exact(enriched_ds, num_buckets: int = 64):
+def dedup_exact(enriched_ds, num_buckets: int = 64,
+                combine_batch_size: int | None = None):
     """First-wins exact dedup on the content hash (deterministic: min url).
 
     Shuffle-light shape, round-2 plan: slim (text_hash, url, n_chars)
@@ -164,7 +181,43 @@ def dedup_exact(enriched_ds, num_buckets: int = 64):
             "n_copies": out.column("_copies_sum"),
         })
 
+    def _merge_partials(b: pa.Table) -> pa.Table:
+        # second-level combine over BUNDLED slim partials (tiny rows):
+        # same keys, partial-mergeable aggregates
+        out = pa.TableGroupBy(b, "text_hash").aggregate(
+            [("url", "min"), ("n_chars", "min"), ("_copies", "sum"),
+             ("_bk", "min")])       # _bk is a pure function of the key
+        return pa.table({
+            "text_hash": out.column("text_hash"),
+            "url": out.column("url_min"),
+            "n_chars": out.column("n_chars_min"),
+            "_copies": out.column("_copies_sum"),
+            "_bk": out.column("_bk_min"),
+        })
+
+    # combine level 1 stays at whole-block batches so it FUSES with the
+    # enrich map. ``combine_batch_size`` (OFF by default) engages a
+    # second merge level over the SLIM partials, collapsing pre-shuffle
+    # block count so the sort shuffle makes no empty reduce partitions
+    # (the source of the two benign "RefBundle with a different schema"
+    # warnings: 128 read blocks, 64 buckets -> ~half-empty partitions).
+    # Round-5 interleaved A/Bs (sf0.1, both levels) on every
+    # zero-warning variant, all REJECTED as the default:
+    #   - bundling level 1 (batch_size=128k): -31% wall at 8 CPUs but
+    #     +65% at 32 (bundling drops the fused read->enrich chain to
+    #     16-way parallelism);
+    #   - this second level at 128k: +4-5 s at 32 CPUs, repeatable
+    #     (merge tasks wait on ~16 upstream blocks, so the shuffle
+    #     stops overlapping the enrich tail);
+    #   - num_buckets=256 > reduce partitions: warnings persist (Ray's
+    #     sampled sort boundaries still leave empty ranges).
+    # The empty partitions cost idle microtasks only; the empty-block
+    # BUG class stays defended by nonempty_* / skip_empty. Use the knob
+    # for low-parallelism deployments where task overhead dominates.
     slim = enriched_ds.map_batches(_local_combine, batch_format="pyarrow")
+    if combine_batch_size:
+        slim = slim.map_batches(_merge_partials, batch_format="pyarrow",
+                                batch_size=combine_batch_size)
     # NOTE: do NOT coalesce slim before this groupby. A
     # repartition(shuffle=False) here measured +30% flagship wall time
     # at 8 CPUs (52 -> 68 s interleaved A/B at sf0.1) for a mild 32-CPU

@@ -3113,6 +3113,72 @@ def jpeg_ahash_dup_groups(sf_dir: str):
         }), batch_format="pyarrow")
 
 
+@register("media_decode_error_stats", sql="""
+SELECT kind, decode_status, CAST(count(*) AS BIGINT) AS n_media
+FROM (
+  SELECT CASE WHEN vec_id % 7 IN (4, 5) THEN 'audio' ELSE 'image' END
+           AS kind,
+         CASE WHEN vec_id % 7 IN (0, 5) THEN 'unsupported'
+              WHEN vec_id % 7 = 1 THEN 'corrupt'
+              ELSE 'ok' END AS decode_status
+  FROM embeddings)
+GROUP BY kind, decode_status
+""")
+def media_decode_error_stats(sf_dir: str):
+    """Crawl-scale decode-error accounting (graceful degradation):
+    every media row is decode-AUDITED per row — unsupported formats
+    (progressive JPEG, non-PCM16 WAV: the codec's loud
+    NotImplementedError boundaries) and corrupt byte strings become
+    counted (kind, decode_status) rows instead of task failures.
+
+    Fixture: deterministic per vec_id — valid baseline JPEGs, the SAME
+    JPEG with its SOF0 marker rewritten to SOF2 (progressive: real
+    boundary, real sniffing), a fixed corrupt JPEG prefix, valid PCM16
+    WAVs, and the same WAV with its fmt chunk patched to 8-bit. The
+    oracle replays the classification by vec_id residue — any decoder
+    drift (a 'valid' fixture failing, a boundary not raising, a
+    corrupt payload 'succeeding') breaks the count match."""
+    import struct
+
+    from ..stages.jpeg import encode_jpeg
+    from ..stages.multimodal import encode_wav, media_decode_stats
+
+    ds = _read(sf_dir, "embeddings", ["vec_id"])
+    _CORRUPT = b"\xff\xd8\xff\xdb\x00\x03\x01"   # truncated DQT segment
+
+    def _render(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy().astype(np.int64)
+        kinds, payloads = [], []
+        for i in ids.tolist():
+            m = i % 7
+            if m in (4, 5):
+                kinds.append("audio")
+                sam = ((np.arange(64) * (i % 13 + 1)) % 97).astype(np.int16)
+                wav = encode_wav(16000, sam)
+                if m == 5:      # patch fmt to 8-bit: non-PCM16 boundary
+                    wav = wav[:32] + struct.pack("<HH", 1, 8) + wav[36:]
+                payloads.append(wav)
+                continue
+            kinds.append("image")
+            if m == 1:
+                payloads.append(_CORRUPT)
+                continue
+            img = ((np.arange(64, dtype=np.int64) * (i % 31 + 7)) % 256) \
+                .astype(np.uint8).reshape(8, 8)[..., None].repeat(3, axis=2)
+            data = encode_jpeg(img, quality=90)
+            if m == 0:          # SOF0 -> SOF2: real progressive marker
+                at = data.find(b"\xff\xc0")
+                data = data[:at] + b"\xff\xc2" + data[at + 2:]
+            payloads.append(data)
+        return pa.table({
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    media = ds.map_batches(_render, batch_format="pyarrow")
+    return media_decode_stats(media)
+
+
 @register("packed_sequences", sql="""
 WITH RECURSIVE r AS (
   SELECT doc_id, lang, doc_id // 256 AS shard, n_chars,

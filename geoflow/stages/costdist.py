@@ -70,6 +70,15 @@ def cost_distance_tiles(dem: np.ndarray, sources: list[tuple[int, int]],
     import ray.data as rd
 
     H, W = dem.shape
+    # driver-assembly guard: the final `full` map materializes H*W
+    # int64 cells on the driver — this entry point is for
+    # verification-sized rasters only (web-scale callers keep the
+    # per-tile dataset and write it partitioned instead)
+    if H * W > 64_000_000:
+        raise ValueError(
+            f"cost_distance_tiles assembles the full {H}x{W} raster on "
+            "the driver and is intended for verification-sized inputs "
+            "(<= 64M cells); keep the tile dataset distributed at scale")
     rows = []
     for ty in range(0, H, tile):
         for tx in range(0, W, tile):

@@ -346,6 +346,16 @@ def entry_graph(flow_df: pd.DataFrame, tile_h: int, tile_w: int, W: int):
     Size guard: entry cells are O(perimeter); callers at true scale
     contract recursively first (see module docstring).
     """
+    # driver-assembly guard: this solve concatenates every tile's
+    # cell/kind/target arrays on the driver — verification-sized flow
+    # tables only (the cap is total cells across the tile rows)
+    total_cells = int((flow_df["height"].astype(np.int64)
+                       * flow_df["width"].astype(np.int64)).sum())
+    if total_cells > 64_000_000:
+        raise ValueError(
+            f"entry_graph assembles {total_cells} cells on the driver "
+            "and is intended for verification-sized inputs (<= 64M "
+            "cells); contract the flow graph recursively at scale")
     kind_all, target_all, dem_all, cell_all = [], [], [], []
     for row in flow_df.itertuples(index=False):
         h, w = int(row.height), int(row.width)

@@ -504,6 +504,69 @@ class PerceptualHash:
                          "ahash": pa.array(hashes, pa.int64())})
 
 
+class DecodeAudit:
+    """Actor: ATTEMPT decode of every media row and classify failures
+    per row instead of erroring the block — at crawl scale unsupported
+    (progressive/arithmetic JPEG, 16-bit PNG, ...) and corrupt payloads
+    are facts of the input, and one bad byte string must cost one
+    counted row, never a task retry storm.
+
+    ``decode_status``: ``ok`` | ``unsupported`` (a clearly-named format
+    boundary, ``NotImplementedError``) | ``corrupt`` (anything else the
+    parser raised). ``decode_error`` carries the boundary message for
+    the unsupported class (first 80 chars; corrupt payloads get the
+    exception type name).
+    """
+
+    def __init__(self):
+        self.codec = Codec()        # once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch.column("kind").to_pylist() \
+            if "kind" in batch.column_names \
+            else ["image"] * batch.num_rows
+        statuses, errs = [], []
+        for kind, payload in zip(kinds, batch.column("payload").to_pylist()):
+            try:
+                if payload is None:
+                    raise ValueError("null payload")
+                if kind == "audio":
+                    self.codec.decode_audio(payload)
+                else:
+                    self.codec.decode_image(payload)
+                statuses.append("ok")
+                errs.append("")
+            except NotImplementedError as e:
+                statuses.append("unsupported")
+                errs.append(str(e)[:80])
+            except Exception as e:            # noqa: BLE001 — audit stage
+                statuses.append("corrupt")
+                errs.append(type(e).__name__)
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("decode_status",
+                                pa.array(statuses, pa.string()))
+        return out.append_column("decode_error", pa.array(errs, pa.string()))
+
+
+def media_decode_stats(media_ds, concurrency: int = 4,
+                       batch_size: int = 64):
+    """Per-(kind, decode_status) row counts over an audited decode pass:
+    the graceful-degradation report for a crawl-scale media ingest.
+    Payload bytes die inside the actor stage; the shuffle moves only
+    the slim audited rows through the combiner-pattern grouped count.
+    """
+    from ..functions.agg import grouped_count_sum
+
+    audited = media_ds.map_batches(DecodeAudit, batch_format="pyarrow",
+                                   concurrency=(1, concurrency),
+                                   batch_size=batch_size)
+    # key space is a handful of (kind, status) combos: coalesce the slim
+    # partials so the groupby's sort shuffle never makes empty reduce
+    # partitions (see grouped_count_sum docstring)
+    return grouped_count_sum(audited, ["kind", "decode_status"], [],
+                             count_alias="n_media", coalesce=1)
+
+
 def image_ahash_dup_groups(media_ds, concurrency: int = 4,
                            batch_size: int = 64):
     """Exact perceptual-duplicate groups by average-hash equality:

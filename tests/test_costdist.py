@@ -61,3 +61,11 @@ def test_local_relax_saturates_inf():
     nd, improved = local_relax(d, c, halo)
     assert improved
     assert nd[0, 0] == 1 and nd[1, 1] == 3
+
+
+def test_driver_assembly_guard_raises():
+    # broadcast view: 81M "cells" with no allocation — the guard must
+    # fire before any tile work touches the data
+    dem = np.broadcast_to(np.ones(1, dtype=np.int64), (9000, 9000))
+    with pytest.raises(ValueError, match="verification-sized"):
+        cost_distance_tiles(dem, [(0, 0)], tile=256)

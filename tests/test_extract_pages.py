@@ -132,3 +132,21 @@ def test_vectorized_extractor_parity_property():
         assert vec == [extract_text(h) for h in raw]
 
     run()
+
+
+def test_enrich_extractor_flag_routes_identically():
+    """enrich_pages_batch(extractor=...) must yield identical tables on
+    both routes, including null html rows (arrow fills nulls with ""
+    to match the scalar `h is None` branch)."""
+    from geoflow.pipelines.flagship import enrich_pages_batch
+
+    batch = pages.make_pages_batch({"id": np.arange(64, dtype=np.int64)})
+    cols = {c: batch.column(c) for c in batch.column_names}
+    html = cols["html"].to_pylist()
+    html[5] = None
+    cols["html"] = pa.array(html, pa.binary())
+    t = pa.table(cols)
+    a = enrich_pages_batch(t, verify=False, extractor="arrow")
+    s = enrich_pages_batch(t, verify=False, extractor="scalar")
+    assert a.equals(s)
+    assert a.column("n_chars").to_pylist()[5] == 0

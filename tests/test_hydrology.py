@@ -133,3 +133,12 @@ def test_mass_conservation():
     _, b_acc = brute_paths(nxt)
     assert acc["acc"].sum() == b_acc.sum()
     assert (acc["acc"] >= 1).all()
+
+
+def test_entry_graph_driver_assembly_guard():
+    # metadata-only fixture claiming 100M cells: the guard must fire
+    # before any concatenation happens
+    df = pd.DataFrame({"height": [10_000], "width": [10_000],
+                       "ty": [0], "tx": [0]})
+    with pytest.raises(ValueError, match="verification-sized"):
+        hy.entry_graph(df, 10_000, 10_000, 10_000)

@@ -319,3 +319,46 @@ def test_audio_fingerprint_dup_groups(ray_session):
     exp = sorted((min(i for i in fps if fps[i] == v), c)
                  for v, c in cnt.items() if c > 1)
     assert sorted(zip(out["rep_id"], out["n_clips"])) == exp
+
+
+def test_decode_audit_per_row_accounting(ray_session):
+    """Mixed baseline/progressive/corrupt fixture: the audit stage
+    classifies per ROW (no task failure), statuses land exactly where
+    injected, and media_decode_stats rolls them up."""
+    import struct
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geoflow.stages.jpeg import encode_jpeg
+    from geoflow.stages.multimodal import (DecodeAudit, encode_wav,
+                                           media_decode_stats)
+
+    img = (np.arange(64, dtype=np.uint8).reshape(8, 8)[..., None]
+           .repeat(3, axis=2))
+    good_jpg = encode_jpeg(img, quality=90)
+    at = good_jpg.find(b"\xff\xc0")
+    prog_jpg = good_jpg[:at] + b"\xff\xc2" + good_jpg[at + 2:]
+    corrupt = b"\xff\xd8\xff\xdb\x00\x03\x01"
+    good_wav = encode_wav(16000, np.arange(32, dtype=np.int16))
+    bad_wav = good_wav[:32] + struct.pack("<HH", 1, 8) + good_wav[36:]
+
+    t = pa.table({
+        "media_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "kind": pa.array(["image", "image", "image", "audio", "audio"]),
+        "payload": pa.array([good_jpg, prog_jpg, corrupt,
+                             good_wav, bad_wav], pa.binary()),
+    })
+    rows = DecodeAudit()(t).to_pydict()
+    assert rows["decode_status"] == ["ok", "unsupported", "corrupt",
+                                     "ok", "unsupported"]
+    assert "baseline" in rows["decode_error"][1]      # names the boundary
+    assert rows["decode_error"][0] == ""
+    assert "PCM16" in rows["decode_error"][4]
+
+    stats = media_decode_stats(rd.from_arrow(t)).to_pandas()
+    got = {(r.kind, r.decode_status): r.n_media
+           for r in stats.itertuples()}
+    assert got == {("image", "ok"): 1, ("image", "unsupported"): 1,
+                   ("image", "corrupt"): 1, ("audio", "ok"): 1,
+                   ("audio", "unsupported"): 1}
