@@ -2814,6 +2814,67 @@ def doc_repetition_stats(sf_dir: str):
     return ds.map_batches(repetition_stats_batch, batch_format="pyarrow")
 
 
+@register("gopher_quality_docs", sql="""
+WITH f AS (
+  SELECT doc_id,
+    length(text) AS text_len,
+    length(text) - length(replace(text, ' ', '')) + 1 AS n_words,
+    length(replace(text, ' ', '')) AS chars_nonspace,
+    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha_chars,
+    (length(text) - length(replace(text, '#', '')))
+      + (length(text) - length(replace(text, '...', ''))) // 3 AS symbols,
+    length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines,
+    (length(text) - length(replace(text, chr(10) || '- ', ''))) // 3
+      + (length(text) - length(replace(text, chr(10) || '* ', ''))) // 3
+      + CASE WHEN text LIKE '- %' THEN 1 ELSE 0 END
+      + CASE WHEN text LIKE '* %' THEN 1 ELSE 0 END AS bullet_lines,
+    (length(text) - length(replace(text, '...' || chr(10), ''))) // 4
+      + CASE WHEN text LIKE '%...' THEN 1 ELSE 0 END AS ellipsis_lines,
+    (CASE WHEN ' '||text||' ' LIKE '% the %' THEN 1 ELSE 0 END)
+      + (CASE WHEN ' '||text||' ' LIKE '% a %' THEN 1 ELSE 0 END)
+      + (CASE WHEN ' '||text||' ' LIKE '% be %' THEN 1 ELSE 0 END)
+      + (CASE WHEN ' '||text||' ' LIKE '% to %' THEN 1 ELSE 0 END)
+      + (CASE WHEN ' '||text||' ' LIKE '% of %' THEN 1 ELSE 0 END)
+      + (CASE WHEN ' '||text||' ' LIKE '% and %' THEN 1 ELSE 0 END)
+      + (CASE WHEN ' '||text||' ' LIKE '% that %' THEN 1 ELSE 0 END)
+      + (CASE WHEN ' '||text||' ' LIKE '% have %' THEN 1 ELSE 0 END)
+      + (CASE WHEN ' '||text||' ' LIKE '% with %' THEN 1 ELSE 0 END)
+      AS stop_hits
+  FROM documents)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(chars_nonspace AS BIGINT) AS chars_nonspace,
+       CAST(alpha_chars AS BIGINT) AS alpha_chars,
+       CAST(symbols AS BIGINT) AS symbols,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(bullet_lines AS BIGINT) AS bullet_lines,
+       CAST(ellipsis_lines AS BIGINT) AS ellipsis_lines,
+       CAST(stop_hits AS BIGINT) AS stop_hits,
+       CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                  AND 3 * n_words <= chars_nonspace
+                  AND chars_nonspace <= 10 * n_words
+                  AND 10 * symbols < n_words
+                  AND 10 * bullet_lines < 9 * n_lines
+                  AND 10 * ellipsis_lines < 3 * n_lines
+                  AND 10 * alpha_chars > 6 * text_len
+                  AND stop_hits >= 2
+             THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM f
+""")
+def gopher_quality_docs(sf_dir: str):
+    """Gopher composite rule filter (Rae et al. 2021) per document:
+    exact integer counters for every rule (word count, mean word
+    length via cross-multiplication, symbol/'...' ratio, bullet +
+    ellipsis line fractions, alpha-char ratio, distinct-stopword
+    presence) plus the 0/1 keep verdict. Batch-local Arrow kernels —
+    one pass per counter, nothing shuffles
+    (geoflow.stages.webquality.gopher_filter_batch)."""
+    from ..stages.webquality import gopher_filter_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(gopher_filter_batch, batch_format="pyarrow")
+
+
 @register("url_dedup_pages", sql="""
 WITH d AS (SELECT doc_id, doc_id - doc_id % 3 AS gid FROM documents)
 SELECT 'https://site' || (gid % 999) || '.example/s' || ((gid // 999) % 37)

@@ -10,6 +10,11 @@ with the remaining passes a Common-Crawl-scale corpus build runs:
   callers derive the float fractions. Entirely batch-local (the
   metric is per-document), so the stage is stateless ``map_batches``
   with zero shuffle at any corpus size.
+- ``gopher_filter_batch``: the Gopher composite rule filter (word
+  count / mean word length / symbol ratio / bullet + ellipsis line
+  fractions / alpha-char ratio / stopword presence) as exact integer
+  counters and a 0/1 keep verdict; every rule an integer
+  cross-multiplication so the SQL replay is hash-exact.
 - ``canonicalize_urls_batch`` + ``url_dedup``: URL canonicalization
   (scheme/host lowercase, tracking-param strip, trailing-slash and
   fragment strip) followed by a keep-first-crawl dedup grouped on the
@@ -130,6 +135,83 @@ def repetition_stats_batch(batch: pa.Table, id_col: str = "doc_id",
         "top_bigram_n": pa.array(top_big, pa.int64()),
         "n_trigrams": pa.array(n_tri, pa.int64()),
         "dup_trigram_n": pa.array(dup_tri, pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style composite quality filter
+# ---------------------------------------------------------------------------
+
+# Stopword presence rule (Rae et al. 2021 "Gopher", App. A1.1 uses a
+# small English function-word list); membership is checked on
+# space-delimited tokens via a padded substring probe.
+GOPHER_STOPWORDS = ("the", "a", "be", "to", "of", "and", "that",
+                    "have", "with")
+
+
+def gopher_filter_batch(batch: pa.Table, id_col: str = "doc_id",
+                        text_col: str = "text", min_words: int = 50,
+                        max_words: int = 100_000,
+                        min_stop_hits: int = 2) -> pa.Table:
+    """Gopher-style composite document-quality filter (Rae et al. 2021,
+    the standard rule filter before LLM training), as EXACT integer
+    counters plus a 0/1 ``keep`` verdict — every rule is evaluated as
+    an integer cross-multiplication (``3*n_words <= chars_nonspace``
+    instead of ``mean_word_len >= 3``), so the oracle replay has zero
+    float-tie hazard. Rules:
+
+    1. word count in [min_words, max_words] (words = single-space
+       splits, matching the DuckDB ``replace``-count replay exactly);
+    2. mean word length in [3, 10] chars;
+    3. symbol-to-word ratio ('#' chars + non-overlapping '...') < 0.1;
+    4. < 90% of lines start with a bullet ('- ' / '* ');
+    5. < 30% of lines end with an ellipsis;
+    6. alphabetic characters > 60% of all characters;
+    7. at least ``min_stop_hits`` DISTINCT stopwords present.
+
+    Entirely batch-local Arrow compute (one kernel pass per counter,
+    no Python per row) — per-document rules never shuffle at any
+    corpus size.
+    """
+    t = pc.fill_null(batch.column(text_col), "")
+    as_i64 = lambda a: a.to_numpy(zero_copy_only=False).astype(np.int64)  # noqa: E731
+    text_len = as_i64(pc.utf8_length(t))
+    n_space = as_i64(pc.count_substring(t, pattern=" "))
+    n_words = n_space + 1
+    chars_nonspace = text_len - n_space
+    alpha_chars = as_i64(pc.count_substring_regex(t, pattern="[a-zA-Z]"))
+    symbols = (as_i64(pc.count_substring(t, pattern="#"))
+               + as_i64(pc.count_substring(t, pattern="...")))
+    n_lines = as_i64(pc.count_substring(t, pattern="\n")) + 1
+    bullet_lines = (as_i64(pc.count_substring(t, pattern="\n- "))
+                    + as_i64(pc.count_substring(t, pattern="\n* "))
+                    + as_i64(pc.starts_with(t, pattern="- "))
+                    + as_i64(pc.starts_with(t, pattern="* ")))
+    ellipsis_lines = (as_i64(pc.count_substring(t, pattern="...\n"))
+                      + as_i64(pc.ends_with(t, pattern="...")))
+    padded = pc.binary_join_element_wise(" ", t, " ", "")
+    stop_hits = np.zeros(len(t), np.int64)
+    for w in GOPHER_STOPWORDS:
+        stop_hits += as_i64(pc.match_substring(padded, pattern=f" {w} "))
+    keep = ((n_words >= min_words) & (n_words <= max_words)
+            & (3 * n_words <= chars_nonspace)
+            & (chars_nonspace <= 10 * n_words)
+            & (10 * symbols < n_words)
+            & (10 * bullet_lines < 9 * n_lines)
+            & (10 * ellipsis_lines < 3 * n_lines)
+            & (10 * alpha_chars > 6 * text_len)
+            & (stop_hits >= min_stop_hits)).astype(np.int64)
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_words": pa.array(n_words, pa.int64()),
+        "chars_nonspace": pa.array(chars_nonspace, pa.int64()),
+        "alpha_chars": pa.array(alpha_chars, pa.int64()),
+        "symbols": pa.array(symbols, pa.int64()),
+        "n_lines": pa.array(n_lines, pa.int64()),
+        "bullet_lines": pa.array(bullet_lines, pa.int64()),
+        "ellipsis_lines": pa.array(ellipsis_lines, pa.int64()),
+        "stop_hits": pa.array(stop_hits, pa.int64()),
+        "keep": pa.array(keep, pa.int64()),
     })
 
 

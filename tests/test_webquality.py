@@ -221,3 +221,69 @@ def test_literal_scan_counts_matches_python_reference():
         assert got.loc[p, "n_occ"] == sum(t.count(p) for t in texts)
         assert got.loc[p, "n_docs"] == sum(p in t for t in texts)
     assert len(got) == 4
+
+
+# --- Gopher composite filter ------------------------------------------------
+
+def _gopher_slow(text: str, min_words=50, max_words=100_000,
+                 min_stop_hits=2):
+    """Independent per-string reimplementation (str.count is also
+    non-overlapping, matching Arrow count_substring and the DuckDB
+    replace-count replay)."""
+    from geoflow.stages.webquality import GOPHER_STOPWORDS
+    text_len = len(text)
+    n_space = text.count(" ")
+    n_words = n_space + 1
+    chars_nonspace = text_len - n_space
+    alpha_chars = sum(c.isascii() and c.isalpha() for c in text)
+    symbols = text.count("#") + text.count("...")
+    n_lines = text.count("\n") + 1
+    bullet = (text.count("\n- ") + text.count("\n* ")
+              + text.startswith("- ") + text.startswith("* "))
+    ellipsis = text.count("...\n") + text.endswith("...")
+    padded = f" {text} "
+    stop_hits = sum(f" {w} " in padded for w in GOPHER_STOPWORDS)
+    keep = int(min_words <= n_words <= max_words
+               and 3 * n_words <= chars_nonspace <= 10 * n_words
+               and 10 * symbols < n_words
+               and 10 * bullet < 9 * n_lines
+               and 10 * ellipsis < 3 * n_lines
+               and 10 * alpha_chars > 6 * text_len
+               and stop_hits >= min_stop_hits)
+    return dict(n_words=n_words, chars_nonspace=chars_nonspace,
+                alpha_chars=alpha_chars, symbols=symbols, n_lines=n_lines,
+                bullet_lines=bullet, ellipsis_lines=ellipsis,
+                stop_hits=stop_hits, keep=keep)
+
+
+def test_gopher_filter_adversarial_parity():
+    from geoflow.stages.webquality import gopher_filter_batch
+
+    texts = [
+        "",
+        "- bullet one\n- bullet two\nplain line",
+        "* starred\ntrailing dots...\nmore...\nend...",
+        "the a to of and that have with be",      # all stopwords
+        "#### # # .......",                        # symbols, overlap runs
+        "héllo wörld the a café",  # multibyte chars
+        "athe thea the\na the",                    # boundary stopword probes
+        ("the quick brown fox jumps over a lazy dog and then keeps "
+         "running with steady pace that nobody doubts to have seen " * 3),
+        "word " * 60 + "the a end",                # long, double-space tail
+        "...\n...\n...",
+        None,                                      # null -> ""
+    ]
+    b = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = gopher_filter_batch(b).to_pandas().set_index("doc_id")
+    for i, t in enumerate(texts):
+        exp = _gopher_slow(t or "")
+        got = {k: int(out.loc[i, k]) for k in exp}
+        assert got == exp, f"row {i}: {got} != {exp} ({t!r})"
+    # the long prose doc passes every rule
+    assert out.loc[7, "keep"] == 1
+    # bullets/ellipses/symbols rows are filtered
+    assert out.loc[1, "keep"] == 0 and out.loc[2, "keep"] == 0
+    assert out.loc[4, "keep"] == 0 and out.loc[9, "keep"] == 0
